@@ -1,0 +1,69 @@
+"""SparkSession construction tuned for this engine.
+
+Local test posture: one JVM, ``local[N]`` threads, shuffle partitions sized
+to cores (not the 200 default).  Cluster posture (100 TB): the same builder
+minus master/memory overrides — AQE, skew-join handling and broadcast
+thresholds are the scale levers and are on by default here.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Confs that are safe (and wanted) on both local test runs and a real
+#: cluster.  Runtime-settable ones are also re-applied per-query by the
+#: registry so driver-owned sessions behave identically.
+ENGINE_CONFS: dict[str, str] = {
+    # AQE: runtime coalescing of shuffle partitions + skew-join splitting.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for every pandas interchange (Pandas UDF / toPandas).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Deterministic timestamp semantics; DuckDB oracle reads parquet as
+    # naive UTC, so the session must be pinned to UTC.
+    "spark.sql.session.timeZone": "UTC",
+    # Java-pattern timestamp parsing without legacy surprises.
+    "spark.sql.legacy.timeParserPolicy": "CORRECTED",
+    # Spark 4 rejects parquet INT64 TIMESTAMP(NANOS) outright; read it as a
+    # long and convert at the scan (tables.table) — ns→µs truncation matches
+    # DuckDB's TIMESTAMP_NS::TIMESTAMP cast.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def builder(app_name: str = "dataengineer_scripts_spark") -> SparkSession.Builder:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    b = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+    )
+    for k, v in ENGINE_CONFS.items():
+        b = b.config(k, v)
+    return b
+
+
+def get_spark(app_name: str = "dataengineer_scripts_spark") -> SparkSession:
+    spark = builder(app_name).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def apply_runtime_confs(spark: SparkSession) -> None:
+    """Apply the runtime-settable engine confs to an existing session.
+
+    The driver harness owns its own SparkSession; query results must not
+    depend on its timezone or Arrow settings, so every registered query
+    re-applies these (all of them are runtime-settable).
+    """
+    for k, v in ENGINE_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # pragma: no cover - static conf on some builds
+            pass

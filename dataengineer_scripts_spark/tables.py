@@ -1,0 +1,43 @@
+"""Test-table loaders for the driver fixtures (TESTDATA.md / FIXTURES.md).
+
+Parquet at rest, schema-on-read (the footers carry the contract schemas
+captured in FIXTURES.md).  Loaders are thin on purpose: Catalyst handles
+column pruning / predicate pushdown from the declarative plan, so the right
+place for "optimization" is the query, not the scan helper.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        # nanosAsLong read (session.py): ns-since-epoch long → µs timestamp.
+        # Integer `div` — a double division would lose precision above 2^53.
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register all fixture tables as temp views (for the SQL API paths)."""
+    for name in TABLE_NAMES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)
