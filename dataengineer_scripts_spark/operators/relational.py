@@ -1,1 +1,900 @@
-"""placeholder — filled in subsequent milestones."""
+"""Relational core (SURVEY.md §2.2 projections/filters, §2.3 joins,
+§2.4 aggregations, §2.6 limits/sorts/set-ops) plus the §2.9 relational
+extension surface (join family, agg family, windows, top-k, set ops,
+array functions, pandas-UDF surface).
+
+Design notes (100 TB posture):
+- Dimension sides of joins are broadcast (`F.broadcast`) — region/nation/
+  customer/supplier/part are dims in this star schema; fact-fact joins go
+  through AQE-managed shuffle with skew-join splitting enabled (session.py).
+- Aggregates are plain hash aggregates on natural keys: Catalyst supplies
+  the partial (map-side) aggregation split automatically.
+- Floating aggregates are rounded IN THE QUERY (both engines accumulate in
+  parallel, so last-ulp sum order differences are expected; rounding is the
+  contract, matching the oracle's rounding).
+- Anything order-sensitive (LIMIT / first-match / top-k) carries a total
+  deterministic order via a unique tiebreak key (SURVEY.md §7.4.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import table
+
+# ---------------------------------------------------------------------------
+# §2.2 Projections / filters / predicates
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "proj_alias_literal",
+    oracle="""
+    SELECT c_name, c_custkey, c_name AS init_name, 'Delman' AS loc
+    FROM customer
+    """,
+)
+def proj_alias_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection with rename + constant column — the reference's
+    `SELECT [name],[id],[name] as init_name,'Delman' AS [loc]`
+    (Job Cek Script/app.py:72)."""
+    return table(spark, sf_dir, "customer").select(
+        "c_name",
+        "c_custkey",
+        F.col("c_name").alias("init_name"),
+        F.lit("Delman").alias("loc"),
+    )
+
+
+@register(
+    "proj_nested_field",
+    oracle="""
+    SELECT o_orderkey AS node_src, l_linenumber AS node_id,
+           l_returnflag AS node_type
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    """,
+)
+def proj_nested_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-document access (`response['data']['nodes']` → per-node
+    fields, sync.py:51,54): build the array-of-structs document shape from
+    lineitem (`collect_list(struct(...))`), then `explode` + dot-path —
+    the declarative twin of iterating a JSON nodes array."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    docs = (
+        orders.join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderkey")
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("l_linenumber").alias("id"),
+                    F.col("l_returnflag").alias("type"),
+                )
+            ).alias("nodes")
+        )
+    )
+    node = F.explode("nodes").alias("node")
+    return docs.select(F.col("o_orderkey").alias("node_src"), node).select(
+        "node_src",
+        F.col("node.id").alias("node_id"),
+        F.col("node.type").alias("node_type"),
+    )
+
+
+@register(
+    "flt_neq_const",
+    oracle="SELECT event_id, event_type FROM events WHERE event_type <> 'view'",
+)
+def flt_neq_const(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inequality row filter (`type != "next"`, sync.py:52)."""
+    return table(spark, sf_dir, "events").filter(
+        F.col("event_type") != "view"
+    ).select("event_id", "event_type")
+
+
+@register(
+    "flt_not_null",
+    oracle="""
+    SELECT o_orderkey, o_custkey FROM orders
+    WHERE o_custkey IS NOT NULL
+    """,
+)
+def flt_not_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-key guard before the expensive per-key work (app.py:118,171)."""
+    return table(spark, sf_dir, "orders").filter(
+        F.col("o_custkey").isNotNull()
+    ).select("o_orderkey", "o_custkey")
+
+
+@register(
+    "flt_not_in_list",
+    oracle="""
+    SELECT event_id, event_type FROM events
+    WHERE NOT (event_type IN ('click','purchase','view','signup')
+               OR event_type IS NULL)
+    """,
+)
+def flt_not_in_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitelist-with-None error predicate (`status not in
+    ["SUCCESS", None, ...]`, app.py:113,188).  Python's `not in` is
+    2-valued; SQL `NOT IN (NULL, ...)` is 3-valued — the faithful mapping
+    is `~(isin(non_null) | isNull())` (SURVEY.md §7.4.1)."""
+    t = F.col("event_type")
+    return table(spark, sf_dir, "events").filter(
+        ~(t.isin("click", "purchase", "view", "signup") | t.isNull())
+    ).select("event_id", "event_type")
+
+
+@register(
+    "flt_nonempty_guard",
+    oracle="""
+    SELECT user_id, count(*) AS n_err FROM events
+    WHERE event_type = 'error' GROUP BY user_id HAVING count(*) > 0
+    """,
+)
+def flt_nonempty_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Branch on non-empty fetched collection (`if data:`, app.py:133,169)
+    → collect per key, keep keys with `size(...) > 0`."""
+    e = table(spark, sf_dir, "events")
+    grouped = e.groupBy("user_id").agg(
+        F.collect_list(F.when(F.col("event_type") == "error", "event_id")).alias(
+            "errs"
+        )
+    )
+    return grouped.filter(F.size("errs") > 0).select(
+        "user_id", F.size("errs").cast("bigint").alias("n_err")
+    )
+
+
+@register(
+    "flt_key_membership",
+    oracle="""
+    SELECT event_id, json_extract_string(props, '$.k') IS NOT NULL AS has_k,
+           json_extract_string(props, '$.missing') IS NOT NULL AS has_missing
+    FROM events
+    """,
+)
+def flt_key_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-shape discrimination by key presence (`'day_of_week' in
+    repeat_period`, app.py:138) → JSON-path null test."""
+    return table(spark, sf_dir, "events").select(
+        "event_id",
+        F.get_json_object("props", "$.k").isNotNull().alias("has_k"),
+        F.get_json_object("props", "$.missing").isNotNull().alias("has_missing"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 Joins (reference-shaped)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_point_lookup",
+    oracle="""
+    SELECT o_orderkey, o_custkey, c_name, c_mktsegment
+    FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def join_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row keyed fetch loop (app.py:115-217) = left-outer equi join;
+    the dim side is broadcast — the 100 TB plan is a broadcast hash join,
+    no shuffle of the fact table."""
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    return orders.join(
+        F.broadcast(customer), orders.o_custkey == customer.c_custkey, "left"
+    ).select("o_orderkey", "o_custkey", "c_name", "c_mktsegment")
+
+
+@register(
+    "join_memo_dedup",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey AS k, count(*) AS n_orders,
+             round(sum(o_totalprice), 2) AS spend
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o_orderkey, o_custkey, n_orders, spend
+    FROM orders JOIN per_cust ON o_custkey = k
+    """,
+)
+def join_memo_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoize expensive work per distinct key, reuse for duplicates
+    (`explored` defaultdict, app.py:112,119-122,218) → dedup-before-work +
+    re-join.  Catalyst analog of the reference's cache: compute once per
+    key (one hash aggregate), broadcast-or-shuffle join back."""
+    orders = table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("spend"),
+    )
+    return orders.join(per_cust, orders.o_custkey == per_cust.k).select(
+        "o_orderkey", "o_custkey", "n_orders", "spend"
+    )
+
+
+@register(
+    "join_url_construct",
+    oracle="""
+    SELECT o_orderkey,
+           'https://api.example/nodes/' || o_orderkey || '/sync' AS url
+    FROM orders
+    """,
+)
+def join_url_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key → endpoint mapping by concat (sync.py:38,55) — the projection
+    feeding the point-lookup join."""
+    return table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.concat(
+            F.lit("https://api.example/nodes/"),
+            F.col("o_orderkey").cast("string"),
+            F.lit("/sync"),
+        ).alias("url"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 Aggregations (reference-shaped)
+# ---------------------------------------------------------------------------
+
+_ERR_LINE = "%010d --> %s"
+
+
+@register(
+    "agg_collect_errors",
+    oracle=f"""
+    SELECT user_id,
+           string_agg(printf('{_ERR_LINE}', event_id, event_type), chr(10)
+                      ORDER BY event_id) AS note
+    FROM events WHERE event_type = 'error'
+    GROUP BY user_id
+    """,
+)
+def agg_collect_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collect failing nodes per key and fold into one note string
+    (app.py:188,256-261) → `collect_list` + `array_sort` + `array_join`
+    (zero-padded ids make string order == numeric order, so the note is
+    deterministic under any partitioning)."""
+    e = table(spark, sf_dir, "events").filter(F.col("event_type") == "error")
+    return e.groupBy("user_id").agg(
+        F.array_join(
+            F.array_sort(
+                F.collect_list(F.format_string(_ERR_LINE, "event_id", "event_type"))
+            ),
+            "\n",
+        ).alias("note")
+    )
+
+
+@register(
+    "agg_count_threshold",
+    oracle="""
+    SELECT user_id,
+           CASE WHEN count(*) > 150 THEN 'error in more than 150 nodes'
+                ELSE 'errors: ' || count(*) END AS note
+    FROM events WHERE event_type = 'error' GROUP BY user_id
+    """,
+)
+def agg_count_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cardinality-gated aggregate (>5 errors ⇒ fixed literal,
+    app.py:256,262-263; threshold scaled to the fixture's error volume)."""
+    e = table(spark, sf_dir, "events").filter(F.col("event_type") == "error")
+    n = F.count("*")
+    return e.groupBy("user_id").agg(
+        F.when(n > 150, F.lit("error in more than 150 nodes"))
+        .otherwise(F.concat(F.lit("errors: "), n.cast("string")))
+        .alias("note")
+    )
+
+
+@register(
+    "agg_exists_to_status",
+    oracle="""
+    SELECT user_id,
+           CASE WHEN count(*) FILTER (WHERE event_type = 'error') > 0
+                THEN 'Failed' ELSE 'Success' END AS status
+    FROM events GROUP BY user_id
+    """,
+)
+def agg_exists_to_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Existence aggregate → classification (any error node ⇒ Failed,
+    app.py:265-270)."""
+    e = table(spark, sf_dir, "events")
+    n_err = F.sum((F.col("event_type") == "error").cast("int"))
+    return e.groupBy("user_id").agg(
+        F.when(n_err > 0, "Failed").otherwise("Success").alias("status")
+    )
+
+
+@register(
+    "agg_first_per_key",
+    oracle="""
+    SELECT user_id, ts, event_type FROM (
+      SELECT user_id, ts::TIMESTAMP AS ts, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def agg_first_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First element of a per-key ordered collection (first non-null
+    monitoring run, app.py:170-178) → `row_number` over an EXPLICIT order
+    column — API order materialized as data (SURVEY.md §7.4.2).  The
+    tiebreak on the unique event_id makes the pick total."""
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        table(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "ts", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.6 Limits / first-match
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lim_page_fetch",
+    oracle="SELECT event_id, event_type FROM events ORDER BY event_id LIMIT 8",
+)
+def lim_page_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded page fetch (`page_size=8&page=0`, app.py:126) — LIMIT 8
+    under a total order so the page is deterministic."""
+    return (
+        table(spark, sf_dir, "events")
+        .orderBy("event_id")
+        .limit(8)
+        .select("event_id", "event_type")
+    )
+
+
+@register(
+    "lim_first_match",
+    oracle="""
+    SELECT event_id, user_id, event_type FROM events
+    WHERE event_type = 'purchase' ORDER BY event_id LIMIT 1
+    """,
+)
+def lim_first_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Early termination on first qualifying row (`break`,
+    app.py:147,157,178) → filter + ordered LIMIT 1 (Catalyst plans a
+    TakeOrderedAndProject — no full sort)."""
+    return (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .orderBy("event_id")
+        .limit(1)
+        .select("event_id", "user_id", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.9 Extension: scans & join family
+# ---------------------------------------------------------------------------
+
+
+@register("x_scan_parquet", oracle="SELECT r_regionkey, r_name FROM region")
+def x_scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar parquet scan with projection pruning (ReadSchema carries
+    only the selected columns)."""
+    return table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+
+
+@register(
+    "x_join_inner",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*) AS n_items,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY c_mktsegment
+    """,
+)
+def x_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner join chain over the star schema (TPC-H Q3 shape): fact-fact
+    join shuffles on the key, the customer dim is broadcast."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "x_join_left",
+    oracle="""
+    SELECT n_name, count(c_custkey) AS n_customers
+    FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def x_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer join preserving unmatched dim rows (nations with zero
+    customers still report, count(col) skips their nulls)."""
+    n = table(spark, sf_dir, "nation")
+    c = table(spark, sf_dir, "customer")
+    return (
+        n.join(c, c.c_nationkey == n.n_nationkey, "left")
+        .groupBy("n_name")
+        .agg(F.count("c_custkey").alias("n_customers"))
+    )
+
+
+@register(
+    "x_join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def x_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): customers having at least one order —
+    no row multiplication, right side reduced to its keys."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return c.join(
+        o, c.c_custkey == o.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "x_join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
+    """,
+)
+def x_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS): customers with no urgent orders (the
+    right side is filtered first so the anti-set is non-degenerate at
+    every scale factor)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return c.join(
+        o, c.c_custkey == o.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "x_join_cross",
+    oracle="""
+    SELECT r_name, n_name FROM region CROSS JOIN nation
+    """,
+)
+def x_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross join — only sane between tiny dims (5×25 here); at scale the
+    engine's LLM ops replace cross products with LSH bucketing
+    (SURVEY.md §4.3)."""
+    r = table(spark, sf_dir, "region")
+    n = table(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")
+
+
+@register(
+    "x_join_range",
+    oracle="""
+    WITH bands(band, lo, hi) AS (
+      VALUES ('budget', 0.0, 500.0), ('mid', 500.0, 1200.0),
+             ('premium', 1200.0, 100000.0)
+    )
+    SELECT p_partkey, band
+    FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
+    """,
+)
+def x_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (range/theta) join: price-band classification.  The band
+    table is tiny → broadcast nested-loop join, the right physical plan;
+    a fact-fact range join at scale would bucketize the range key first
+    (see streaming/llm modules for that pattern)."""
+    p = table(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        [("budget", 0.0, 500.0), ("mid", 500.0, 1200.0),
+         ("premium", 1200.0, 100000.0)],
+        "band string, lo double, hi double",
+    )
+    cond = (p.p_retailprice >= bands.lo) & (p.p_retailprice < bands.hi)
+    return p.join(F.broadcast(bands), cond).select("p_partkey", "band")
+
+
+# ---------------------------------------------------------------------------
+# §2.9 Extension: aggregation family
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_agg_sum_avg_min_max",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(min(l_extendedprice), 2) AS min_price,
+           round(max(l_extendedprice), 2) AS max_price,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-06-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def x_agg_sum_avg_min_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic hash aggregate (TPC-H Q1 shape): filter pushed to the scan,
+    partial+final aggregation split by Catalyst, 6 aggregates one pass."""
+    li = table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-06-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum(price), 2).alias("sum_base_price"),
+            F.round(F.sum(price * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg(price), 4).alias("avg_price"),
+            F.round(F.min(price), 2).alias("min_price"),
+            F.round(F.max(price), 2).alias("max_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "x_agg_count_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           count(DISTINCT o_custkey) AS n_custs,
+           count(*) AS n_orders
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def x_agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregate — Catalyst expands to a two-phase plan
+    (partial distinct then final) rather than a naive global shuffle."""
+    return table(spark, sf_dir, "orders").groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_custs"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@register("x_agg_approx_distinct")  # approx: engine-specific HLL → rows-only
+def x_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct (HyperLogLog++, rsd 5%) — the 100 TB path for
+    distinct counts; sketch values are engine-specific so the driver runs
+    the rows-only check (a local test asserts the 5% envelope vs exact)."""
+    return table(spark, sf_dir, "orders").groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey").alias("approx_custs")
+    )
+
+
+@register(
+    "x_agg_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def x_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals (ROLLUP) — one shuffle, grouping-set
+    expansion handled by the engine."""
+    return table(spark, sf_dir, "lineitem").rollup(
+        "l_returnflag", "l_linestatus"
+    ).agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count("*").alias("n"))
+
+
+@register(
+    "x_agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def x_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All grouping combinations (CUBE)."""
+    return table(spark, sf_dir, "lineitem").cube(
+        "l_returnflag", "l_linestatus"
+    ).agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count("*").alias("n"))
+
+
+@register(
+    "x_agg_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """,
+)
+def x_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit grouping sets via the SQL API (same Catalyst plan as the
+    DataFrame rollup/cube family)."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.9 Extension: window functions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_win_rank",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           rank() OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           row_number() OVER (PARTITION BY o_orderpriority
+                              ORDER BY o_totalprice DESC, o_orderkey) AS rn
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC)
+    """,
+)
+def x_win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking windows: rank/dense_rank share ties; row_number carries a
+    unique tiebreak so it is total (SURVEY.md §7.4.2)."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"))
+    wt = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), "o_orderkey"
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.row_number().over(wt).alias("rn"),
+    )
+
+
+@register(
+    "x_win_lag_lead",
+    oracle="""
+    SELECT event_id, user_id,
+           lag(event_type) OVER w AS prev_type,
+           lead(event_type) OVER w AS next_type,
+           round(epoch(ts::TIMESTAMP
+                       - (lag(ts::TIMESTAMP) OVER w)), 0) AS gap_sec
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def x_win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic lag/lead over event time with a unique tiebreak; gap
+    seconds rounded to whole seconds on both sides."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    return table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+        F.round(gap, 0).alias("gap_sec"),
+    )
+
+
+@register(
+    "x_win_running",
+    oracle="""
+    SELECT event_id, user_id,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW), 2) AS running_value,
+           count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS n_so_far
+    FROM events
+    """,
+)
+def x_win_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-spec running aggregate (rowsBetween unbounded-preceding →
+    current).  Running sums accumulate in ORDER, so the float result is
+    deterministic and rounds identically on both engines."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 2).alias("running_value"),
+        F.count("*").over(w).alias("n_so_far"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.9 Extension: sort / top-k / set ops
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_sort_limit_topk",
+    oracle="""
+    SELECT o_orderkey, round(o_totalprice, 2) AS total
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def x_sort_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k — Catalyst plans TakeOrderedAndProject (per-partition
+    heap + driver merge), NOT a total sort; the unique tiebreak makes the
+    k-set deterministic."""
+    return (
+        table(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(10)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("total"))
+    )
+
+
+@register(
+    "x_topk_per_group",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey, round(o_totalprice, 2) AS total
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+                                   ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def x_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group: window row_number ≤ k — one shuffle on the group
+    key, no global sort."""
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), "o_orderkey"
+    )
+    return (
+        table(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "o_orderpriority", "o_orderkey", F.round("o_totalprice", 2).alias("total")
+        )
+    )
+
+
+@register(
+    "x_set_union",
+    oracle="""
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    UNION
+    SELECT o_custkey AS c_custkey FROM orders
+    """,
+)
+def x_set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) via `unionByName` + `distinct`."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = o.select(F.col("o_custkey").alias("c_custkey"))
+    return a.unionByName(b).distinct()
+
+
+@register(
+    "x_set_intersect",
+    oracle="""
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT o_custkey AS c_custkey FROM orders
+    """,
+)
+def x_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct) — planned as a left-semi join + aggregate."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = o.select(F.col("o_custkey").alias("c_custkey"))
+    return a.intersect(b)
+
+
+@register(
+    "x_set_except",
+    oracle="""
+    SELECT c_custkey FROM customer
+    EXCEPT
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    """,
+)
+def x_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct) — planned as a left-anti join + aggregate."""
+    c = table(spark, sf_dir, "customer")
+    return c.select("c_custkey").exceptAll(
+        c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    ).distinct()
+
+
+# ---------------------------------------------------------------------------
+# §2.9 Extension: array/map functions & pandas-UDF surface
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_fn_array_map",
+    oracle="""
+    SELECT vec_id,
+           len(embedding) AS dim,
+           round(list_sum(list_transform(embedding,
+                                         x -> CAST(x AS DOUBLE) * x)), 3)
+             AS norm_sq,
+           round(list_sum(list_transform(list_filter(embedding, x -> x > 0),
+                                         x -> CAST(x AS DOUBLE))), 3)
+             AS pos_sum
+    FROM embeddings
+    """,
+)
+def x_fn_array_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions (`transform` / `filter` / `aggregate`)
+    — JVM lambda evaluation over the embedding arrays, no Python."""
+    emb = F.col("embedding")
+    norm_sq = F.aggregate(
+        emb, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+    )
+    pos_sum = F.aggregate(
+        F.filter(emb, lambda x: x > 0), F.lit(0.0),
+        lambda acc, x: acc + x.cast("double"),
+    )
+    return table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.size(emb).alias("dim"),
+        F.round(norm_sq, 3).alias("norm_sq"),
+        F.round(pos_sum, 3).alias("pos_sum"),
+    )
+
+
+@register(
+    "x_udf_pandas",
+    oracle="""
+    SELECT event_id,
+           round(1.0 / (1.0 + exp(-value)), 6) AS sigmoid_value
+    FROM events
+    """,
+)
+def x_udf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized (Arrow-batched) Pandas UDF — the sanctioned slow path
+    (SURVEY.md §2.10): one Arrow batch per 10k rows, numpy math inside,
+    never row-at-a-time Python."""
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def sigmoid(s):
+        import numpy as np
+
+        return 1.0 / (1.0 + np.exp(-s))
+
+    return table(spark, sf_dir, "events").select(
+        "event_id", F.round(sigmoid("value"), 6).alias("sigmoid_value")
+    )
