@@ -1,0 +1,59 @@
+"""Streaming runtime helpers: build an events stream from the fixture
+parquet and run the shared window operators on it.
+
+The file source treats the fixture parquet as a one-file directory glob;
+`memory` sink + `processAllAvailable()` drives a bounded stream to
+completion synchronously (the local smoke pattern for what would be a
+Kafka-fed continuous query on a cluster).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import apply_runtime_confs
+
+
+def _as_source_dir(parquet_file: str) -> str:
+    """The file stream source requires a directory; stage a symlink dir
+    (one per source file, cached across calls) under the system tmpdir."""
+    tag = hashlib.sha1(parquet_file.encode()).hexdigest()[:12]
+    d = os.path.join(tempfile.gettempdir(), f"spark_graft_stream_{tag}")
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, os.path.basename(parquet_file))
+    if not os.path.exists(link):
+        os.symlink(parquet_file, link)
+    return d
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events as an unbounded stream with a proper TimestampType ts.
+
+    Schema is taken from the batch reader (under nanosAsLong the parquet
+    `ts` arrives as a long; converted here exactly like tables.table)."""
+    apply_runtime_confs(spark)
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(_as_source_dir(path))
+    if dict(stream.dtypes)["ts"] == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return stream
+
+
+def run_to_memory(df: DataFrame, name: str, output_mode: str) -> None:
+    """Drive a bounded stream to completion into a memory table."""
+    q = (
+        df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()

@@ -1,1 +1,219 @@
-"""placeholder — filled in subsequent milestones."""
+"""Event-time windowing operators (SURVEY.md §2.9 x_stream_*).
+
+Each operator is written once over an events DataFrame and works in BOTH
+execution modes — batch (registered here with a DuckDB oracle; Spark's
+`window`/`session_window` are ordinary expressions in batch) and
+Structured Streaming (`readStream` + watermark; exercised in
+tests/test_streaming.py with the memory sink).  That one-definition /
+two-modes property is the Spark-native generalization of the reference's
+"poll, classify staleness" loop (Job Cek Script/app.py:180-191).
+
+Scale posture: event-time windows keyed by (window, type) or (user,
+session) shuffle once on the group key; state in streaming mode is bounded
+by the watermark — no unbounded maps (SURVEY.md §7.4.6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import table
+
+#: Session gap sized to the fixture (≈67 events/user over 30 days →
+#: mean inter-event gap ≈10.7 h, so a 12 h gap yields real merging).
+SESSION_GAP = "12 hours"
+
+
+def tumbling_counts(events: DataFrame, width: str = "1 day") -> DataFrame:
+    """Tumbling event-time window aggregate — shared by batch and stream."""
+    return (
+        events.groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total",
+        )
+    )
+
+
+@register(
+    "x_stream_tumbling",
+    oracle="""
+    SELECT time_bucket(INTERVAL 1 DAY, ts::TIMESTAMP) AS window_start,
+           time_bucket(INTERVAL 1 DAY, ts::TIMESTAMP) + INTERVAL 1 DAY
+             AS window_end,
+           event_type, count(*) AS n, round(sum(value), 2) AS total
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def x_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-day event-time windows (`F.window(ts, "1 day")`)."""
+    return tumbling_counts(table(spark, sf_dir, "events"))
+
+
+@register(
+    "x_stream_sliding",
+    oracle="""
+    WITH slid AS (
+      SELECT time_bucket(INTERVAL 12 HOUR, ts::TIMESTAMP)
+               - k * INTERVAL 12 HOUR AS window_start,
+             event_type, value
+      FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k)
+    )
+    SELECT window_start, window_start + INTERVAL 24 HOUR AS window_end,
+           event_type, count(*) AS n, round(sum(value), 2) AS total
+    FROM slid GROUP BY 1, 2, 3
+    """,
+)
+def x_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (24 h wide, 12 h slide → every event in exactly two
+    windows).  The oracle expands the two candidate starts explicitly."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "24 hours", "12 hours").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total",
+        )
+    )
+
+
+@register(
+    "x_stream_session",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, ts::TIMESTAMP AS ts, value, event_id,
+             lag(ts::TIMESTAMP) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ), flagged AS (
+      SELECT *, CASE WHEN prev_ts IS NULL
+                       OR ts - prev_ts >= INTERVAL '{SESSION_GAP}'
+                     THEN 1 ELSE 0 END AS new_s
+      FROM ordered
+    ), numbered AS (
+      SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sess
+      FROM flagged
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL '{SESSION_GAP}' AS session_end,
+           count(*) AS n, round(sum(value), 2) AS total
+    FROM numbered GROUP BY user_id, sess
+    """,
+)
+def x_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (gap-merged per user).  Spark merges events whose
+    `[ts, ts+gap)` windows overlap; the oracle is the equivalent
+    gaps-and-islands SQL (new session when the gap ≥ SESSION_GAP,
+    session_end = last event + gap)."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", SESSION_GAP).alias("w"), "user_id")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n",
+            "total",
+        )
+    )
+
+
+@register(
+    "x_stream_dedup",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def x_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key dedup — batch `dropDuplicates` on the key columns (projecting
+    only the keys keeps the result deterministic); the streaming twin is
+    `dropDuplicatesWithinWatermark` (tests/test_streaming.py)."""
+    return (
+        table(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .dropDuplicates(["user_id", "event_type"])
+    )
+
+
+@register(
+    "x_stream_watermark_late",
+    oracle="""
+    WITH mx AS (SELECT max(ts::TIMESTAMP) AS m FROM events)
+    SELECT event_type,
+           count(*) FILTER (WHERE ts::TIMESTAMP <  m - INTERVAL 1 DAY) AS n_late,
+           count(*) FILTER (WHERE ts::TIMESTAMP >= m - INTERVAL 1 DAY) AS n_ontime
+    FROM events, mx GROUP BY event_type
+    """,
+)
+def x_stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data classification relative to the observed frontier
+    (max event time − 1 day) — the batch analog of a 1-day watermark and
+    the generalization of the reference's "Not Synced" staleness check
+    (app.py:180-191)."""
+    e = table(spark, sf_dir, "events")
+    frontier = e.agg(F.max("ts").alias("m"))
+    late = F.col("ts") < F.col("m") - F.expr("INTERVAL 1 DAY")
+    return (
+        e.crossJoin(F.broadcast(frontier))
+        .groupBy("event_type")
+        .agg(
+            F.sum(late.cast("int")).cast("bigint").alias("n_late"),
+            F.sum((~late).cast("int")).cast("bigint").alias("n_ontime"),
+        )
+    )
+
+
+@register(
+    "x_stream_stateful",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    )
+    SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'error'
+                              AND prev_type IS DISTINCT FROM 'error')
+             AS n_incidents
+    FROM ordered GROUP BY user_id
+    """,
+)
+def x_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom per-key stateful operator: count *incidents* (transitions
+    into the 'error' state) per user.  Implemented as a grouped-map
+    `applyInPandas` — the batch twin of `applyInPandasWithState`
+    (exercised on a real stream in tests/test_streaming.py).  State is
+    one row per key; partitioning is by the group key, so at scale this
+    is a single shuffle + Arrow-batched per-group pass."""
+    import pandas as pd
+
+    def incidents(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        is_err = (pdf["event_type"] == "error").to_numpy()
+        prev = pd.Series(is_err).shift(1, fill_value=False).to_numpy()
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_incidents": [int((is_err & ~prev).sum())],
+            }
+        )
+
+    e = table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    return e.groupBy("user_id").applyInPandas(
+        incidents, "user_id bigint, n_incidents bigint"
+    )

@@ -1,0 +1,132 @@
+"""Real Structured Streaming runs of the shared window operators —
+memory sink + processAllAvailable (bounded-stream smoke), asserting
+stream results equal the batch results of the same definitions."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from dataengineer_scripts_spark.streaming.runtime import run_to_memory, stream_events
+from dataengineer_scripts_spark.streaming.windows import tumbling_counts
+from dataengineer_scripts_spark.tables import table
+
+
+def test_stream_tumbling_equals_batch(spark, sf_dir):
+    stream = stream_events(spark, sf_dir)
+    run_to_memory(tumbling_counts(stream), "tumbling_out", "complete")
+    got = {
+        (r.window_start, r.event_type): (r.n, r.total)
+        for r in spark.sql("SELECT * FROM tumbling_out").collect()
+    }
+    want = {
+        (r.window_start, r.event_type): (r.n, r.total)
+        for r in tumbling_counts(table(spark, sf_dir, "events")).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_stream_watermark_append_mode(spark, sf_dir):
+    """Append mode with a watermark: only windows fully below the
+    advanced watermark are finalized — the frontier window stays open
+    (late data could still arrive), every emitted window is final and
+    matches the batch result."""
+    stream = stream_events(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    run_to_memory(agg, "wm_out", "append")
+    got = {r.ws: r.n for r in spark.sql("SELECT * FROM wm_out").collect()}
+    want = {
+        r.ws: r.n
+        for r in table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+        .collect()
+    }
+    # the frontier window (max event time) is withheld; the rest are final
+    assert 0 < len(got) < len(want)
+    assert max(want) not in got
+    assert all(want[ws] == n for ws, n in got.items())
+
+
+def test_stream_dedup_within_watermark(spark, sf_dir):
+    stream = stream_events(spark, sf_dir)
+    dedup = (
+        stream.withWatermark("ts", "1 day")
+        .select("ts", "user_id", "event_type")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+    )
+    run_to_memory(dedup, "dedup_out", "append")
+    got = spark.sql("SELECT count(*) AS c FROM dedup_out").collect()[0].c
+    want = (
+        table(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .distinct()
+        .count()
+    )
+    assert got == want
+
+
+def test_stream_stateful_apply_in_pandas_with_state(spark, sf_dir):
+    """Custom stateful operator on a real stream: running per-user event
+    count kept in GroupState (the streaming twin of x_stream_stateful)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def count_state(key, pdf_iter, state: GroupState):
+        n = state.get[0] if state.exists else 0
+        for pdf in pdf_iter:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"user_id": [key[0]], "n": [n]})
+
+    stream = stream_events(spark, sf_dir).select("user_id", "ts")
+    counted = stream.groupBy("user_id").applyInPandasWithState(
+        count_state,
+        outputStructType="user_id bigint, n bigint",
+        stateStructType="n bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    run_to_memory(counted, "state_out", "update")
+    got = {
+        r.user_id: r.n
+        for r in spark.sql(
+            "SELECT user_id, max(n) AS n FROM state_out GROUP BY user_id"
+        ).collect()
+    }
+    want = {
+        r.user_id: r.n
+        for r in table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_stream_foreach_batch_sink(spark, sf_dir):
+    """foreachBatch — the exactly-once sink adapter (collects per-batch
+    row counts driver-side; the real engine pattern for idempotent
+    writes)."""
+    stream = stream_events(spark, sf_dir).filter(F.col("event_type") == "error")
+    seen: list[int] = []
+
+    def sink(df, epoch_id):
+        seen.append(df.count())
+
+    q = stream.writeStream.outputMode("append").foreachBatch(sink).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    want = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "error")
+        .count()
+    )
+    assert sum(seen) == want
