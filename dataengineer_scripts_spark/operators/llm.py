@@ -1,1 +1,713 @@
-"""placeholder — filled in subsequent milestones."""
+"""LLM-training-data pipeline operators (SURVEY.md §2.9, driver north star):
+deduplication (exact, n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine),
+similarity search (brute-force cosine top-k; IVF scale path), and text
+analysis (language-ID, quality scoring, token counting, fingerprinting) over
+the ``documents`` / ``embeddings`` fixtures.
+
+These have no counterpart in the reference (it contains no text/embedding
+processing — /root/reference is 6 ETL scripts, SURVEY.md §0); they are the
+north-star extension surface from BASELINE.json.
+
+Design notes (100 TB posture):
+- NO all-pairs cross joins anywhere.  Pair generation is always an
+  inverted-index equi-join (shared shingle / shared LSH band / shared
+  simhash chunk / shared IVF cell): only documents that could possibly be
+  similar ever meet in a shuffle.  Bucket keys are uniform hashes → no skew.
+- Higher-order-function expressions (transform/aggregate/zip_with) do NOT
+  participate in whole-stage codegen AND get re-inlined by CollapseProject
+  into every downstream reference — a 128-hash signature naively built with
+  nested ``transform`` gets recomputed once per band.  So every expensive
+  per-document artifact here is produced RELATIONALLY: explode to rows,
+  hash-aggregate back (min/sum are codegen-friendly), and the Aggregate node
+  doubles as a materialization barrier.  Measured on the fixture: the
+  relational form is ~25× faster than the nested-HOF form.
+- MinHash signatures: one shuffle (groupBy doc_id) with map-side partial
+  aggregation of 128 ``min(xxhash64(shingle, i))`` columns.
+- Exact-Jaccard verification of LSH candidates touches only the candidate
+  pairs, never the corpus squared.
+- The brute-force cosine top-k broadcasts the (small) query set and scans
+  the corpus once, partition-parallel; the IVF variant prunes the scan to
+  the probed cells and does the per-cell math vectorized in numpy via
+  ``mapInPandas`` (Arrow batches) — the documented scale path.
+- Every float the oracle compares is rounded in BOTH engines (sum order
+  under parallelism differs in the last ulp); floats are cast to double
+  BEFORE arithmetic on both sides so the math is bit-identical.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import table
+
+# ---------------------------------------------------------------------------
+# Shared text helpers (word 3-gram shingles)
+# ---------------------------------------------------------------------------
+
+SHINGLE_N = 3
+
+#: DuckDB CTE producing (doc_id, s) = distinct word-3-gram shingles; the
+#: SQL twin of :func:`_shingle_rows`.
+_SQL_SHINGLES = """
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        FROM toks, unnest(generate_series(1, len(t) - 2)) AS r(i)
+        WHERE len(t) >= 3
+    )
+"""
+
+#: DuckDB CTE computing exact Jaccard for every pair sharing >= 1 shingle
+#: (pairs sharing none have J = 0), built on _SQL_SHINGLES.
+_SQL_PAIR_JACCARD = """
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    jac AS (
+        SELECT doc_a, doc_b,
+               c::DOUBLE / (sa.n + sb.n - c)::DOUBLE AS j
+        FROM common
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+    )
+"""
+
+
+def _tri_shingle_array(text_col):
+    """Word-3-gram array (with duplicates; tail entries null) built from
+    ONE split + two slices + two zip_withs — all linear single passes, so
+    even when Catalyst re-inlines the expression the cost stays O(tokens)
+    per evaluation (element-indexing forms re-split the text per gram)."""
+    toks = F.split(text_col, " ")
+    n = F.size(toks)
+    pair = F.zip_with(
+        toks,
+        F.slice(toks, 2, n - 1),
+        lambda x, y: F.concat(x, F.lit(" "), y),
+    )
+    tri = F.zip_with(
+        pair,
+        F.slice(toks, 3, n - 2),
+        lambda p, z: F.concat(p, F.lit(" "), z),
+    )
+    return F.when(n >= SHINGLE_N, tri).otherwise(F.array().cast("array<string>"))
+
+
+def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (doc_id, s) shingle rows.  The ``distinct`` is BOTH the set
+    semantics and a materialization barrier: everything downstream joins on
+    plain attributes, never re-evaluating the shingle expression."""
+    return (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(_tri_shingle_array(F.col("text"))).alias("s"))
+        .filter(F.col("s").isNotNull())
+        .distinct()
+    )
+
+
+def _pair_jaccard(pairs: DataFrame, sh: DataFrame) -> DataFrame:
+    """Exact Jaccard for candidate ``(doc_a, doc_b)`` pairs.  Joins only the
+    candidates' shingle rows (candidate-linear, never corpus²): common
+    count via a two-step equi-join, sizes via the per-doc counts."""
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "s")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "s")
+    common = (
+        pairs.join(a, "doc_a")
+        .join(b, ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("c"))
+    )
+    j = F.col("c").cast("double") / (
+        (F.col("sa.n") + F.col("sb.n") - F.col("c")).cast("double")
+    )
+    return (
+        common.join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", j.alias("j"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_llm_dedup_exact",
+    oracle="""
+    SELECT min(doc_id) AS canonical_id, count(*) AS n_copies,
+           min(n_chars) AS n_chars
+    FROM documents GROUP BY text
+    """,
+)
+def x_llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on the full text, keep the lowest doc_id
+    as canonical.  At 100 TB scale, group on xxhash64(text) first and only
+    compare full texts within a hash bucket (collision-safe two-phase)."""
+    return (
+        table(spark, sf_dir, "documents")
+        .groupBy("text")
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count("*").alias("n_copies"),
+            F.min("n_chars").alias("n_chars"),
+        )
+        .drop("text")
+    )
+
+
+@register(
+    "x_llm_dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_SQL_SHINGLES},
+    {_SQL_PAIR_JACCARD}
+    SELECT doc_a, doc_b, round(j, 6) AS jaccard FROM jac WHERE j >= 0.5
+    """,
+)
+def x_llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT n-gram Jaccard near-dup pairs (J >= 0.5) via an inverted-index
+    self-join on shingles: only docs sharing >= 1 shingle ever pair up
+    (zero-overlap pairs have J = 0 by definition), so this is exact without
+    an n² cross join.  Scale: shuffle is keyed by shingle; ultra-frequent
+    shingles are the skew risk — cap them with a document-frequency filter
+    at 100 TB (a shingle in >0.1% of docs carries no dedup signal)."""
+    sh = _shingle_rows(spark, sf_dir)
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (
+        a.join(b, "s")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    return (
+        _pair_jaccard(pairs, sh)
+        .filter(F.col("j") >= 0.5)
+        .select("doc_a", "doc_b", F.round("j", 6).alias("jaccard"))
+    )
+
+
+#: MinHash/LSH geometry: 128 hashes in 32 bands of 4 rows.  At the J=0.8
+#: output threshold the probability a true pair shares NO band is
+#: (1 - 0.8^4)^32 ≈ 5e-8 — effectively exact after verification.
+MINHASH_HASHES = 128
+MINHASH_BANDS = 32
+MINHASH_ROWS = 4
+MINHASH_THRESHOLD = 0.8
+
+
+@register(
+    "x_llm_dedup_minhash",
+    oracle=f"""
+    WITH {_SQL_SHINGLES},
+    {_SQL_PAIR_JACCARD}
+    SELECT doc_a, doc_b, round(j, 6) AS jaccard
+    FROM jac WHERE j >= {MINHASH_THRESHOLD}
+    """,
+)
+def x_llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + banded LSH near-dup detection (J >= 0.8), exact-verified.
+
+    Pipeline: shingle rows → 128-permutation minhash signature as ONE
+    hash aggregate (``min(xxhash64(s, i))`` per i — map-side partials, one
+    shuffle, full codegen; ``xxhash64(s, i)`` is the i-th hash family
+    member) → 32 band keys hashed straight from 4 signature columns each →
+    explode → equi-self-join on (band_id, band_key) → distinct candidate
+    pairs → EXACT Jaccard verification on just those pairs → threshold.
+
+    The oracle is the exact all-pairs answer: with (32 bands × 4 rows) the
+    miss probability at J >= 0.8 is ~5e-8, and verification removes every
+    false positive, so LSH output ≡ exact output."""
+    sh = _shingle_rows(spark, sf_dir)
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64("s", F.lit(i))).alias(f"h{i}")
+            for i in range(MINHASH_HASHES)
+        ]
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band_id"),
+                F.xxhash64(
+                    *[f"h{j * MINHASH_ROWS + r}" for r in range(MINHASH_ROWS)]
+                ).alias("band_key"),
+            )
+            for j in range(MINHASH_BANDS)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_structs).alias("band")).select(
+        "doc_id", "band.band_id", "band.band_key"
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, ["band_id", "band_key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    return (
+        _pair_jaccard(cand, sh)
+        .filter(F.col("j") >= MINHASH_THRESHOLD)
+        .select("doc_a", "doc_b", F.round("j", 6).alias("jaccard"))
+    )
+
+
+SIMHASH_BITS = 64
+SIMHASH_CHUNKS = 8
+SIMHASH_MAX_HAMMING = 7  # pigeonhole: d <= 7 pairs share >= 1 of 8 chunks
+
+
+@register("x_llm_dedup_simhash")  # xxhash64-derived → no cross-engine oracle
+def x_llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming distance <= 7 over a 64-bit simhash).
+
+    Relational formulation: tokens explode to (doc_id, xxhash64(token))
+    rows → ONE hash aggregate computes the 64 per-bit majority votes
+    (``sum(shiftright(h, k) & 1)`` per bit, plus count) → chunk assembly in
+    a Project above the Aggregate (8 byte-chunks; chunked both to dodge
+    ANSI 64-bit overflow on assembly and because chunks ARE the blocking
+    key).  By pigeonhole, signatures within Hamming distance 7 share at
+    least one of 8 chunks → candidate join on (chunk_id, chunk_val) is
+    EXACT for d <= 7; the true Hamming distance then filters.  Rows-only
+    driver check (xxhash64 has no DuckDB twin); the local pytest asserts
+    it finds the corpus' exact duplicates."""
+    th = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .select("doc_id", F.xxhash64("w").alias("h"))
+    )
+    votes = th.groupBy("doc_id").agg(
+        F.count("*").alias("n"),
+        *[
+            F.sum(F.shiftright("h", k).bitwiseAND(F.lit(1))).alias(f"b{k}")
+            for k in range(SIMHASH_BITS)
+        ],
+    )
+    bit = lambda k: F.when(2 * F.col(f"b{k}") > F.col("n"), 1).otherwise(0)  # noqa: E731
+    chunk = lambda c: sum(  # noqa: E731
+        [bit(c * 8 + j) * F.lit(1 << (7 - j)) for j in range(8)], F.lit(0)
+    )
+    chunked = votes.select(
+        "doc_id", F.array(*[chunk(c) for c in range(SIMHASH_CHUNKS)]).alias("chunks")
+    )
+    exploded = chunked.select(
+        "doc_id", "chunks", F.posexplode("chunks").alias("chunk_id", "chunk_val")
+    )
+    a, b = exploded.alias("a"), exploded.alias("b")
+    hamming = F.aggregate(
+        F.zip_with("a.chunks", "b.chunks", lambda x, y: F.bit_count(x.bitwiseXOR(y))),
+        F.lit(0),
+        lambda acc, d: acc + d,
+    )
+    return (
+        a.join(b, ["chunk_id", "chunk_val"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding similarity
+# ---------------------------------------------------------------------------
+
+
+def _normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, e): L2-normalized array<double> embeddings, materialized
+    behind a round-robin repartition so the normalization HOF is evaluated
+    once per vector, not re-inlined into every downstream join predicate
+    (exchanges are CollapseProject barriers).  Floats are cast to double
+    BEFORE arithmetic so the math matches the DuckDB oracle bit-for-bit."""
+    d = F.transform("embedding", lambda x: x.cast("double"))
+    df = table(spark, sf_dir, "embeddings").select("vec_id", d.alias("d"))
+    norm = F.sqrt(F.aggregate("d", F.lit(0.0), lambda acc, x: acc + x * x))
+    return (
+        df.select("vec_id", F.transform("d", lambda x: x / norm).alias("e"))
+        .repartition("vec_id")
+    )
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda p, q: p + q
+    )
+
+
+#: DuckDB twin of _normalized/_dot.
+_SQL_NORMED = """
+    normed AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> x::DOUBLE /
+                   sqrt(list_sum(list_transform(embedding,
+                        y -> y::DOUBLE * y::DOUBLE)))) AS e
+        FROM embeddings
+    )
+"""
+
+EMBED_DUP_THRESHOLD = 0.35
+
+
+@register(
+    "x_llm_dedup_embed",
+    oracle=f"""
+    WITH {_SQL_NORMED}
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_sum(list_transform(generate_series(1, 64),
+                 i -> a.e[i] * b.e[i])), 6) AS cosine
+    FROM normed a JOIN normed b ON a.vec_id < b.vec_id
+    WHERE list_sum(list_transform(generate_series(1, 64),
+          i -> a.e[i] * b.e[i])) >= {EMBED_DUP_THRESHOLD}
+    """,
+)
+def x_llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cosine >= 0.35 — the fixture
+    embeddings are near-orthogonal, max pairwise cosine ≈ 0.51).
+
+    Test-scale plan: normalize once (materialized), self-join all pairs
+    (exact; the oracle demands exactness).  At 100 TB this exact variant is
+    replaced by the IVF/LSH blocking of ``x_llm_ann_ivf`` — same verify
+    step, pruned pair generation."""
+    e = _normalized(spark, sf_dir)
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("e").alias("ea"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("e").alias("eb"))
+    cos = _dot(F.col("ea"), F.col("eb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .filter(cos >= EMBED_DUP_THRESHOLD)
+        .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
+    )
+
+
+KNN_K = 5
+KNN_N_QUERIES = 10
+
+
+@register(
+    "x_llm_knn_cosine",
+    oracle=f"""
+    WITH {_SQL_NORMED},
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               round(list_sum(list_transform(generate_series(1, 64),
+                     i -> q.e[i] * c.e[i])), 6) AS cosine
+        FROM normed q JOIN normed c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < {KNN_N_QUERIES}
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored)
+    WHERE rank <= {KNN_K}
+    """,
+)
+def x_llm_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: for each query vector (vec_id < 10) the 5
+    nearest corpus vectors.  The query side is tiny and BROADCAST; the
+    corpus is scanned once, partition-parallel.  Ranking is on the ROUNDED
+    cosine with neighbor_id tiebreak so the order is deterministic in both
+    engines.  Scale path: x_llm_ann_ivf (pruned scan + numpy batches)."""
+    e = _normalized(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < KNN_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ce"))
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_dot(F.col("qe"), F.col("ce")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KNN_K)
+    )
+
+
+IVF_CELLS = 10
+IVF_PROBES = 3
+
+
+@register("x_llm_ann_ivf")  # approximate by construction → rows-only check
+def x_llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate nearest neighbor — the 100 TB scale path.
+
+    Coarse quantizer: 10 deterministic seed centroids (every 50th vec_id);
+    each corpus vector is assigned to its nearest centroid (one broadcast
+    join + argmin).  A query probes its 3 nearest cells and ranks only
+    vectors in those cells — the scan is pruned to ~n_probe/n_cells of the
+    corpus.  The per-cell dot products run in numpy over Arrow batches
+    (``mapInPandas``) — the vectorized fast path for exactly the math a
+    scalar fold does element-at-a-time.  Approximate (recall < 1 by
+    design) → rows-only driver check; the local pytest asserts recall vs
+    x_llm_knn_cosine."""
+    import numpy as np
+    import pandas as pd
+
+    e = _normalized(spark, sf_dir)
+    cents = e.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") / 50).cast("int").alias("cell_id"),
+        F.col("e").alias("cent"),
+    )
+    csim = F.round(_dot(F.col("e"), F.col("cent")), 6)
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cell_id"))
+    assigned = (
+        e.join(F.broadcast(cents))
+        .select("vec_id", "e", "cell_id", csim.alias("csim"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "e", "cell_id")
+    )
+    qsim = F.round(_dot(F.col("qe"), F.col("cent")), 6)
+    w_probe = Window.partitionBy("query_id").orderBy(F.desc("csim"), F.asc("cell_id"))
+    probes = (
+        e.filter(F.col("vec_id") < KNN_N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("e").alias("qe"))
+        .join(F.broadcast(cents))
+        .select("query_id", "qe", "cell_id", qsim.alias("csim"))
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= IVF_PROBES)
+        .select("query_id", "qe", "cell_id")
+    )
+    cand = probes.join(assigned, "cell_id").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+
+    def topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Partition-local partial top-k, vectorized: numpy row-wise dot.
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            qe = np.vstack(pdf["qe"].to_numpy())
+            ce = np.vstack(pdf["e"].to_numpy())
+            pdf = pdf.assign(cosine=np.round(np.einsum("ij,ij->i", qe, ce), 6))
+            out = (
+                pdf.sort_values(
+                    ["query_id", "cosine", "vec_id"], ascending=[True, False, True]
+                )
+                .groupby("query_id", sort=False)
+                .head(KNN_K)
+            )
+            yield out[["query_id", "vec_id", "cosine"]]
+
+    partial = cand.mapInPandas(topk, "query_id long, vec_id long, cosine double")
+    # Final exact top-k over the (tiny) union of partial top-ks.
+    w_final = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        partial.withColumn("rank", F.row_number().over(w_final))
+        .filter(F.col("rank") <= KNN_K)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cosine", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_llm_text_stats",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_docs,
+           sum(len(string_split(text, ' '))) AS total_tokens,
+           round(avg(n_chars), 4) AS avg_chars,
+           count(DISTINCT source) AS n_sources
+    FROM documents GROUP BY lang
+    """,
+)
+def x_llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus text statistics grouped by language: doc counts, token
+    totals, average length, source diversity.  Plain hash aggregate —
+    Catalyst supplies the map-side partial automatically."""
+    return (
+        table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size(F.split("text", " "))).alias("total_tokens"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+    )
+
+
+@register(
+    "x_llm_token_count",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS ws_tokens,
+           len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS re_tokens
+    FROM documents
+    """,
+)
+def x_llm_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace split, and a BPE-ish regex
+    lexer ([a-z]+|[0-9]+ — the shared Java/RE2 regex subset so both
+    engines tokenize identically)."""
+    return table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]+|[0-9]+"), F.lit(0))).alias(
+            "re_tokens"
+        ),
+    )
+
+
+#: Marker words with the highest per-language frequency lift in the fixture
+#: corpus (profiled once; deterministic).  Real language-ID would use
+#: char-n-gram profiles — same shape, bigger tables.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("small", "data"),
+    "en": ("customer", "part"),
+    "es": ("dup", "key"),
+    "fr": ("filter", "scan"),
+    "zh": ("join", "group"),
+}
+
+
+def _lang_score_sql(markers: tuple[str, ...]) -> str:
+    quoted = ", ".join(f"'{m}'" for m in markers)
+    return f"len(list_filter(string_split(text, ' '), w -> w IN ({quoted})))"
+
+
+def _marker_filter(markers: tuple[str, ...]):
+    # Single-arg lambda via closure: PySpark dispatches HOF lambdas on arity,
+    # so a default-arg (w, ms=ms) lambda would be called as (elem, index).
+    return lambda w: w.isin(*markers)
+
+
+@register(
+    "x_llm_lang_id",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               {_lang_score_sql(LANG_MARKERS["de"])} AS s_de,
+               {_lang_score_sql(LANG_MARKERS["en"])} AS s_en,
+               {_lang_score_sql(LANG_MARKERS["es"])} AS s_es,
+               {_lang_score_sql(LANG_MARKERS["fr"])} AS s_fr,
+               {_lang_score_sql(LANG_MARKERS["zh"])} AS s_zh
+        FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE greatest(s_de, s_en, s_es, s_fr, s_zh)
+                WHEN s_de THEN 'de' WHEN s_en THEN 'en' WHEN s_es THEN 'es'
+                WHEN s_fr THEN 'fr' ELSE 'zh' END AS pred_lang
+    FROM scored
+    """,
+)
+def x_llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language identification: count per-language marker-word
+    hits, predict the argmax (ties broken in fixed de<en<es<fr<zh order in
+    BOTH engines).  One narrow pass, no shuffle."""
+    toks = F.split("text", " ")
+    scores = {
+        lang: F.size(F.filter(toks, _marker_filter(ms)))
+        for lang, ms in LANG_MARKERS.items()
+    }
+    best = F.greatest(*scores.values())
+    pred = F.when(scores["de"] == best, "de")
+    for lang in ("en", "es", "fr"):
+        pred = pred.when(scores[lang] == best, lang)
+    pred = pred.otherwise("zh")
+    return table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", pred.alias("pred_lang")
+    )
+
+
+QUALITY_STOPWORDS = ("the", "a")
+
+
+@register(
+    "x_llm_quality_score",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, n_chars,
+               len(string_split(text, ' ')) AS n_tokens,
+               len(list_filter(string_split(text, ' '),
+                   w -> w IN ('the', 'a'))) AS n_stop
+        FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           round(n_stop::DOUBLE / n_tokens::DOUBLE, 6) AS stop_ratio,
+           round((n_chars - n_tokens + 1)::DOUBLE / n_tokens::DOUBLE, 4)
+               AS avg_token_len,
+           round(least(1.0, n_tokens::DOUBLE / 200.0)
+                 * (1.0 - n_stop::DOUBLE / n_tokens::DOUBLE), 6) AS quality,
+           least(1.0, n_tokens::DOUBLE / 200.0)
+                 * (1.0 - n_stop::DOUBLE / n_tokens::DOUBLE) >= 0.25 AS keep
+    FROM t
+    """,
+)
+def x_llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality scoring (length & stopword-ratio
+    features → score → keep/drop flag), the standard pretraining-corpus
+    filter shape.  Single narrow pass."""
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks).cast("double")
+    n_stop = F.size(F.filter(toks, _marker_filter(QUALITY_STOPWORDS))).cast("double")
+    stop_ratio = n_stop / n_tokens
+    quality = F.least(F.lit(1.0), n_tokens / 200.0) * (1.0 - stop_ratio)
+    return table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(
+            (F.col("n_chars") - F.size(toks) + 1).cast("double") / n_tokens, 4
+        ).alias("avg_token_len"),
+        F.round(quality, 6).alias("quality"),
+        (quality >= 0.25).alias("keep"),
+    )
+
+
+FP_MOD = 1_000_000_007
+FP_BASE = 31
+
+
+@register(
+    "x_llm_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           list_reduce(list_transform(string_split(text, ''),
+                                      c -> ascii(c)::BIGINT),
+                       (acc, c) -> (acc * {FP_BASE} + c) % {FP_MOD}) AS fp
+    FROM documents WHERE n_chars > 0
+    """,
+)
+def x_llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling-hash document fingerprint over codepoints
+    (h = h*31 + c mod 1e9+7).  DuckDB's list_reduce seeds with the first
+    element; Spark's aggregate seeds 0 — identical sequences because
+    0*31 + c0 = c0 < MOD.  Intermediate values stay < 2^35: no 64-bit
+    overflow, ANSI-safe, bit-identical across engines."""
+    chars = F.split("text", "")
+    fp = F.aggregate(
+        F.transform(chars, F.ascii),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * FP_BASE + c) % FP_MOD,
+    )
+    return (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("n_chars") > 0)
+        .select("doc_id", fp.alias("fp"))
+    )
