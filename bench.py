@@ -1,0 +1,72 @@
+#!/usr/bin/env python
+"""Benchmark harness: wall-clock per registered query at a given scale factor.
+
+Runs every operator in ``dataengineer_scripts_spark.registry`` against
+``$SPARK_GRAFT_SF_DIR`` (default ``/root/testdata/sf0.1``) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line::
+
+    {"metric": "total_query_wall_clock", "value": <sum sec>, "unit": "sec",
+     "queries": {"<id>": sec, ...}, "sf": 0.1}
+
+The timed action is ``df.count()`` — forces the full plan (scans, shuffles,
+joins, windows, Python stages) without driver-side materialization cost.
+Per BASELINE.md §6 the first recorded run IS the baseline; later rounds must
+stay within the driver's 2x envelope.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from dataengineer_scripts_spark import registry  # noqa: E402
+from dataengineer_scripts_spark.session import get_spark  # noqa: E402
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.removeprefix("sf"))
+    except ValueError:
+        return -1.0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    only = set(sys.argv[1:])  # optional: bench just the named queries
+    spark = get_spark("bench")
+
+    qs = registry.queries()
+    if only:
+        qs = {k: v for k, v in qs.items() if k in only}
+
+    # Warm the JVM + parquet footers so q1 doesn't pay session startup.
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name, fn in qs.items():
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_clock",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_of(sf_dir),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
