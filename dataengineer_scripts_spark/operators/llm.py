@@ -38,6 +38,13 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+# Module-level so `typing.get_type_hints` can resolve the stringified
+# `pd.Series` annotations that `from __future__ import annotations` produces
+# on pandas_udf signatures (PySpark's infer_eval_type resolves them against
+# THIS module's globals — a function-local import raises UNSUPPORTED_SIGNATURE).
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -365,18 +372,17 @@ def x_llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, e): L2-normalized array<double> embeddings, materialized
-    behind a round-robin repartition so the normalization HOF is evaluated
-    once per vector, not re-inlined into every downstream join predicate
-    (exchanges are CollapseProject barriers).  Floats are cast to double
-    BEFORE arithmetic so the math matches the DuckDB oracle bit-for-bit."""
+    """(vec_id, e): L2-normalized array<double> embeddings.  Floats are cast
+    to double BEFORE arithmetic so the math matches the DuckDB oracle
+    bit-for-bit.  No materialization barrier: CollapseProject may re-inline
+    the normalization into downstream expressions, but it is a linear O(dim)
+    pass per row — re-evaluation is strictly cheaper than the full-corpus
+    shuffle a repartition barrier would cost at scale (every consumer either
+    broadcasts this side or shuffles it exactly once on its own key)."""
     d = F.transform("embedding", lambda x: x.cast("double"))
     df = table(spark, sf_dir, "embeddings").select("vec_id", d.alias("d"))
     norm = F.sqrt(F.aggregate("d", F.lit(0.0), lambda acc, x: acc + x * x))
-    return (
-        df.select("vec_id", F.transform("d", lambda x: x / norm).alias("e"))
-        .repartition("vec_id")
-    )
+    return df.select("vec_id", F.transform("d", lambda x: x / norm).alias("e"))
 
 
 def _dot(a, b):
@@ -408,8 +414,8 @@ EMBED_BLOCKS = 32
            round(list_sum(list_transform(generate_series(1, 64),
                  i -> a.e[i] * b.e[i])), 6) AS cosine
     FROM normed a JOIN normed b ON a.vec_id < b.vec_id
-    WHERE list_sum(list_transform(generate_series(1, 64),
-          i -> a.e[i] * b.e[i])) >= {EMBED_DUP_THRESHOLD}
+    WHERE round(list_sum(list_transform(generate_series(1, 64),
+          i -> a.e[i] * b.e[i])), 6) >= {EMBED_DUP_THRESHOLD}
     """,
 )
 def x_llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -427,10 +433,10 @@ def x_llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs in ~2 s.  Memory bound: one block holds n/32 + n vectors — the
     same "one side fits" envelope as a broadcast join.  At 100 TB the
     IVF/LSH blocking of ``x_llm_ann_ivf`` replaces full replication —
-    same verify step, pruned pair generation."""
-    import numpy as np
-    import pandas as pd
-
+    same verify step, pruned pair generation.  The cosine is rounded to 6
+    decimals BEFORE thresholding on both engines: GEMM summation order
+    differs from DuckDB's sequential list_sum fold, so an unrounded compare
+    could flip membership of a pair within 1 ulp of the threshold."""
     e = _normalized(spark, sf_dir)
     a_side = e.select(
         F.pmod("vec_id", F.lit(EMBED_BLOCKS)).alias("blk"),
@@ -454,7 +460,7 @@ def x_llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         am = np.vstack(mine["e"].to_numpy())
         bm = np.vstack(allv["e"].to_numpy())
-        cos = am @ bm.T
+        cos = np.round(am @ bm.T, 6)  # round BEFORE threshold (see docstring)
         ia, ib = np.where(cos >= EMBED_DUP_THRESHOLD)
         ids_a = mine["vec_id"].to_numpy()[ia]
         ids_b = allv["vec_id"].to_numpy()[ib]
@@ -463,7 +469,7 @@ def x_llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
             {
                 "id_a": ids_a[keep],
                 "id_b": ids_b[keep],
-                "cosine": np.round(cos[ia, ib][keep], 6),
+                "cosine": cos[ia, ib][keep],
             }
         )
 
@@ -531,18 +537,22 @@ IVF_PROBES = 3
 def x_llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style approximate nearest neighbor — the 100 TB scale path.
 
-    Coarse quantizer: 10 deterministic seed centroids (every 50th vec_id);
-    each corpus vector is assigned to its nearest centroid (one broadcast
-    join + argmin).  A query probes its 3 nearest cells and ranks only
-    vectors in those cells — the scan is pruned to ~n_probe/n_cells of the
-    corpus.  The per-cell dot products run in numpy over Arrow batches
-    (``mapInPandas``) — the vectorized fast path for exactly the math a
-    scalar fold does element-at-a-time.  Approximate (recall < 1 by
-    design) → rows-only driver check; the local pytest asserts recall vs
-    x_llm_knn_cosine."""
-    import numpy as np
-    import pandas as pd
+    Coarse quantizer: exactly ``IVF_CELLS`` deterministic seed centroids —
+    the vectors with the smallest ``xxhash64(vec_id)`` (a uniform
+    pseudo-random but reproducible sample at ANY corpus size; a fixed-stride
+    pick would scale the cell count with the fixture and yield zero
+    centroids on a small corpus).  Each corpus vector is assigned to its
+    nearest centroid (one broadcast join + argmin).  A query probes its 3
+    nearest cells and ranks only vectors in those cells — the scan is
+    pruned to ~n_probe/n_cells of the corpus.  The per-cell dot products
+    run in numpy over Arrow batches (``mapInPandas``).  Approximate
+    (recall < 1 by design) → rows-only driver check; the local pytest
+    asserts recall vs x_llm_knn_cosine."""
 
+    # Defined per-call (pandas_udf needs an active session to parse the
+    # return type); the pd.Series hints resolve via the MODULE-level pandas
+    # import — a function-local import breaks typing.get_type_hints under
+    # `from __future__ import annotations`.
     @F.pandas_udf("double")
     def pdot(a: pd.Series, b: pd.Series) -> pd.Series:
         # Arrow-batched numpy row-wise dot — the vectorized fast path for
@@ -552,9 +562,15 @@ def x_llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     e = _normalized(spark, sf_dir)
-    cents = e.filter(F.col("vec_id") % 50 == 0).select(
-        (F.col("vec_id") / 50).cast("int").alias("cell_id"),
-        F.col("e").alias("cent"),
+    w_seed = Window.orderBy("hh", "vec_id")
+    cents = (
+        e.select("vec_id", "e", F.xxhash64("vec_id").alias("hh"))
+        .orderBy("hh", "vec_id")
+        .limit(IVF_CELLS)
+        .select(
+            (F.row_number().over(w_seed) - 1).alias("cell_id"),
+            F.col("e").alias("cent"),
+        )
     )
     csim = F.round(pdot(F.col("e"), F.col("cent")), 6)
     w_assign = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cell_id"))
