@@ -47,25 +47,34 @@ def main() -> None:
     # Warm the JVM + parquet footers so q1 doesn't pay session startup.
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
+    # Per-query fault isolation: one raising operator must never null the
+    # whole artifact — record the error, keep timing the rest, exit nonzero
+    # at the end if anything failed.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, fn in qs.items():
         t0 = time.perf_counter()
-        fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+        try:
+            fn(spark, sf_dir).count()
+            timings[name] = round(time.perf_counter() - t0, 3)
+            print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+        except Exception as ex:  # noqa: BLE001
+            errors[name] = f"{type(ex).__name__}: {str(ex)[:300]}"
+            print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
 
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_clock",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": _sf_of(sf_dir),
-            }
-        )
-    )
+    out = {
+        "metric": "total_query_wall_clock",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_of(sf_dir),
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
+    if errors:
+        sys.exit(1)
 
 
 if __name__ == "__main__":
