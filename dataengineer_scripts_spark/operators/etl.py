@@ -1,0 +1,409 @@
+"""Sources, sinks and executor operators (SURVEY.md §2.1 + §2.8).
+
+These re-express the reference's ETL surface — authenticated REST input,
+JDBC/JSON project lists, HTTP sync fan-out with four executor generations,
+styled-Excel / JSON outputs — against an in-process stub API
+(``sources/stub_api.py``) and embedded Derby, so every operator runs
+hermetically and (wherever the result is relational) still gets full DuckDB
+oracle parity.
+
+The "project/node" dataset is derived deterministically from the ``nation``
+fixture (25 rows) with closed-form expressions so the very same rows are
+expressible in the DuckDB oracle:
+
+    id            = n_nationkey
+    name          = n_name
+    type          = 'next' when n_nationkey % 5 = 4 else 'job'
+    status        = 'FAILED' when n_nationkey % 7 = 3 else 'SUCCESS'
+    export_status = NULL when n_nationkey % 11 = 5 else 'SUCCESS'
+
+Scale posture: the stub stands for an external API; the Spark side is the
+part that must scale.  Fan-out parallelism is partition count (Spark tasks
+are the thread pool), per-request retry stays inside the partition function
+under ``spark.task.maxFailures``, and the REST source reads pages from
+executors — never a driver loop over rows.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import urllib.request
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sinks import (
+    MAX_RETRIES,
+    fetch_receipts,
+    foreach_progress,
+    http_post_partition,
+    http_post_partition_async,
+    scratch_dir,
+    write_excel_styled,
+    write_json_records,
+)
+from ..sources.files import (
+    DERBY_DRIVER,
+    derby_url,
+    jdbc_reader,
+    read_json_file,
+    write_jdbc_table,
+)
+from ..sources.rest import NODE_FIELDS, NODE_SCHEMA, login, register_rest_source
+from ..sources.stub_api import PROJECTS_PATH, RESET_PATH, StubApi
+from ..tables import table
+from .health import health_report
+
+# --- node dataset (Spark expression + SQL twin + stub seed) ----------------
+
+_SQL_NODES = """
+    nodes AS (
+        SELECT n_nationkey AS id, n_name AS name,
+               CASE WHEN n_nationkey % 5 = 4 THEN 'next' ELSE 'job' END AS type,
+               CASE WHEN n_nationkey % 7 = 3 THEN 'FAILED' ELSE 'SUCCESS'
+                    END AS status,
+               CASE WHEN n_nationkey % 11 = 5 THEN NULL ELSE 'SUCCESS'
+                    END AS export_status
+        FROM nation
+    )
+"""
+
+
+def nodes_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The node table as a Spark plan (for sink operators whose *input*
+    flows through Spark; the stub server is seeded with the same rows)."""
+    k = F.col("n_nationkey")
+    return table(spark, sf_dir, "nation").select(
+        k.alias("id"),
+        F.col("n_name").alias("name"),
+        F.when(k % 5 == 4, "next").otherwise("job").alias("type"),
+        F.when(k % 7 == 3, "FAILED").otherwise("SUCCESS").alias("status"),
+        F.when(k % 11 == 5, F.lit(None)).otherwise("SUCCESS").alias("export_status"),
+    )
+
+
+def _node_seed_rows(spark: SparkSession, sf_dir: str) -> list[dict]:
+    # Server seeding is setup for the external-API stand-in, not operator
+    # dataflow — 25 dim rows, driver-side by design.
+    rows = nodes_df(spark, sf_dir).collect()
+    return [{k: r[k] for k in NODE_FIELDS} for r in rows]
+
+
+# One stub per (flavor, sf_dir), kept alive for the process lifetime: the
+# DataFrames returned by source operators read it lazily at collect time.
+_SERVERS: dict[tuple[str, str], StubApi] = {}
+
+
+def _server(spark: SparkSession, sf_dir: str, flavor: str = "plain") -> StubApi:
+    key = (flavor, sf_dir)
+    if key not in _SERVERS:
+        _SERVERS[key] = StubApi(
+            _node_seed_rows(spark, sf_dir),
+            fail_first=2 if flavor == "flaky" else 0,
+        ).start()
+    return _SERVERS[key]
+
+
+def _reset(api: StubApi) -> None:
+    urllib.request.urlopen(
+        urllib.request.Request(api.base_url + RESET_PATH, data=b"{}", method="POST"),
+        timeout=10,
+    ).read()
+
+
+def _receipts_df(spark: SparkSession, api: StubApi, token: str) -> DataFrame:
+    rec = fetch_receipts(api.base_url, token)
+    rows = [(int(i), int(rec["attempts"][str(i)])) for i in sorted(set(rec["synced"]))]
+    return spark.createDataFrame(rows, "node_id int, attempts int")
+
+
+# --- §2.1 sources ----------------------------------------------------------
+
+
+@register(
+    "src_rest_auth",
+    oracle=f"WITH {_SQL_NODES} SELECT * FROM nodes",
+)
+def src_rest_auth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Login (POST, token from the Authorization response header —
+    ``sync.py:14-32``) then an authenticated point GET of one project
+    document ``{"data": {"nodes": [...]}}`` (``sync.py:35-46``), flattened
+    to a DataFrame.  The fetch is a driver-side point lookup by design
+    (one document); the paginated/partitioned path is ``src_rest_get``."""
+    api = _server(spark, sf_dir)
+    token = login(api.base_url)
+    req = urllib.request.Request(
+        f"{api.base_url}/analytic/projects/p1", headers={"Authorization": token}
+    )
+    with urllib.request.urlopen(req, timeout=10) as resp:
+        doc = json.loads(resp.read())
+    rows = [tuple(n.get(k) for k in NODE_FIELDS) for n in doc["data"]["nodes"]]
+    return spark.createDataFrame(rows, NODE_SCHEMA)
+
+
+@register(
+    "src_rest_get",
+    oracle=f"WITH {_SQL_NODES} SELECT * FROM nodes WHERE type <> 'next'",
+)
+def src_rest_get(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paginated REST read through the Python DataSource: one partition per
+    API page (reference ``page_size=8``, ``app.py:126``), fetched by
+    executors in parallel; the ``type <> 'next'`` predicate
+    (``sync.py:52``) is offered to the source via ``pushFilters`` and
+    becomes the API's ``type_ne`` query param when the session has Python
+    filter pushdown enabled — and is evaluated post-scan by Spark when not.
+    Either way the result is identical; pushdown only changes bytes moved."""
+    api = _server(spark, sf_dir)
+    token = login(api.base_url)
+    register_rest_source(spark)
+    try:  # pushdown is an optimization, not a correctness requirement
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    except Exception:  # pragma: no cover - conf absent on this build
+        pass
+    return (
+        spark.read.format("rest")
+        .option("base_url", api.base_url)
+        .option("token", token)
+        .option("page_size", 8)
+        .load()
+        .filter(F.col("type") != "next")
+    )
+
+
+@register(
+    "src_json_file",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def src_json_file(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-file project list (``app.py:103-108``): distributed JSON write
+    then schema-declared JSON read (schema-on-read contract — inference
+    only in dev); missing path surfaces the reference's friendly error."""
+    path = os.path.join(
+        scratch_dir("json_src_" + os.path.basename(sf_dir.rstrip("/"))), "nation"
+    )
+    table(spark, sf_dir, "nation").write.mode("overwrite").json(path)
+    return read_json_file(
+        spark, path, "n_nationkey int, n_name string, n_regionkey int"
+    )
+
+
+@register(
+    "src_jdbc_select",
+    oracle="""
+    SELECT n_name AS name, n_nationkey AS id, n_name AS init_name,
+           'Delman' AS loc
+    FROM nation
+    """,
+)
+def src_jdbc_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JDBC source with the projection + literal pushed into the database
+    query — the exact shape of the reference's MSSQL pull
+    (``app.py:67-79``: ``SELECT [name], [id], [name] as init_name, 'Delman'
+    AS [loc] FROM DailyJobCheck``) — against embedded Apache Derby (ships
+    in Spark's JVM; same JDBC code path as MSSQL, different URL/dialect).
+    The database computes the projection; Spark receives 4 columns only.
+    For big tables add partitionColumn/lowerBound/upperBound to split the
+    read; this is a 25-row dim."""
+    db = os.path.join(scratch_dir("derby"), "jobs_db")
+    url = derby_url(db, create=True)
+    seed = table(spark, sf_dir, "nation").select(
+        F.col("n_name").alias("name"), F.col("n_nationkey").alias("id")
+    )
+    write_jdbc_table(seed, url, "daily_job_check")
+    q = (
+        'SELECT "name", "id", "name" AS "init_name", '
+        "'Delman' AS \"loc\" FROM daily_job_check"
+    )
+    return jdbc_reader(spark, url, q, driver=DERBY_DRIVER).load()
+
+
+# --- §2.1 sinks ------------------------------------------------------------
+
+
+@register(
+    "snk_json_records",
+    oracle="""
+    SELECT c_nationkey, count(*) AS n_customers,
+           round(sum(c_acctbal), 2) AS total_bal
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def snk_json_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-records sink (``app.py:78,92``): compute a report, write it as
+    JSON records (distributed write), then re-read the artifact with a
+    declared schema — the returned frame IS the sink output, so the oracle
+    check covers the full write→read round trip."""
+    report = (
+        table(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+    )
+    path = os.path.join(
+        scratch_dir("json_snk_" + os.path.basename(sf_dir.rstrip("/"))), "report"
+    )
+    write_json_records(report, path)
+    return spark.read.schema(
+        "c_nationkey int, n_customers long, total_bal double"
+    ).json(path)
+
+
+@register("snk_excel_styled", oracle=None)  # presentation artifact → rows-only
+def snk_excel_styled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Styled Excel report sink (``app.py:222-291``): the health report is
+    computed distributed (flagship plan), then rendered driver-side with
+    the reference's styling model — merged/filled header with the report
+    date, fixed column widths, per-status fill colors, thin borders.
+    openpyxl is absent in this container, so the workbook model serializes
+    to deterministic JSON (marked stub in sinks.write_excel_styled); the
+    returned frame is the report itself."""
+    report = health_report(spark, sf_dir).orderBy("user_id")
+    out = os.path.join(
+        scratch_dir("excel_" + os.path.basename(sf_dir.rstrip("/"))),
+        "summary_job.xlsx",
+    )
+    write_excel_styled(report, out)
+    return report
+
+
+@register(
+    "snk_http_post",
+    oracle=f"""
+    WITH {_SQL_NODES}
+    SELECT id AS node_id, 1 AS attempts FROM nodes WHERE type <> 'next'
+    """,
+)
+def snk_http_post(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTTP POST sink (``sync.py:60-69``): the node frame is filtered
+    (``type <> 'next'``), partitioned, and each partition posts its nodes'
+    ``/sync`` endpoints via ``foreachPartition`` — the delivery record is
+    then read back from the API and returned, so the oracle verifies every
+    non-'next' node was synced exactly once."""
+    api = _server(spark, sf_dir)
+    token = login(api.base_url)
+    _reset(api)
+    targets = (
+        nodes_df(spark, sf_dir)
+        .filter(F.col("type") != "next")
+        .select(F.col("id").alias("node_id"))
+        .repartition(4)
+    )
+    targets.foreachPartition(http_post_partition(api.base_url, token))
+    return _receipts_df(spark, api, token)
+
+
+@register(
+    "snk_stdout_progress",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def snk_stdout_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Progress/trace sink (``sync.py:57``; tqdm at ``app.py:115``):
+    per-partition row counts via an accumulator, one driver-side progress
+    line — executors never print.  Pass-through frame, oracle-checked."""
+    df = table(spark, sf_dir, "nation")
+    foreach_progress(df, label="nation scan")
+    return df
+
+
+# --- §2.8 executor family --------------------------------------------------
+
+_EXEC_ORACLE_1 = f"""
+    WITH {_SQL_NODES}
+    SELECT id AS node_id, 1 AS attempts FROM nodes WHERE type <> 'next'
+"""
+
+
+def _fan_out(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    partitions: int,
+    retries: int = 1,
+    flavor: str = "plain",
+    use_async: bool = False,
+) -> DataFrame:
+    api = _server(spark, sf_dir, flavor)
+    token = login(api.base_url)
+    _reset(api)
+    targets = (
+        nodes_df(spark, sf_dir)
+        .filter(F.col("type") != "next")
+        .select(F.col("id").alias("node_id"))
+    )
+    targets = targets.coalesce(1) if partitions == 1 else targets.repartition(partitions)
+    fn = (
+        http_post_partition_async(api.base_url, token)
+        if use_async
+        else http_post_partition(api.base_url, token, retries=retries)
+    )
+    targets.foreachPartition(fn)
+    return _receipts_df(spark, api, token)
+
+
+@register("exec_sequential", oracle=_EXEC_ORACLE_1)
+def exec_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v1 executor (``sync.py:60-69``): one partition → one task → strictly
+    sequential POSTs.  The baseline plan the parallel variants beat."""
+    return _fan_out(spark, sf_dir, partitions=1)
+
+
+@register("exec_threadpool", oracle=_EXEC_ORACLE_1)
+def exec_threadpool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v2 executor (``sync_app.py:67-80``): Spark tasks ARE the thread pool
+    — ``repartition(8)`` gives 8 concurrent posting tasks; results stream
+    back through the receipts read instead of ``as_completed``."""
+    return _fan_out(spark, sf_dir, partitions=8)
+
+
+@register("exec_async", oracle=_EXEC_ORACLE_1)
+def exec_async(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v3 executor (``sync_app2.py:56-75``): an asyncio event loop inside
+    each partition function gathers all of the partition's POSTs
+    concurrently — in-task concurrency × cross-task parallelism."""
+    return _fan_out(spark, sf_dir, partitions=4, use_async=True)
+
+
+@register(
+    "exec_retry",
+    oracle=f"""
+    WITH {_SQL_NODES}
+    SELECT id AS node_id, {MAX_RETRIES} AS attempts FROM nodes
+    WHERE type <> 'next'
+    """,
+)
+def exec_retry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v4 executor (``sync_app3.py:58-74``): bounded per-request retry (≤3
+    attempts, short-circuit on HTTP 200) inside the partition function,
+    with Spark task retries above it.  The stub fails each node's first 2
+    attempts, so success lands exactly on attempt 3 — the oracle asserts
+    both delivery AND the attempt count."""
+    return _fan_out(spark, sf_dir, partitions=4, retries=MAX_RETRIES, flavor="flaky")
+
+
+@register(
+    "exec_memo_cache",
+    oracle="""
+    SELECT o_orderkey, o_custkey, md5(CAST(o_custkey AS VARCHAR)) AS tag
+    FROM orders
+    """,
+)
+def exec_memo_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoization (``app.py:112,119-122,218``): dedup keys BEFORE the
+    expensive per-key computation, cache the per-key results, join back to
+    all rows — compute-once-per-key exactly like the reference's
+    ``explored`` dict, but distributed.  ``cache()`` is the memo table;
+    the join is broadcast (distinct keys ≪ fact rows)."""
+    orders = table(spark, sf_dir, "orders")
+    per_key = (
+        orders.select("o_custkey")
+        .distinct()
+        .withColumn("tag", F.md5(F.col("o_custkey").cast("string")))
+        .cache()
+    )
+    return orders.select("o_orderkey", "o_custkey").join(
+        F.broadcast(per_key), "o_custkey"
+    )

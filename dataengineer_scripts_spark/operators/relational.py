@@ -136,15 +136,14 @@ def flt_not_in_list(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def flt_nonempty_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Branch on non-empty fetched collection (`if data:`, app.py:133,169)
-    → collect per key, keep keys with `size(...) > 0`."""
+    → conditional COUNT per key, keep keys with count > 0.  O(1) aggregate
+    state per group (a collect_list + size formulation holds the whole
+    group in memory — a per-group memory bomb under key skew at scale)."""
     e = table(spark, sf_dir, "events")
-    grouped = e.groupBy("user_id").agg(
-        F.collect_list(F.when(F.col("event_type") == "error", "event_id")).alias(
-            "errs"
-        )
-    )
-    return grouped.filter(F.size("errs") > 0).select(
-        "user_id", F.size("errs").cast("bigint").alias("n_err")
+    return (
+        e.groupBy("user_id")
+        .agg(F.count(F.when(F.col("event_type") == "error", 1)).alias("n_err"))
+        .filter(F.col("n_err") > 0)
     )
 
 

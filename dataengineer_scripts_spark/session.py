@@ -16,6 +16,10 @@ from pyspark.sql import SparkSession
 #: cluster.  Runtime-settable ones are also re-applied per-query by the
 #: registry so driver-owned sessions behave identically.
 ENGINE_CONFS: dict[str, str] = {
+    # Shuffle parallelism sized to local cores (not the 200 default) — also
+    # applied to driver-owned sessions at query time; AQE coalesces below
+    # this at runtime, and a real cluster would raise it to 2-3× total cores.
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
     # AQE: runtime coalescing of shuffle partitions + skew-join splitting.
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",

@@ -1,0 +1,147 @@
+"""REST source: authenticated JSON-over-HTTP reads as a Spark DataFrame.
+
+Reference behavior being re-expressed (SURVEY.md §2.1):
+- ``src_rest_auth`` — POST login, bearer token from the **Authorization
+  response header**, creds from the environment (``Sync Job/sync.py:14-32``).
+- ``src_rest_get`` — authenticated GET of JSON records, paginated with
+  ``page_size``/``page`` (``Job Cek Script/app.py:125-129``), consumed as
+  a table.
+
+Spark-first design: a **Python DataSource** (Spark 4
+``pyspark.sql.datasource``) named ``rest``:
+
+- *Partitioned read*: one input partition per API page — pages are fetched
+  by executors in parallel, not in a driver loop.  Page size mirrors the
+  reference's ``page_size=8`` default and is the source-level limit
+  knob (the reference pushes its LIMIT to the API the same way).
+- *Filter pushdown*: ``pushFilters`` translates ``type <> 'x'`` /
+  ``type = 'x'`` predicates into the API's ``type_ne``/``type_eq`` query
+  params, so filtered pages are never transferred; unsupported filters are
+  returned to Spark for post-scan evaluation (correctness never depends on
+  the source honoring them).
+- *Auth on the driver only*: the login exchange happens once, driver-side;
+  executors receive the short-lived bearer token via the pickled reader,
+  never the credentials.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import urllib.request
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    InputPartition,
+    Not,
+)
+
+from .stub_api import LOGIN_PATH, PROJECTS_PATH
+
+NODE_SCHEMA = "id INT, name STRING, type STRING, status STRING, export_status STRING"
+NODE_FIELDS = ("id", "name", "type", "status", "export_status")
+DEFAULT_PAGE_SIZE = 8  # reference default: app.py:126 `page_size=8`
+
+
+def _get_json(url: str, token: str) -> dict:
+    req = urllib.request.Request(url, headers={"Authorization": token})
+    with urllib.request.urlopen(req, timeout=10) as resp:
+        return json.loads(resp.read())
+
+
+def login(base_url: str, username: str | None = None, password: str | None = None) -> str:
+    """POST the login endpoint, return the bearer token from the
+    ``Authorization`` response header (where the reference reads it,
+    ``sync.py:30``).  Credentials come from the environment by default —
+    they exist only on the driver and are never captured in the plan."""
+    from .stub_api import PASSWORD, USERNAME
+
+    creds = {
+        "username": username or os.environ.get("ENGINE_API_USERNAME", USERNAME),
+        "password": password or os.environ.get("ENGINE_API_PASSWORD", PASSWORD),
+    }
+    req = urllib.request.Request(
+        base_url + LOGIN_PATH,
+        data=json.dumps(creds).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=10) as resp:
+        token = resp.headers.get("Authorization")
+    if not token:
+        raise RuntimeError("login response carried no Authorization header")
+    return token
+
+
+class RestPagePartition(InputPartition):
+    def __init__(self, page: int):
+        self.page = page
+
+
+class RestDataSourceReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.base_url = options["base_url"]
+        self.token = options["token"]
+        self.page_size = int(options.get("page_size", DEFAULT_PAGE_SIZE))
+        self.type_ne: str | None = options.get("type_ne")
+        self.type_eq: str | None = None
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        """Translate supported predicates to API query params; yield back
+        the rest for Spark to evaluate post-scan."""
+        for f in filters:
+            if (
+                isinstance(f, Not)
+                and isinstance(f.child, EqualTo)
+                and f.child.attribute == ("type",)
+            ):
+                self.type_ne = str(f.child.value)
+            elif isinstance(f, EqualTo) and f.attribute == ("type",):
+                self.type_eq = str(f.value)
+            else:
+                yield f
+
+    def _query(self, page: int) -> str:
+        params = [f"page={page}", f"page_size={self.page_size}"]
+        if self.type_ne is not None:
+            params.append(f"type_ne={self.type_ne}")
+        return f"{self.base_url}{PROJECTS_PATH}?" + "&".join(params)
+
+    def partitions(self) -> Sequence[RestPagePartition]:
+        # Planning fetch (driver-side): one cheap page-0 probe for the total,
+        # then one partition per page — executors fetch pages in parallel.
+        head = _get_json(self._query(0), self.token)
+        n_pages = max(1, math.ceil(head["total"] / self.page_size))
+        return [RestPagePartition(p) for p in range(n_pages)]
+
+    def read(self, partition: RestPagePartition) -> Iterator[tuple]:
+        rows = _get_json(self._query(partition.page), self.token)["data"]
+        for r in rows:
+            if self.type_eq is not None and r.get("type") != self.type_eq:
+                continue
+            yield tuple(r.get(k) for k in NODE_FIELDS)
+
+
+class RestDataSource(DataSource):
+    """``spark.read.format("rest")`` — options: base_url, token, page_size,
+    optional type_ne (pre-set server-side filter)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "rest"
+
+    def schema(self) -> str:
+        return NODE_SCHEMA
+
+    def reader(self, schema) -> RestDataSourceReader:
+        return RestDataSourceReader(self.options)
+
+
+def register_rest_source(spark) -> None:
+    """Idempotently register the ``rest`` format on this session."""
+    spark.dataSource.register(RestDataSource)

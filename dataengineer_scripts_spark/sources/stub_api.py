@@ -1,0 +1,178 @@
+"""Local stub of the REST API the reference scripts operate against.
+
+The reference's entire input surface is an authenticated JSON-over-HTTP API
+(login: ``Sync Job/sync.py:14-32``; project DAG fetch: ``sync.py:35-46``;
+paginated schedules/monitoring: ``Job Cek Script/app.py:125-129,161-165``)
+and its only side-effecting output is a per-node POST ``…/sync`` fan-out
+(``sync.py:60-69``).  To test those operators hermetically, this module runs
+an in-process HTTP server with the same contract:
+
+- ``POST /analytic/login``           — JSON ``{username, password}``; on match
+  returns 200 with the bearer token in the **Authorization response header**
+  (exactly where ``sync.py:30`` reads it); else 401.
+- ``GET /analytic/projects``         — paginated node list (``page``,
+  ``page_size`` query params, reference default 8 per ``app.py:126``);
+  optional ``type_ne`` server-side filter (the pushdown target).
+  Requires ``Authorization`` header.
+- ``GET /analytic/projects/<id>``    — single project document shaped
+  ``{"data": {"nodes": [...]}}`` like ``sync.py:46-51``.
+- ``POST /analytic/nodes/<id>/sync`` — records a sync receipt; in flaky mode
+  returns 500 for each node's first ``fail_first`` attempts (the retry
+  surface of ``sync_app3.py:58-74``).
+- ``GET /receipts``                  — ``{"synced": [...], "attempts": {...}}``
+  so tests and sink operators can read the delivery record back.
+- ``POST /reset``                    — clear receipts.
+
+Everything is stdlib (``http.server`` on an ephemeral 127.0.0.1 port, daemon
+thread).  In local[N] mode executors share the host so partition functions
+can reach it; on a real cluster this stands in for the external API.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from collections import defaultdict
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any
+from urllib.parse import parse_qs, urlparse
+
+USERNAME = "svc_engine"
+PASSWORD = "local-stub-secret"
+TOKEN = "Bearer stub-token-0001"
+
+LOGIN_PATH = "/analytic/login"
+PROJECTS_PATH = "/analytic/projects"
+RECEIPTS_PATH = "/receipts"
+RESET_PATH = "/reset"
+
+
+class StubApi:
+    """In-process API stub seeded with a list of node dicts."""
+
+    def __init__(self, nodes: list[dict[str, Any]], fail_first: int = 0):
+        self.nodes = nodes
+        self.fail_first = fail_first
+        self.synced: list[int] = []
+        self.attempts: dict[str, int] = defaultdict(int)
+        self.requests_seen: list[str] = []
+        self._lock = threading.Lock()
+
+        stub = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *args):  # silence per-request stderr noise
+                pass
+
+            def _json(self, code: int, payload: Any, headers: dict | None = None):
+                body = json.dumps(payload).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                for k, v in (headers or {}).items():
+                    self.send_header(k, v)
+                self.end_headers()
+                self.wfile.write(body)
+
+            def _authed(self) -> bool:
+                return self.headers.get("Authorization") == TOKEN
+
+            def do_POST(self):
+                parsed = urlparse(self.path)
+                with stub._lock:
+                    stub.requests_seen.append(f"POST {self.path}")
+                n = int(self.headers.get("Content-Length") or 0)
+                raw = self.rfile.read(n) if n else b"{}"
+                if parsed.path == LOGIN_PATH:
+                    try:
+                        creds = json.loads(raw or b"{}")
+                    except json.JSONDecodeError:
+                        creds = {}
+                    if (
+                        creds.get("username") == USERNAME
+                        and creds.get("password") == PASSWORD
+                    ):
+                        self._json(200, {"ok": True}, {"Authorization": TOKEN})
+                    else:
+                        self._json(401, {"error": "bad credentials"})
+                    return
+                if parsed.path == RESET_PATH:
+                    with stub._lock:
+                        stub.synced.clear()
+                        stub.attempts.clear()
+                    self._json(200, {"ok": True})
+                    return
+                parts = parsed.path.strip("/").split("/")
+                # /analytic/nodes/<id>/sync
+                if (
+                    len(parts) == 4
+                    and parts[:2] == ["analytic", "nodes"]
+                    and parts[3] == "sync"
+                ):
+                    if not self._authed():
+                        self._json(401, {"error": "unauthorized"})
+                        return
+                    node_id = parts[2]
+                    with stub._lock:
+                        stub.attempts[node_id] += 1
+                        if stub.attempts[node_id] <= stub.fail_first:
+                            self._json(500, {"error": "transient"})
+                            return
+                        stub.synced.append(int(node_id))
+                    self._json(200, {"synced": node_id})
+                    return
+                self._json(404, {"error": "not found"})
+
+            def do_GET(self):
+                parsed = urlparse(self.path)
+                with stub._lock:
+                    stub.requests_seen.append(f"GET {self.path}")
+                if not self._authed():
+                    self._json(401, {"error": "unauthorized"})
+                    return
+                if parsed.path == RECEIPTS_PATH:
+                    with stub._lock:
+                        self._json(
+                            200,
+                            {"synced": list(stub.synced),
+                             "attempts": dict(stub.attempts)},
+                        )
+                    return
+                if parsed.path == PROJECTS_PATH:
+                    q = parse_qs(parsed.query)
+                    rows = stub.nodes
+                    if "type_ne" in q:  # server-side filter (pushdown target)
+                        rows = [r for r in rows if r["type"] != q["type_ne"][0]]
+                    page = int(q.get("page", ["0"])[0])
+                    size = int(q.get("page_size", ["8"])[0])
+                    window = rows[page * size:(page + 1) * size]
+                    self._json(200, {"data": window, "total": len(rows)})
+                    return
+                parts = parsed.path.strip("/").split("/")
+                if len(parts) == 3 and parts[:2] == ["analytic", "projects"]:
+                    self._json(200, {"data": {"id": parts[2], "nodes": stub.nodes}})
+                    return
+                self._json(404, {"error": "not found"})
+
+        self._server = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        self._thread = threading.Thread(
+            target=self._server.serve_forever, daemon=True
+        )
+
+    @property
+    def base_url(self) -> str:
+        return f"http://127.0.0.1:{self._server.server_address[1]}"
+
+    def start(self) -> "StubApi":
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._server.shutdown()
+        self._server.server_close()
+
+    def __enter__(self) -> "StubApi":
+        return self.start()
+
+    def __exit__(self, *exc) -> None:
+        self.stop()

@@ -1,0 +1,145 @@
+"""Behavior tests for the §2.1 source/sink + §2.8 executor surface that the
+oracle-parity check can't see: auth failure, filter pushdown translation,
+bounded retry semantics, and the styled-workbook model."""
+
+from __future__ import annotations
+
+import json
+import urllib.error
+import urllib.request
+from datetime import date
+
+import pytest
+from pyspark.sql.datasource import EqualTo, GreaterThan, Not
+
+from dataengineer_scripts_spark.sinks import (
+    STATUS_FILLS,
+    build_workbook_model,
+    fetch_receipts,
+    post_sync,
+    write_excel_styled,
+)
+from dataengineer_scripts_spark.sources.rest import (
+    RestDataSourceReader,
+    login,
+)
+from dataengineer_scripts_spark.sources.stub_api import TOKEN, StubApi
+
+NODES = [
+    {"id": i, "name": f"n{i}", "type": "next" if i % 5 == 4 else "job",
+     "status": "SUCCESS", "export_status": "SUCCESS"}
+    for i in range(10)
+]
+
+
+@pytest.fixture()
+def api():
+    with StubApi(list(NODES)) as s:
+        yield s
+
+
+def test_login_returns_header_token(api):
+    assert login(api.base_url) == TOKEN
+
+
+def test_login_rejects_bad_credentials(api):
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        login(api.base_url, username="intruder", password="nope")
+    assert ei.value.code == 401
+
+
+def test_unauthenticated_get_is_401(api):
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(api.base_url + "/analytic/projects", timeout=5)
+    assert ei.value.code == 401
+
+
+def test_push_filters_translates_type_ne_and_returns_rest():
+    r = RestDataSourceReader({"base_url": "http://x", "token": "t"})
+    unsupported = list(
+        r.pushFilters([Not(EqualTo(("type",), "next")), GreaterThan(("id",), 3)])
+    )
+    assert r.type_ne == "next"  # consumed → becomes the API's type_ne param
+    assert unsupported == [GreaterThan(("id",), 3)]  # handed back to Spark
+    assert "type_ne=next" in r._query(0)
+
+
+def test_rest_pages_partition_the_read(api):
+    r = RestDataSourceReader(
+        {"base_url": api.base_url, "token": TOKEN, "page_size": "4"}
+    )
+    parts = r.partitions()
+    assert len(parts) == 3  # 10 nodes / 4 per page
+    rows = [row for p in parts for row in r.read(p)]
+    assert sorted(r[0] for r in rows) == list(range(10))
+
+
+def test_server_side_filter_reduces_transfer(api):
+    r = RestDataSourceReader(
+        {"base_url": api.base_url, "token": TOKEN, "page_size": "4"}
+    )
+    list(r.pushFilters([Not(EqualTo(("type",), "next"))]))
+    rows = [row for p in r.partitions() for row in r.read(p)]
+    assert all(row[2] != "next" for row in rows)
+    assert len(rows) == 8
+    assert any("type_ne=next" in seen for seen in api.requests_seen)
+
+
+def test_retry_short_circuits_on_success():
+    with StubApi(list(NODES), fail_first=2) as flaky:
+        used = post_sync(flaky.base_url, TOKEN, 1, retries=3)
+        assert used == 3  # two 500s, success on the third
+        rec = fetch_receipts(flaky.base_url, TOKEN)
+        assert rec["synced"] == [1] and rec["attempts"]["1"] == 3
+        # already-synced node succeeds first try (no further failures)
+        assert post_sync(flaky.base_url, TOKEN, 1, retries=3) == 1
+
+
+def test_retry_gives_up_after_budget():
+    with StubApi(list(NODES), fail_first=5) as flaky:
+        used = post_sync(flaky.base_url, TOKEN, 2, retries=3)
+        assert used == 3
+        assert fetch_receipts(flaky.base_url, TOKEN)["synced"] == []
+
+
+def test_workbook_model_styles():
+    rows = [
+        {"name": "a", "status": "Success", "error_note": ""},
+        {"name": "b", "status": "Failed", "error_note": "x --> FAILED"},
+        {"name": "c", "status": "Not Synced", "error_note": "Last Sync at ..."},
+    ]
+    m = build_workbook_model(rows, columns=["name", "status", "error_note"],
+                             report_date=date(2026, 8, 13))
+    assert m["header"]["title"] == "Job Status Report 2026-08-13"
+    assert m["header"]["merge"] == "A1:C1"
+    fills = [r["fill"] for r in m["rows"]]
+    assert fills == [STATUS_FILLS["Success"], STATUS_FILLS["Failed"],
+                     STATUS_FILLS["Not Synced"]]
+    assert all(r["border"] == "thin" for r in m["rows"])
+    assert m["column_widths"]["G"] == 60  # note column width, app.py:235-241
+
+
+def test_excel_sink_writes_model(tmp_path, spark):
+    df = spark.createDataFrame(
+        [("u1", "Success", ""), ("u2", "Failed", "boom")],
+        "name string, status string, error_note string",
+    )
+    out = write_excel_styled(df, str(tmp_path / "report.xlsx"),
+                             report_date=date(2026, 8, 13))
+    with open(out) as f:
+        payload = json.load(f) if out.endswith(".json") else None
+    if payload is not None:  # openpyxl absent → deterministic model stub
+        assert payload["columns"] == ["name", "status", "error_note"]
+        assert [r["fill"] for r in payload["rows"]] == [
+            STATUS_FILLS["Success"], STATUS_FILLS["Failed"]]
+
+
+def test_memo_cache_computes_once_per_key(spark, sf_dir):
+    from dataengineer_scripts_spark.operators.etl import exec_memo_cache
+
+    df = exec_memo_cache(spark, sf_dir)
+    # memo table materializes per DISTINCT key: output key-cardinality equals
+    # the distinct input cardinality, and every duplicate key shares one tag.
+    tags = df.select("o_custkey", "tag").distinct()
+    assert tags.count() == df.select("o_custkey").distinct().count()
+    assert "InMemoryTableScan" in df._jdf.queryExecution().executedPlan().toString()

@@ -1,0 +1,79 @@
+"""The hot-shingle document-frequency cap: the candidate self-join must run
+over cold shingles only (pruning pairs whose sole overlap is boilerplate —
+the quadratic skew risk), while the hot-correction join keeps reported
+Jaccard values exact over the FULL shingle set."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dataengineer_scripts_spark.operators.llm import (
+    _hot_shingle_keys,
+    _shingle_rows,
+    x_llm_dedup_ngram_jaccard,
+)
+from dataengineer_scripts_spark.tables import table
+
+
+def _write_docs(spark, tmp_path, docs):
+    df = spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def _cold_pairs(spark, sf):
+    sh = _shingle_rows(spark, sf)
+    n_docs = table(spark, sf, "documents").agg(F.count("*").alias("n_docs"))
+    cold = sh.join(F.broadcast(_hot_shingle_keys(sh, n_docs)), "s", "left_anti")
+    a = cold.select(F.col("doc_id").alias("doc_a"), "s")
+    b = cold.select(F.col("doc_id").alias("doc_b"), "s")
+    return {
+        (r.doc_a, r.doc_b)
+        for r in a.join(b, "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+        .collect()
+    }
+
+
+def test_hot_shingle_cap_prunes_boilerplate_only_pairs(spark, tmp_path):
+    # 152 docs share the boilerplate trigram "hot1 hot2 hot3" (df > the 100
+    # floor → capped); docs 1/2 are exact dups sharing rare shingles too.
+    docs = [
+        (1, "r1 r2 r3 r4 hot1 hot2 hot3"),
+        (2, "r1 r2 r3 r4 hot1 hot2 hot3"),
+    ] + [(i, f"u{i}a u{i}b hot1 hot2 hot3") for i in range(10, 160)]
+    sf = _write_docs(spark, tmp_path, docs)
+
+    sh = _shingle_rows(spark, sf)
+    n_docs = table(spark, sf, "documents").agg(F.count("*").alias("n_docs"))
+    hot = {r.s for r in _hot_shingle_keys(sh, n_docs).collect()}
+    assert "hot1 hot2 hot3" in hot
+
+    pairs = _cold_pairs(spark, sf)
+    assert (1, 2) in pairs  # near-dup pair survives via its rare shingles
+    assert (10, 11) not in pairs  # boilerplate-only pair pruned by the cap
+
+    out = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in x_llm_dedup_ngram_jaccard(spark, sf).collect()
+    }
+    # J is exact over ALL shingles: docs 1/2 are identical → J=1.0, which
+    # requires the hot-correction join to count "hot1 hot2 hot3" back in
+    # (cold-only counting would report 4/(5+5-4) < 1).
+    assert out == {(1, 2): 1.0}
+
+
+def test_cap_inert_below_floor(spark, tmp_path):
+    # A shingle in every doc of a small corpus (df < 100 floor) is NOT
+    # capped — candidates still flow through it.
+    docs = [(i, f"x{i} common1 common2 common3") for i in range(1, 6)]
+    sf = _write_docs(spark, tmp_path, docs)
+    sh = _shingle_rows(spark, sf)
+    n_docs = table(spark, sf, "documents").agg(F.count("*").alias("n_docs"))
+    assert _hot_shingle_keys(sh, n_docs).count() == 0
+    assert len(_cold_pairs(spark, sf)) == 10  # all C(5,2) pairs
