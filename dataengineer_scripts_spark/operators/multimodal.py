@@ -1,0 +1,196 @@
+"""Multimodal-column operators (driver north star: image/audio/video as
+opaque ``binary`` columns with typed metadata).
+
+No fixture table carries real media bytes, so the binary modality is
+SYNTHESIZED deterministically (UTF-8 bytes of ``documents.text`` — ASCII in
+the fixture, so byte values equal codepoints and every byte-level stat has
+an exact DuckDB twin).  What is REAL and tested at the Spark layer is the
+100 TB-relevant plumbing:
+
+- an opaque ``BinaryType`` column flowing through the plan (scan → project
+  → Arrow batch → Python → result schema);
+- decode / feature-extract / frame-sample as ``mapInPandas`` over Arrow
+  batches — bytes enter Python ONCE per batch, vectorized numpy inside,
+  never a row-at-a-time UDF;
+- typed metadata traveling beside the payload (struct of modality fields).
+
+A real codec (PIL/libav) is absent from this container; the entry point
+that would host it is ``decode_image_real`` below — a clearly-marked stub
+raising ``NotImplementedError``.  The fake decode used by the operators
+parses the actual bytes it is handed, so swapping in a real codec changes
+only the body of the batch function, not the plan, schema or partitioning.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import table
+
+FRAME_BYTES = 16  # fake "video": fixed-size frames over the byte stream
+FRAME_STRIDE = 4  # sample every 4th frame
+
+
+def decode_image_real(data: bytes) -> dict:
+    """Placeholder for a real image decode (PIL/turbojpeg).  The container
+    ships no image codec, so this is an explicit stub — the operators below
+    use the deterministic byte-level fake instead."""
+    raise NotImplementedError(
+        "real image codecs are not available in this container; "
+        "use the deterministic byte-level decode in x_mm_binary_decode"
+    )
+
+
+@register(
+    "x_mm_record",
+    oracle="""
+    SELECT d.doc_id, d.lang, e.label,
+           len(string_split(d.text, ' ')) AS text_tokens,
+           round(sqrt(list_sum(list_transform(e.embedding,
+                 x -> x::DOUBLE * x::DOUBLE))), 6) AS vec_norm,
+           octet_length(encode(d.text)) AS media_bytes
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    """,
+)
+def x_mm_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Joined multimodal record: text modality (documents) + vector modality
+    (embeddings) + synthesized binary modality, carried as ONE struct column
+    with typed per-modality metadata, then unpacked to per-modality stats.
+    The join is 1:1 on the shared id — a plain shuffled equi-join (both
+    sides are corpus-sized; nothing to broadcast at scale)."""
+    d = table(spark, sf_dir, "documents")
+    e = table(spark, sf_dir, "embeddings")
+    vec_d = F.transform("embedding", lambda x: x.cast("double"))
+    rec = (
+        d.join(e, d.doc_id == e.vec_id)
+        .select(
+            "doc_id",
+            F.struct(
+                F.struct("text", "lang").alias("text_mod"),
+                F.struct(vec_d.alias("vec"), "label").alias("vec_mod"),
+                F.struct(
+                    F.encode("text", "UTF-8").alias("data"),
+                    F.lit("fake/utf8").alias("mime"),
+                ).alias("media_mod"),
+            ).alias("record"),
+        )
+    )
+    norm = F.sqrt(
+        F.aggregate("record.vec_mod.vec", F.lit(0.0), lambda a, x: a + x * x)
+    )
+    return rec.select(
+        "doc_id",
+        F.col("record.text_mod.lang").alias("lang"),
+        F.col("record.vec_mod.label").alias("label"),
+        F.size(F.split("record.text_mod.text", " ")).alias("text_tokens"),
+        F.round(norm, 6).alias("vec_norm"),
+        F.octet_length("record.media_mod.data").alias("media_bytes"),
+    )
+
+
+@register(
+    "x_mm_binary_decode",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           octet_length(encode(text)) % 640 AS width,
+           (octet_length(encode(text)) * 7) % 480 AS height,
+           CASE WHEN octet_length(encode(text)) = 0 THEN NULL
+                ELSE round(list_sum(list_transform(string_split(text, ''),
+                          c -> ascii(c)::DOUBLE))
+                     / octet_length(encode(text)), 4) END AS mean_byte
+    FROM documents
+    """,
+)
+def x_mm_binary_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary decode + feature extraction over Arrow batches: the opaque
+    bytes cross into Python once per batch (``mapInPandas``), numpy reads
+    each buffer (``np.frombuffer``) for byte-level features, and the result
+    carries the decoded metadata schema.  The "format" is the deterministic
+    fake (dimensions derived from length, mean byte value as the feature) —
+    a real codec replaces only the per-buffer body (see
+    ``decode_image_real``).  Narrow plan: scan → project → mapInPandas,
+    no shuffle."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("img")
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            bufs = pdf["img"]
+            n = bufs.map(len).astype("int32")
+            # Half-up rounding to match SQL round() — numpy/python round is
+            # half-even and diverges on exact ties (e.g. 93.90625).
+            mean = bufs.map(
+                lambda b: np.floor(
+                    float(np.frombuffer(b, np.uint8).sum()) / len(b) * 1e4 + 0.5
+                )
+                / 1e4
+                if len(b)
+                else None
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": n,
+                    "width": (n % 640).astype("int32"),
+                    "height": ((n * 7) % 480).astype("int32"),
+                    "mean_byte": mean.astype("float64"),
+                }
+            )
+
+    return docs.mapInPandas(
+        decode, "doc_id long, n_bytes int, width int, height int, mean_byte double"
+    )
+
+
+@register(
+    "x_mm_frame_sample",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(ceil(octet_length(encode(text))::DOUBLE / {FRAME_BYTES})
+                AS INT) AS n_frames,
+           CAST(ceil(ceil(octet_length(encode(text))::DOUBLE / {FRAME_BYTES})
+                / {FRAME_STRIDE}) AS INT) AS n_sampled
+    FROM documents WHERE octet_length(encode(text)) > 0
+    """,
+)
+def x_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over a byte stream (the video-modality shape): chunk
+    each buffer into fixed-size frames, keep every ``FRAME_STRIDE``-th.
+    Runs in the same Arrow-batch pattern as the decode; at scale the
+    sampled frames (not counts) would be exploded to rows downstream —
+    counts keep the fixture oracle exact."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("media")
+    )
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = []
+            for doc_id, buf in zip(pdf["doc_id"], pdf["media"]):
+                frames = [
+                    buf[i : i + FRAME_BYTES]
+                    for i in range(0, len(buf), FRAME_BYTES)
+                ]
+                if not frames:
+                    continue
+                sampled = frames[::FRAME_STRIDE]
+                out.append((doc_id, len(frames), len(sampled)))
+            if out:
+                yield pd.DataFrame(
+                    out, columns=["doc_id", "n_frames", "n_sampled"]
+                )
+
+    return docs.mapInPandas(sample, "doc_id long, n_frames int, n_sampled int")

@@ -57,7 +57,7 @@ def _load_all() -> None:
     """Import every module that registers operators (idempotent)."""
     from . import functions, operators, streaming  # noqa: F401
     from .functions import scalar  # noqa: F401
-    from .operators import etl, health, llm, relational  # noqa: F401
+    from .operators import etl, health, llm, multimodal, relational  # noqa: F401
     from .streaming import windows  # noqa: F401
 
 
