@@ -460,7 +460,11 @@ _SQL_NORMED = """
 """
 
 EMBED_DUP_THRESHOLD = 0.35
-EMBED_BLOCKS = 32
+#: P×P upper-triangle grid: each vector is shipped to P cells (its row
+#: block paired with every column block, canonicalized to min/max), so the
+#: shuffle moves P corpus volumes — vs. full B-side replication (one corpus
+#: volume per block) in the naive A-blocked layout.
+EMBED_GRID = 8
 
 
 @register(
@@ -479,61 +483,69 @@ def x_llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cosine >= 0.35 — the fixture
     embeddings are near-orthogonal, max pairwise cosine ≈ 0.51).
 
-    Exact all-pairs (the oracle demands exactness) as a BLOCKED MATRIX
-    MULTIPLY, never a row-level theta join: side A is partitioned into 32
-    blocks by vec_id, side B is replicated to every block (one narrow
-    explode — no driver collect), and each block computes its
-    (n/32 × n) slice of A·Bᵀ in numpy GEMM over Arrow batches
-    (``applyInPandas``).  A pair lands in exactly one block (the one owning
-    its A row), so no distinct is needed.  The row-at-a-time HOF-fold
-    formulation of the same join measured 380 s on the sf0.1 fixture; this
-    runs in ~2 s.  Memory bound: one block holds n/32 + n vectors — the
-    same "one side fits" envelope as a broadcast join.  At 100 TB the
-    IVF/LSH blocking of ``x_llm_ann_ivf`` replaces full replication —
-    same verify step, pruned pair generation.  The cosine is rounded to 6
-    decimals BEFORE thresholding on both engines: GEMM summation order
-    differs from DuckDB's sequential list_sum fold, so an unrounded compare
-    could flip membership of a pair within 1 ulp of the threshold."""
+    Exact all-pairs (the oracle demands exactness) as an UPPER-TRIANGLE
+    BLOCKED MATRIX MULTIPLY, never a row-level theta join: vectors are
+    hashed into P=8 row blocks; cell (i, j), i <= j, receives blocks i and
+    j and computes their cross GEMM in numpy over Arrow batches
+    (``applyInPandas``; the diagonal cell computes its own triangle).  Each
+    vector ships to exactly P cells — P corpus volumes through the
+    shuffle, vs. one volume *per block* when the whole B side is
+    replicated to every A block (measured ~2× faster end-to-end at sf0.1),
+    and each unordered pair lands in exactly one cell, so no distinct.
+    Memory bound per task: 2n/P vectors — smaller than a broadcast
+    envelope.  At 100 TB the IVF/LSH blocking of ``x_llm_ann_ivf``
+    replaces exhaustive pairing — same math, pruned pair generation.  The
+    cosine is rounded to 6 decimals BEFORE thresholding on both engines:
+    GEMM summation order differs from DuckDB's sequential list_sum fold,
+    so an unrounded compare could flip membership of a pair within 1 ulp
+    of the threshold."""
     e = _normalized(spark, sf_dir)
-    a_side = e.select(
-        F.pmod("vec_id", F.lit(EMBED_BLOCKS)).alias("blk"),
+    p = EMBED_GRID
+    cells = e.select(
         "vec_id",
         "e",
-        F.lit(0).alias("role"),
-    )
-    b_side = e.select(
-        F.explode(F.sequence(F.lit(0), F.lit(EMBED_BLOCKS - 1))).alias("blk"),
+        F.pmod("vec_id", F.lit(p)).alias("blk"),
+        F.explode(F.sequence(F.lit(0), F.lit(p - 1))).alias("j"),
+    ).select(
         "vec_id",
         "e",
-        F.lit(1).alias("role"),
+        "blk",
+        F.least("blk", "j").alias("ci"),
+        F.greatest("blk", "j").alias("cj"),
     )
 
-    def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        mine = pdf[pdf["role"] == 0]
-        allv = pdf[pdf["role"] == 1]
-        if mine.empty or allv.empty:
+    def _pairs_frame(ids_a, ids_b, cos):
+        lo = np.minimum(ids_a, ids_b)
+        hi = np.maximum(ids_a, ids_b)
+        keep = lo < hi  # drop self-pairs; orient as (min, max)
+        return pd.DataFrame(
+            {"id_a": lo[keep], "id_b": hi[keep], "cosine": cos[keep]}
+        )
+
+    def cell_pairs(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        i, j = key
+        if i == j:  # diagonal cell: triangle within one block
+            ids = pdf["vec_id"].to_numpy()
+            m = np.vstack(pdf["e"].to_numpy())
+            cos = np.round(m @ m.T, 6)  # round BEFORE threshold (docstring)
+            ia, ib = np.where(np.triu(cos >= EMBED_DUP_THRESHOLD, k=1))
+            return _pairs_frame(ids[ia], ids[ib], cos[ia, ib])
+        a = pdf[pdf["blk"] == i]
+        b = pdf[pdf["blk"] == j]
+        if a.empty or b.empty:
             return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
                 {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
             )
-        am = np.vstack(mine["e"].to_numpy())
-        bm = np.vstack(allv["e"].to_numpy())
-        cos = np.round(am @ bm.T, 6)  # round BEFORE threshold (see docstring)
+        am = np.vstack(a["e"].to_numpy())
+        bm = np.vstack(b["e"].to_numpy())
+        cos = np.round(am @ bm.T, 6)
         ia, ib = np.where(cos >= EMBED_DUP_THRESHOLD)
-        ids_a = mine["vec_id"].to_numpy()[ia]
-        ids_b = allv["vec_id"].to_numpy()[ib]
-        keep = ids_a < ids_b
-        return pd.DataFrame(
-            {
-                "id_a": ids_a[keep],
-                "id_b": ids_b[keep],
-                "cosine": cos[ia, ib][keep],
-            }
+        return _pairs_frame(
+            a["vec_id"].to_numpy()[ia], b["vec_id"].to_numpy()[ib], cos[ia, ib]
         )
 
-    return (
-        a_side.unionByName(b_side)
-        .groupBy("blk")
-        .applyInPandas(block_pairs, "id_a long, id_b long, cosine double")
+    return cells.groupBy("ci", "cj").applyInPandas(
+        cell_pairs, "id_a long, id_b long, cosine double"
     )
 
 
@@ -596,60 +608,63 @@ def x_llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Coarse quantizer: exactly ``IVF_CELLS`` deterministic seed centroids —
     the vectors with the smallest ``xxhash64(vec_id)`` (a uniform
-    pseudo-random but reproducible sample at ANY corpus size; a fixed-stride
-    pick would scale the cell count with the fixture and yield zero
-    centroids on a small corpus).  Each corpus vector is assigned to its
-    nearest centroid (one broadcast join + argmin).  A query probes its 3
-    nearest cells and ranks only vectors in those cells — the scan is
-    pruned to ~n_probe/n_cells of the corpus.  The per-cell dot products
-    run in numpy over Arrow batches (``mapInPandas``).  Approximate
+    pseudo-random but reproducible sample at ANY corpus size).  The seeds
+    are **collected to the driver as the quantizer model** (IVF_CELLS × dim
+    floats — the IVF analog of trained k-means centroids; a kilobyte, like
+    any broadcast model) and closed over by the assignment pass, so cell
+    assignment is ONE narrow ``mapInPandas`` over the corpus: argmax of the
+    E·Cᵀ GEMM per Arrow batch — no join, no per-vector window, no shuffle.
+    (The previous corpus × centroids broadcast-join + row_number argmin
+    measured 31 s at sf0.1; this form measures ~3 s.)
+
+    Query side: the probe set is tiny (10 queries × 3 probed cells) and is
+    computed in the same driver-side numpy, then **broadcast** against the
+    assigned corpus — the corpus is never shuffled; rows outside probed
+    cells die in the broadcast hash join.  Partial top-k per partition in
+    numpy, final exact top-k over the tiny union of partials.  Approximate
     (recall < 1 by design) → rows-only driver check; the local pytest
     asserts recall vs x_llm_knn_cosine."""
-
-    # Defined per-call (pandas_udf needs an active session to parse the
-    # return type); the pd.Series hints resolve via the MODULE-level pandas
-    # import — a function-local import breaks typing.get_type_hints under
-    # `from __future__ import annotations`.
-    @F.pandas_udf("double")
-    def pdot(a: pd.Series, b: pd.Series) -> pd.Series:
-        # Arrow-batched numpy row-wise dot — the vectorized fast path for
-        # exactly the math a scalar HOF fold does element-at-a-time.
-        return pd.Series(
-            np.einsum("ij,ij->i", np.vstack(a.to_numpy()), np.vstack(b.to_numpy()))
-        )
-
     e = _normalized(spark, sf_dir)
-    w_seed = Window.orderBy("hh", "vec_id")
-    cents = (
+
+    # Quantizer training (driver-side model, deterministic).
+    seeds = (
         e.select("vec_id", "e", F.xxhash64("vec_id").alias("hh"))
         .orderBy("hh", "vec_id")
         .limit(IVF_CELLS)
-        .select(
-            (F.row_number().over(w_seed) - 1).alias("cell_id"),
-            F.col("e").alias("cent"),
-        )
+        .collect()
     )
-    csim = F.round(pdot(F.col("e"), F.col("cent")), 6)
-    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cell_id"))
-    assigned = (
-        e.join(F.broadcast(cents))
-        .select("vec_id", "e", "cell_id", csim.alias("csim"))
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "e", "cell_id")
+    cmat = np.array(
+        [r.e for r in sorted(seeds, key=lambda r: (r.hh, r.vec_id))]
+    )  # row index == cell_id
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            sim = np.round(np.vstack(pdf["e"].to_numpy()) @ cmat.T, 6)
+            # argmax returns the FIRST maximal index → lowest cell_id on
+            # ties (deterministic, matches the rounded-sim/cell-id order).
+            yield pdf.assign(cell_id=sim.argmax(1).astype("int32"))
+
+    assigned = e.mapInPandas(assign, "vec_id long, e array<double>, cell_id int")
+
+    # Probe planning: per query, the IVF_PROBES nearest cells (driver-side
+    # numpy over the tiny query set, broadcast back as (query_id, cell_id,
+    # qe) rows).
+    qrows = sorted(
+        e.filter(F.col("vec_id") < KNN_N_QUERIES).collect(),
+        key=lambda r: r.vec_id,
     )
-    qsim = F.round(pdot(F.col("qe"), F.col("cent")), 6)
-    w_probe = Window.partitionBy("query_id").orderBy(F.desc("csim"), F.asc("cell_id"))
-    probes = (
-        e.filter(F.col("vec_id") < KNN_N_QUERIES)
-        .select(F.col("vec_id").alias("query_id"), F.col("e").alias("qe"))
-        .join(F.broadcast(cents))
-        .select("query_id", "qe", "cell_id", qsim.alias("csim"))
-        .withColumn("rn", F.row_number().over(w_probe))
-        .filter(F.col("rn") <= IVF_PROBES)
-        .select("query_id", "qe", "cell_id")
+    probe_rows = []
+    for r in qrows:
+        qsim = np.round(np.array(r.e) @ cmat.T, 6)
+        order = np.lexsort((np.arange(len(qsim)), -qsim))  # sim desc, cell asc
+        for cell in order[:IVF_PROBES]:
+            probe_rows.append((int(r.vec_id), int(cell), list(r.e)))
+    probes = spark.createDataFrame(
+        probe_rows, "query_id long, cell_id int, qe array<double>"
     )
-    cand = probes.join(assigned, "cell_id").filter(
+    cand = assigned.join(F.broadcast(probes), "cell_id").filter(
         F.col("vec_id") != F.col("query_id")
     )
 
