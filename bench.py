@@ -50,9 +50,17 @@ def main() -> None:
     # Per-query fault isolation: one raising operator must never null the
     # whole artifact — record the error, keep timing the rest, exit nonzero
     # at the end if anything failed.
+    #
+    # Between queries (OUTSIDE the timed window) drop leftover cached
+    # blocks and force a full GC every few queries: with 87 queries in one
+    # JVM, accumulated lineage/broadcast garbage otherwise erupts as a
+    # 10-50 s full-GC pause inside whichever query happens to be running —
+    # measured stalls moved between runs (fn_lower 50 s in one run, 4 s in
+    # the next) until housekeeping was made explicit and untimed.
+    gc_every = int(os.environ.get("SPARK_GRAFT_BENCH_GC_EVERY", "8"))
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name, fn in qs.items():
+    for idx, (name, fn) in enumerate(qs.items()):
         t0 = time.perf_counter()
         try:
             fn(spark, sf_dir).count()
@@ -61,6 +69,9 @@ def main() -> None:
         except Exception as ex:  # noqa: BLE001
             errors[name] = f"{type(ex).__name__}: {str(ex)[:300]}"
             print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
+        if gc_every and (idx + 1) % gc_every == 0:
+            spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
 
     out = {
         "metric": "total_query_wall_clock",

@@ -1,0 +1,84 @@
+"""Physical-plan regression guards for the 100 TB posture: filters must
+reach the parquet scan, dims must broadcast, top-k must not global-sort,
+and columns must prune.  These assert on the optimized/physical plan text —
+if a refactor silently de-optimizes a plan shape, these fail before any
+benchmark does."""
+
+from __future__ import annotations
+
+import pytest
+
+from dataengineer_scripts_spark import registry
+
+DEFS = registry.definitions()
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _scan_meta(df) -> str:
+    # FileSourceScan metadata (PushedFilters / ReadSchema) lives in the
+    # full queryExecution dump.
+    return df._jdf.queryExecution().toString()
+
+
+def test_agg_filter_pushed_to_parquet_scan(spark, sf_dir):
+    df = DEFS["x_agg_sum_avg_min_max"].fn(spark, sf_dir)
+    meta = _scan_meta(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in meta
+
+
+def test_projection_prunes_scan_columns(spark, sf_dir):
+    df = DEFS["proj_alias_literal"].fn(spark, sf_dir)
+    meta = _scan_meta(df)
+    # 2-column projection over a 5-column table: the scan must read only
+    # the referenced columns.
+    assert "ReadSchema: struct<c_custkey:bigint,c_name:string>" in meta
+    assert "c_acctbal" not in meta.split("ReadSchema")[-1].split("\n")[0]
+
+
+def test_point_lookup_broadcasts_the_dim(spark, sf_dir):
+    plan = _physical(DEFS["join_point_lookup"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_avoids_global_sort(spark, sf_dir):
+    plan = _physical(DEFS["x_sort_limit_topk"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_flagship_is_single_shuffle(spark, sf_dir):
+    plan = _physical(DEFS["flagship_health"].fn(spark, sf_dir))
+    assert plan.count("Exchange") == 1  # one hash-partition on user_id
+
+
+def test_no_cartesian_in_pair_generation(spark, sf_dir):
+    for name in ("x_llm_dedup_minhash", "x_llm_dedup_ngram_jaccard",
+                 "x_llm_dedup_embed", "x_llm_dedup_simhash"):
+        plan = _physical(DEFS[name].fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+    # Pair generation must never nested-loop the corpus against itself.
+    # (ngram_jaccard legitimately BNL-joins a broadcast 1-ROW scalar — the
+    # corpus count feeding the hot-shingle cap — so it is exempt here.)
+    for name in ("x_llm_dedup_minhash", "x_llm_dedup_embed",
+                 "x_llm_dedup_simhash"):
+        plan = _physical(DEFS[name].fn(spark, sf_dir))
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_whole_stage_codegen_on_scalar_layer(spark, sf_dir):
+    plan = _physical(DEFS["fn_case_status"].fn(spark, sf_dir))
+    # codegen'd operators carry the `*(stageId)` prefix in plan text
+    assert "*(1)" in plan
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python anywhere
+
+
+@pytest.mark.parametrize(
+    "name",
+    [n for n in DEFS if not n.startswith(("snk_", "src_", "exec_"))],
+)
+def test_no_row_at_a_time_python_udf(spark, sf_dir, name):
+    plan = _physical(DEFS[name].fn(spark, sf_dir))
+    assert "BatchEvalPython" not in plan, f"{name} uses a row-at-a-time UDF"
