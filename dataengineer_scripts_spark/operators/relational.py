@@ -517,6 +517,45 @@ def x_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.join(F.broadcast(bands), cond).select("p_partkey", "band")
 
 
+@register(
+    "x_join_asof",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.ts,
+           (SELECT max(p.ts)
+            FROM events p
+            WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+              AND p.ts <= e.ts)::TIMESTAMP AS last_purchase_ts
+    FROM events e WHERE e.event_type = 'error'
+    """,
+)
+def x_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join (most-recent-match-at-or-before): for every error event,
+    the timestamp of the user's latest purchase at or before it.
+
+    Spark has no ASOF JOIN operator; the scalable formulation is a MERGED-
+    STREAM RUNNING MAX, not a join: both sides already live in one table
+    keyed by user, so one window pass ordered by event time carries the
+    running `max(ts) where type='purchase'` forward, and error rows read
+    it directly.  ONE shuffle (by user_id) + one sort — no range-join
+    pair explosion, no per-row subquery.  On equal timestamps the purchase
+    sorts FIRST (at-or-before is inclusive).  For two separate tables the
+    same pattern is union-tag → window — this is the standard Spark
+    rendering of as-of semantics at scale."""
+    e = table(spark, sf_dir, "events")
+    is_purchase = F.col("event_type") == "purchase"
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", F.when(is_purchase, 0).otherwise(1), "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = e.withColumn(
+        "last_purchase_ts", F.max(F.when(is_purchase, F.col("ts"))).over(w)
+    )
+    return running.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts", "last_purchase_ts"
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.9 Extension: aggregation family
 # ---------------------------------------------------------------------------
