@@ -158,10 +158,9 @@ def src_rest_get(spark: SparkSession, sf_dir: str) -> DataFrame:
     api = _server(spark, sf_dir)
     token = login(api.base_url)
     register_rest_source(spark)
-    try:  # pushdown is an optimization, not a correctness requirement
-        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
-    except Exception:  # pragma: no cover - conf absent on this build
-        pass
+    # python.filterPushdown is pinned on via ENGINE_CONFS (registry applies
+    # it to driver-owned sessions too); without it Spark rejects any reader
+    # that implements pushFilters.
     return (
         spark.read.format("rest")
         .option("base_url", api.base_url)
@@ -382,6 +381,51 @@ def exec_retry(spark: SparkSession, sf_dir: str) -> DataFrame:
     attempts, so success lands exactly on attempt 3 — the oracle asserts
     both delivery AND the attempt count."""
     return _fan_out(spark, sf_dir, partitions=4, retries=MAX_RETRIES, flavor="flaky")
+
+
+@register(
+    "flagship_sync",
+    oracle=f"""
+    WITH {_SQL_NODES}
+    SELECT id AS node_id,
+           'http://api/analytic/nodes/' || id || '/sync' AS sync_url,
+           1 AS attempts
+    FROM nodes WHERE type <> 'next'
+    """,
+)
+def flagship_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's complete sync pipeline (SURVEY.md §3.1,
+    ``sync.py:73-81``) as ONE Spark dataflow: login → REST-source read of
+    the project DAG (partitioned pages, pushed type filter) → sync-URL
+    construction (``join_url_construct``) → partitioned HTTP POST fan-out
+    with the receipts read back and joined to the plan's URL column.  The
+    oracle asserts the full composition: exactly the non-'next' nodes were
+    synced once each, with the URLs the reference would build."""
+    api = _server(spark, sf_dir)
+    token = login(api.base_url)
+    _reset(api)
+    register_rest_source(spark)
+    nodes = (
+        spark.read.format("rest")
+        .option("base_url", api.base_url)
+        .option("token", token)
+        .option("page_size", 8)
+        .load()
+        .filter(F.col("type") != "next")
+        .select(
+            F.col("id").alias("node_id"),
+            F.concat(
+                F.lit("http://api/analytic/nodes/"), F.col("id"), F.lit("/sync")
+            ).alias("sync_url"),
+        )
+    )
+    nodes.select("node_id").repartition(4).foreachPartition(
+        http_post_partition(api.base_url, token)
+    )
+    receipts = _receipts_df(spark, api, token)
+    return nodes.join(F.broadcast(receipts), "node_id").select(
+        "node_id", "sync_url", "attempts"
+    )
 
 
 @register(

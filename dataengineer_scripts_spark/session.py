@@ -26,6 +26,9 @@ ENGINE_CONFS: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for every pandas interchange (Pandas UDF / toPandas).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Python DataSource filter pushdown (the REST source implements
+    # pushFilters; Spark REJECTS such readers outright when this is off).
+    "spark.sql.python.filterPushdown.enabled": "true",
     # Deterministic timestamp semantics; DuckDB oracle reads parquet as
     # naive UTC, so the session must be pinned to UTC.
     "spark.sql.session.timeZone": "UTC",
@@ -45,6 +48,14 @@ def builder(app_name: str = "dataengineer_scripts_spark") -> SparkSession.Builde
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # ~90 registered queries compile thousands of generated classes in
+        # one JVM; the 240 MB default code cache fills and HotSpot silently
+        # stops JIT-compiling — codegen-heavy aggregates then run
+        # interpreted at 3-5x cost.  Size it for a long-lived session.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=512m -XX:+UseCodeCacheFlushing",
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
     )
