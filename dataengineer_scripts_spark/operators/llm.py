@@ -108,13 +108,26 @@ def _tri_shingle_array(text_col):
 
 
 def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct (doc_id, s) shingle rows.  The ``distinct`` is BOTH the set
-    semantics and a materialization barrier: everything downstream joins on
-    plain attributes, never re-evaluating the shingle expression."""
+    """Distinct (doc_id, h, h1, h2) shingle rows — h is the shingle's
+    64-bit xxhash64 identity, h1/h2 the masked minhash family bases.  The
+    shingle STRING never enters a shuffle: hashing at explode time shrinks
+    every downstream distinct/join key from a ~24-byte string to a long
+    (64-bit identity collision over 10^7 distinct shingles: ~3e-6 — below
+    the minhash design error).  The ``distinct`` is BOTH the set semantics
+    and a materialization barrier: everything downstream joins on plain
+    attributes, never re-evaluating the shingle expression."""
+    m32 = F.lit((1 << 32) - 1)
+    s = F.col("s")
     return (
         table(spark, sf_dir, "documents")
         .select("doc_id", F.explode(_tri_shingle_array(F.col("text"))).alias("s"))
-        .filter(F.col("s").isNotNull())
+        .filter(s.isNotNull())
+        .select(
+            "doc_id",
+            F.xxhash64("s").alias("h"),
+            F.xxhash64("s", F.lit(1)).bitwiseAND(m32).alias("h1"),
+            F.xxhash64("s", F.lit(2)).bitwiseAND(m32).bitwiseOR(F.lit(1)).alias("h2"),
+        )
         .distinct()
     )
 
@@ -124,11 +137,11 @@ def _pair_jaccard(pairs: DataFrame, sh: DataFrame) -> DataFrame:
     candidates' shingle rows (candidate-linear, never corpus²): common
     count via a two-step equi-join, sizes via the per-doc counts."""
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "s")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "s")
+    a = sh.select(F.col("doc_id").alias("doc_a"), "h")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "h")
     common = (
         pairs.join(a, "doc_a")
-        .join(b, ["doc_b", "s"])
+        .join(b, ["doc_b", "h"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("c"))
     )
@@ -192,11 +205,11 @@ def _hot_shingle_keys(sh: DataFrame, n_docs: DataFrame) -> DataFrame:
         F.ceil(F.lit(HOT_SHINGLE_FRACTION) * F.col("n_docs")),
     )
     return (
-        sh.groupBy("s")
+        sh.groupBy("h")
         .agg(F.count("*").alias("df"))
         .join(F.broadcast(n_docs))
         .filter(F.col("df") > cap)
-        .select("s")
+        .select("h")
     )
 
 
@@ -230,13 +243,13 @@ def x_llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingle_rows(spark, sf_dir)
     n_docs = table(spark, sf_dir, "documents").agg(F.count("*").alias("n_docs"))
     hot = _hot_shingle_keys(sh, n_docs)
-    cold = sh.join(F.broadcast(hot), "s", "left_anti")
+    cold = sh.join(F.broadcast(hot), "h", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))  # FULL sizes
 
-    a = cold.select(F.col("doc_id").alias("doc_a"), "s")
-    b = cold.select(F.col("doc_id").alias("doc_b"), "s")
+    a = cold.select(F.col("doc_id").alias("doc_a"), "h")
+    b = cold.select(F.col("doc_id").alias("doc_b"), "h")
     cold_common = (
-        a.join(b, "s")
+        a.join(b, "h")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("c_cold"))
@@ -245,13 +258,13 @@ def x_llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Hot-shingle correction: per candidate pair, how many hot shingles both
     # docs contain.  hot_sh is (doc, hot shingle) rows — candidate-linear
     # (few hot shingles per doc), keyed by doc ids, never by the hot key.
-    hot_sh = sh.join(F.broadcast(hot), "s")
-    ah = hot_sh.select(F.col("doc_id").alias("doc_a"), "s")
-    bh = hot_sh.select(F.col("doc_id").alias("doc_b"), "s")
+    hot_sh = sh.join(F.broadcast(hot), "h")
+    ah = hot_sh.select(F.col("doc_id").alias("doc_a"), "h")
+    bh = hot_sh.select(F.col("doc_id").alias("doc_b"), "h")
     hot_common = (
         cold_common.select("doc_a", "doc_b")
         .join(ah, "doc_a")
-        .join(bh, ["doc_b", "s"])
+        .join(bh, ["doc_b", "h"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("c_hot"))
     )
@@ -301,17 +314,14 @@ def x_llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     false positive, so LSH output ≡ exact output.
 
     Hash family by double hashing (Kirsch–Mitzenmacher): the shingle string
-    is hashed exactly TWICE (xxhash64 with two seeds, masked to 32 bits);
-    family member i is ``h1 + i*h2`` — 128 string hashes per shingle row
-    collapse to 2 string hashes + 128 long mul-adds (all whole-stage
-    codegen), measured ~5× faster signature build on the fixture.  Masked
-    operands keep every intermediate < 2^39: ANSI-overflow-safe."""
+    is hashed exactly TWICE (xxhash64 with two seeds, masked to 32 bits —
+    the h1/h2 columns of ``_shingle_rows``); family member i is
+    ``h1 + i*h2`` — 128 string hashes per shingle row collapse to 2 string
+    hashes + 128 long mul-adds (all whole-stage codegen), measured ~5×
+    faster signature build on the fixture.  Masked operands keep every
+    intermediate < 2^39: ANSI-overflow-safe."""
     sh = _shingle_rows(spark, sf_dir)
-    m32 = F.lit((1 << 32) - 1)
-    h1 = F.xxhash64("s", F.lit(1)).bitwiseAND(m32)
-    h2 = F.xxhash64("s", F.lit(2)).bitwiseAND(m32).bitwiseOR(F.lit(1))
-    hashed = sh.select("doc_id", h1.alias("h1"), h2.alias("h2"))
-    sig = hashed.groupBy("doc_id").agg(
+    sig = sh.groupBy("doc_id").agg(
         *[
             F.min(F.col("h1") + F.lit(i) * F.col("h2")).alias(f"h{i}")
             for i in range(MINHASH_HASHES)

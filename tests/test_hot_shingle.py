@@ -27,12 +27,12 @@ def _write_docs(spark, tmp_path, docs):
 def _cold_pairs(spark, sf):
     sh = _shingle_rows(spark, sf)
     n_docs = table(spark, sf, "documents").agg(F.count("*").alias("n_docs"))
-    cold = sh.join(F.broadcast(_hot_shingle_keys(sh, n_docs)), "s", "left_anti")
-    a = cold.select(F.col("doc_id").alias("doc_a"), "s")
-    b = cold.select(F.col("doc_id").alias("doc_b"), "s")
+    cold = sh.join(F.broadcast(_hot_shingle_keys(sh, n_docs)), "h", "left_anti")
+    a = cold.select(F.col("doc_id").alias("doc_a"), "h")
+    b = cold.select(F.col("doc_id").alias("doc_b"), "h")
     return {
         (r.doc_a, r.doc_b)
-        for r in a.join(b, "s")
+        for r in a.join(b, "h")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
@@ -51,8 +51,14 @@ def test_hot_shingle_cap_prunes_boilerplate_only_pairs(spark, tmp_path):
 
     sh = _shingle_rows(spark, sf)
     n_docs = table(spark, sf, "documents").agg(F.count("*").alias("n_docs"))
-    hot = {r.s for r in _hot_shingle_keys(sh, n_docs).collect()}
-    assert "hot1 hot2 hot3" in hot
+    hot = {r.h for r in _hot_shingle_keys(sh, n_docs).collect()}
+    boiler_h = (
+        spark.range(1)
+        .select(F.xxhash64(F.lit("hot1 hot2 hot3")).alias("v"))
+        .collect()[0]
+        .v
+    )
+    assert boiler_h in hot
 
     pairs = _cold_pairs(spark, sf)
     assert (1, 2) in pairs  # near-dup pair survives via its rare shingles
