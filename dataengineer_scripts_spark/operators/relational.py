@@ -518,6 +518,52 @@ def x_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_join_bucketed",
+    oracle="""
+    SELECT o_orderkey, o_custkey, c_name
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def x_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located (bucketed) join — the shuffle-elimination lever for
+    repeated fact-fact joins at 100 TB: both sides are written bucketed +
+    sorted on the join key (8 buckets here; thousands on a cluster), so
+    the join plan has ZERO Exchange — every bucket pair joins locally
+    (asserted by tests/test_plans.py).  The bucketed write costs one
+    shuffle ONCE; every subsequent join on that key rides for free — the
+    right trade whenever a key is joined more often than written."""
+    import os
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    base = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".tmp",
+        "bucketed",
+    )
+    for name, key in (("orders", "o_custkey"), ("customer", "c_custkey")):
+        tbl = f"bkt_{name}_{tag}"
+        if not spark.catalog.tableExists(tbl):
+            (
+                table(spark, sf_dir, name)
+                .write.mode("overwrite")
+                .option("path", os.path.join(base, tbl))
+                .bucketBy(8, key)
+                .sortBy(key)
+                .format("parquet")
+                .saveAsTable(tbl)
+            )
+    o = spark.table(f"bkt_orders_{tag}")
+    c = spark.table(f"bkt_customer_{tag}")
+    # merge hint: at fixture scale the planner would (correctly) broadcast
+    # the small side and skip bucketing; this operator exists to exercise
+    # the co-located sort-merge path, which is the shape that matters when
+    # BOTH sides are fact-sized.
+    return o.join(c.hint("merge"), o.o_custkey == c.c_custkey).select(
+        "o_orderkey", "o_custkey", "c_name"
+    )
+
+
+@register(
     "x_join_asof",
     oracle="""
     SELECT e.event_id, e.user_id, e.ts,

@@ -54,6 +54,13 @@ def test_flagship_is_single_shuffle(spark, sf_dir):
     assert plan.count("Exchange") == 1  # one hash-partition on user_id
 
 
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    plan = _physical(DEFS["x_join_bucketed"].fn(spark, sf_dir))
+    assert "Exchange" not in plan  # co-located buckets join locally
+    assert "SortMergeJoin" in plan
+    assert "SelectedBucketsCount: 8 out of 8" in plan
+
+
 def test_no_cartesian_in_pair_generation(spark, sf_dir):
     for name in ("x_llm_dedup_minhash", "x_llm_dedup_ngram_jaccard",
                  "x_llm_dedup_embed", "x_llm_dedup_simhash"):
