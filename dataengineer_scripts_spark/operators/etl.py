@@ -205,7 +205,9 @@ def src_jdbc_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     The database computes the projection; Spark receives 4 columns only.
     For big tables add partitionColumn/lowerBound/upperBound to split the
     read; this is a 25-row dim."""
-    db = os.path.join(scratch_dir("derby"), "jobs_db")
+    # Embedded Derby permits ONE booting JVM per database directory — key
+    # the path by pid so a concurrent bench/test process gets its own DB.
+    db = os.path.join(scratch_dir("derby"), f"jobs_db_{os.getpid()}")
     url = derby_url(db, create=True)
     seed = table(spark, sf_dir, "nation").select(
         F.col("n_name").alias("name"), F.col("n_nationkey").alias("id")
