@@ -563,6 +563,53 @@ def x_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    n_salt: int = 8,
+) -> DataFrame:
+    """Skew-salted equi-join: the fact side gets a uniform salt derived
+    from the whole ROW (`xxhash64` of the fact key + a row-unique column
+    is unavailable generically, so `monotonically_increasing_id` seeds the
+    salt), the dim side is replicated ``n_salt`` ways, and the join runs
+    on (key, salt) — a single hot key's rows spread across ``n_salt``
+    shuffle partitions instead of one straggler task.  AQE's skew-join
+    split is the first line of defense (enabled in ENGINE_CONFS); explicit
+    salting is the deterministic fallback for extreme single-key skew or
+    for engines/stages AQE can't split (e.g. a skewed aggregation feeding
+    the join).  Cost: dim side ×n_salt — use only on skewed keys (a
+    production variant salts ONLY keys above a frequency threshold)."""
+    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salt))
+    f = fact.withColumn("_salt", salt)
+    d = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    )
+    return f.join(
+        d, (F.col(fact_key) == F.col(dim_key)) & (f["_salt"] == d["_salt"])
+    ).drop(d["_salt"])
+
+
+@register(
+    "x_join_skew_salted",
+    oracle="""
+    SELECT o_orderkey, o_custkey, c_name
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def x_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The salting pattern registered over the fixture join (uniform keys
+    here — the result must equal the plain join; the skew-splitting
+    property is asserted on a crafted hot-key corpus in
+    tests/test_skew.py)."""
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    return salted_join(orders, customer, "o_custkey", "c_custkey").select(
+        "o_orderkey", "o_custkey", "c_name"
+    )
+
+
 @register(
     "x_join_asof",
     oracle="""

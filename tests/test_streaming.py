@@ -109,6 +109,73 @@ def test_stream_stateful_apply_in_pandas_with_state(spark, sf_dir):
     assert got == want
 
 
+def test_stream_session_window_real(spark, sf_dir):
+    """Session windows on a real stream (complete mode) equal the batch
+    session-window aggregation of the same definition."""
+    gap = "30 minutes"
+
+    def sessions(df):
+        return (
+            df.groupBy("user_id", F.session_window("ts", gap).alias("w"))
+            .agg(F.count("*").alias("n"))
+            .select("user_id", F.col("w.start").alias("ws"), "n")
+        )
+
+    stream = stream_events(spark, sf_dir).select("user_id", "ts")
+    run_to_memory(sessions(stream), "sess_out", "complete")
+    got = {
+        (r.user_id, r.ws): r.n
+        for r in spark.sql("SELECT * FROM sess_out").collect()
+    }
+    want = {
+        (r.user_id, r.ws): r.n
+        for r in sessions(
+            table(spark, sf_dir, "events").select("user_id", "ts")
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_stream_http_foreach_sink(spark, sf_dir):
+    """The streaming twin of snk_http_post (SURVEY.md §2.1): a real
+    writeStream.foreach sink POSTs each row's /sync endpoint against the
+    stub API; the receipts read back must cover every distinct user id
+    exactly once per arrival."""
+    from dataengineer_scripts_spark.sinks import fetch_receipts, post_sync
+    from dataengineer_scripts_spark.sources.stub_api import TOKEN, StubApi
+
+    with StubApi([]) as api:
+        base, token = api.base_url, TOKEN
+        stream = (
+            stream_events(spark, sf_dir)
+            .select("user_id")
+            .dropDuplicates(["user_id"])
+        )
+
+        def process(row):
+            post_sync(base, token, int(row.user_id))
+
+        q = (
+            stream.writeStream.outputMode("update")
+            .foreach(process)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        rec = fetch_receipts(base, token)
+        want = {
+            int(r.user_id)
+            for r in table(spark, sf_dir, "events")
+            .select("user_id")
+            .distinct()
+            .collect()
+        }
+        assert set(rec["synced"]) == want
+        assert all(v == 1 for v in rec["attempts"].values())
+
+
 def test_stream_foreach_batch_sink(spark, sf_dir):
     """foreachBatch — the exactly-once sink adapter (collects per-batch
     row counts driver-side; the real engine pattern for idempotent
