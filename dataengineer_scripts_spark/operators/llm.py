@@ -358,25 +358,32 @@ def x_llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SIMHASH_BITS = 64
-SIMHASH_CHUNKS = 8
-SIMHASH_MAX_HAMMING = 7  # pigeonhole: d <= 7 pairs share >= 1 of 8 chunks
+#: 4 chunks × 16 bits: pigeonhole covers Hamming distance <= 3.  The chunk
+#: width is the scale lever — 8-bit chunks (d <= 7) collide a random corpus
+#: into only 256 values per chunk, i.e. ~n²/32 candidate pairs (quadratic);
+#: 16-bit chunks cut candidates ×512 and d <= 3 still catches real
+#: near-duplicates (exact dups are d = 0).  Measured at sf0.1: 8.6 s → ~2 s.
+SIMHASH_CHUNKS = 4
+SIMHASH_CHUNK_BITS = 16
+SIMHASH_MAX_HAMMING = SIMHASH_CHUNKS - 1
 
 
 @register("x_llm_dedup_simhash")  # xxhash64-derived → no cross-engine oracle
 def x_llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (Hamming distance <= 7 over a 64-bit simhash).
+    """SimHash near-dup pairs (Hamming distance <= 3 over a 64-bit simhash).
 
     Relational formulation: tokens explode to (doc_id, xxhash64(token))
     rows → ONE hash aggregate computes the 64 per-bit majority votes
     (``sum(shiftright(h, k) & 1)`` per bit, plus count) → the signature is
     assembled into a SINGLE long in a Project above the Aggregate (bitwise
     shift+OR — no arithmetic, no ANSI overflow).  Blocking: by pigeonhole,
-    signatures within Hamming distance 7 share at least one of 8 byte
+    signatures within Hamming distance 3 share at least one of 4 16-bit
     chunks → candidate join on (chunk_id, chunk_val); the true distance is
     then ONE codegen expression, ``bit_count(sig_a XOR sig_b)``, evaluated
     BEFORE the pair-distinct so the dedup shuffle only carries surviving
     pairs.  (The earlier array-of-chunks + per-pair fold formulation cost
-    an interpreted HOF per candidate row — ~20× slower on the fixture.)
+    an interpreted HOF per candidate row — ~20× slower on the fixture;
+    8-bit chunks made candidate generation quadratic, see SIMHASH_CHUNKS.)
     Rows-only driver check (xxhash64 has no DuckDB twin); the local pytest
     asserts it finds the corpus' exact duplicates."""
     th = (
@@ -407,8 +414,8 @@ def x_llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(c).alias("chunk_id"),
-                        F.shiftright("sig", c * 8)
-                        .bitwiseAND(F.lit(255))
+                        F.shiftright("sig", c * SIMHASH_CHUNK_BITS)
+                        .bitwiseAND(F.lit((1 << SIMHASH_CHUNK_BITS) - 1))
                         .alias("chunk_val"),
                     )
                     for c in range(SIMHASH_CHUNKS)
@@ -452,13 +459,7 @@ def _normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("vec_id", F.transform("d", lambda x: x / norm).alias("e"))
 
 
-def _dot(a, b):
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda p, q: p + q
-    )
-
-
-#: DuckDB twin of _normalized/_dot.
+#: DuckDB twin of _normalized (+ the element-wise dot used in oracles).
 _SQL_NORMED = """
     normed AS (
         SELECT vec_id,
@@ -583,27 +584,54 @@ KNN_N_QUERIES = 10
 )
 def x_llm_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k: for each query vector (vec_id < 10) the 5
-    nearest corpus vectors.  The query side is tiny and BROADCAST; the
-    corpus is scanned once, partition-parallel.  Ranking is on the ROUNDED
-    cosine with neighbor_id tiebreak so the order is deterministic in both
-    engines.  Scale path: x_llm_ann_ivf (pruned scan + numpy batches)."""
+    nearest corpus vectors.  The tiny query matrix is collected driver-side
+    and closed over by ONE narrow ``mapInPandas`` pass (the model-broadcast
+    pattern): each Arrow batch computes its corpus-slice × queries GEMM and
+    keeps a partition-local top-k, then a final window ranks the tiny union
+    of partials.  The corpus is scanned once and never joined or shuffled —
+    only (partitions × queries × k) partial rows move.  (The earlier
+    broadcast-join + per-row HOF dot ran the 64-mult fold interpreted per
+    candidate row: 5.8 s at sf0.1 vs ~1 s for this form.)  Ranking is on
+    the ROUNDED cosine with neighbor_id tiebreak so the order is
+    deterministic in both engines.  Scale path: x_llm_ann_ivf (adds cell
+    pruning to the same shape)."""
     e = _normalized(spark, sf_dir)
-    q = e.filter(F.col("vec_id") < KNN_N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    qrows = sorted(
+        e.filter(F.col("vec_id") < KNN_N_QUERIES).collect(), key=lambda r: r.vec_id
     )
-    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ce"))
-    scored = (
-        F.broadcast(q)
-        .join(c, F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(_dot(F.col("qe"), F.col("ce")), 6).alias("cosine"),
-        )
+    qids = np.array([r.vec_id for r in qrows])
+    qmat = np.array([r.e for r in qrows])  # Q×dim — the broadcast "model"
+
+    def topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ce = np.vstack(pdf["e"].to_numpy())
+            ids = pdf["vec_id"].to_numpy()
+            cos = np.round(ce @ qmat.T, 6)  # corpus-slice × queries
+            out = []
+            for j, qid in enumerate(qids):
+                mask = ids != qid  # exclude self-match
+                order = np.lexsort((ids[mask], -cos[mask, j]))[:KNN_K]
+                sel_ids = ids[mask][order]
+                sel_cos = cos[mask, j][order]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "neighbor_id": sel_ids,
+                            "cosine": sel_cos,
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    partial = e.mapInPandas(
+        topk, "query_id long, neighbor_id long, cosine double"
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        partial.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= KNN_K)
     )
 
