@@ -733,6 +733,103 @@ def x_llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LSH_PLANES = 16  # sign bits per vector
+LSH_BANDS = 4  # bands of LSH_PLANES/LSH_BANDS bits each
+LSH_SEED = 42
+
+
+@register("x_llm_ann_lsh")  # approximate by construction → rows-only check
+def x_llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH top-k — the bucketed alternative to IVF for
+    approximate similarity search.
+
+    16 fixed hyperplanes (deterministic seed) turn each vector into a
+    16-bit sign signature; signatures split into 4 bands of 4 bits, and a
+    corpus vector is a candidate for a query iff they share ≥ 1 band key
+    (same locality-sensitive bucket).  Plan shape mirrors x_llm_ann_ivf:
+    the plane matrix is a driver-held model closed over by ONE narrow
+    ``mapInPandas`` signature pass; the (query × band) probe set is tiny
+    and **broadcast**, so the corpus is never shuffled; scoring is a
+    partition-local GEMM top-k with a final window over the partial rows.
+    Recall < 1 by design (a true neighbor can disagree on every band) →
+    rows-only driver check; the local pytest asserts recall vs the exact
+    scan.  At 100 TB, band keys replace the IVF cells as the pruning
+    index — same candidate-join geometry, no training step."""
+    rng = np.random.RandomState(LSH_SEED)
+    planes = rng.randn(LSH_PLANES, 64)
+    band_bits = LSH_PLANES // LSH_BANDS
+
+    def band_keys(mat: np.ndarray) -> np.ndarray:
+        bits = (mat @ planes.T) > 0  # n × LSH_PLANES sign bits
+        weights = 1 << np.arange(band_bits)
+        return np.stack(
+            [
+                bits[:, b * band_bits : (b + 1) * band_bits] @ weights
+                for b in range(LSH_BANDS)
+            ],
+            axis=1,
+        )  # n × LSH_BANDS band keys
+
+    e = _normalized(spark, sf_dir)
+
+    def sig(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            keys = band_keys(np.vstack(pdf["e"].to_numpy()))
+            out = pdf.loc[pdf.index.repeat(LSH_BANDS)].reset_index(drop=True)
+            out["band_id"] = np.tile(np.arange(LSH_BANDS), len(pdf))
+            out["band_key"] = keys.reshape(-1)
+            yield out[["vec_id", "e", "band_id", "band_key"]]
+
+    corpus = e.mapInPandas(
+        sig, "vec_id long, e array<double>, band_id int, band_key int"
+    )
+
+    qrows = sorted(
+        e.filter(F.col("vec_id") < KNN_N_QUERIES).collect(), key=lambda r: r.vec_id
+    )
+    qmat = np.array([r.e for r in qrows])
+    qkeys = band_keys(qmat)
+    probes = spark.createDataFrame(
+        [
+            (int(r.vec_id), int(b), int(qkeys[i, b]), list(r.e))
+            for i, r in enumerate(qrows)
+            for b in range(LSH_BANDS)
+        ],
+        "query_id long, band_id int, band_key int, qe array<double>",
+    )
+    cand = (
+        corpus.join(F.broadcast(probes), ["band_id", "band_key"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "qe", "vec_id", "e")
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+
+    def topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            qe = np.vstack(pdf["qe"].to_numpy())
+            ce = np.vstack(pdf["e"].to_numpy())
+            pdf = pdf.assign(cosine=np.round(np.einsum("ij,ij->i", qe, ce), 6))
+            yield (
+                pdf.sort_values(
+                    ["query_id", "cosine", "vec_id"], ascending=[True, False, True]
+                )
+                .groupby("query_id", sort=False)
+                .head(KNN_K)[["query_id", "vec_id", "cosine"]]
+            )
+
+    partial = cand.mapInPandas(topk, "query_id long, vec_id long, cosine double")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KNN_K)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cosine", "rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
