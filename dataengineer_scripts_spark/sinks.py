@@ -46,21 +46,38 @@ def post_sync(base_url: str, token: str, node_id: int, retries: int = 1) -> int:
     semantics (``sync_app3.py:58-74``): bounded attempts, short-circuit on
     HTTP 200, give up after the budget."""
     url = f"{base_url}/analytic/nodes/{node_id}/sync"
+    req = urllib.request.Request(
+        url, data=b"{}", method="POST",
+        headers={"Authorization": token, "Content-Type": "application/json"},
+    )
     for attempt in range(1, retries + 1):
-        req = urllib.request.Request(
-            url, data=b"{}", method="POST",
-            headers={"Authorization": token, "Content-Type": "application/json"},
-        )
-        try:
-            with urllib.request.urlopen(req, timeout=10) as resp:
-                if resp.status == 200:  # success short-circuit (sync_app3.py:68)
-                    return attempt
-        except urllib.error.HTTPError as ex:
-            if ex.code < 500:
-                raise  # auth/404 are not transient — fail the task
+        if _post_once(req) == 200:  # success short-circuit (sync_app3.py:68)
+            return attempt
         if attempt < retries:
             time.sleep(0.01)  # bounded backoff; keeps tests fast
     return retries
+
+
+def _post_once(req: urllib.request.Request) -> int:
+    """One HTTP-level attempt.  Connection-level transients (refused/reset
+    under concurrent fan-out) are retried internally — the server never saw
+    those requests, so they consume no HTTP retry budget and cannot alter
+    receipt counts.  Client errors (<500) raise: auth/404 are not
+    transient and must fail the Spark task."""
+    last: Exception | None = None
+    for backoff in (0.0, 0.05, 0.2, 0.8):
+        if backoff:
+            time.sleep(backoff)
+        try:
+            with urllib.request.urlopen(req, timeout=10) as resp:
+                return resp.status
+        except urllib.error.HTTPError as ex:
+            if ex.code < 500:
+                raise
+            return ex.code  # 5xx: a served failure — budget-consuming
+        except urllib.error.URLError as ex:
+            last = ex
+    raise last  # connection never recovered — fail the task
 
 
 def http_post_partition(base_url: str, token: str, retries: int = 1):
