@@ -733,6 +733,88 @@ def x_llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "x_llm_nearest_class",
+    oracle="""
+    WITH comp AS (
+        SELECT label, t.i AS i, round(avg(embedding[t.i]::DOUBLE), 6) AS c
+        FROM embeddings, generate_series(1, 64) AS t(i)
+        GROUP BY label, t.i
+    ),
+    cents AS (
+        SELECT label AS clabel, list(c ORDER BY i) AS cent FROM comp
+        GROUP BY label
+    ),
+    scored AS (
+        SELECT e.vec_id, e.label, c.clabel,
+               round(list_sum(list_transform(generate_series(1, 64),
+                     i -> e.embedding[i]::DOUBLE * c.cent[i])), 4) AS score
+        FROM embeddings e CROSS JOIN cents c
+    )
+    SELECT vec_id, label, clabel AS pred_label, score FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY vec_id ORDER BY score DESC, clabel) AS rn
+        FROM scored)
+    WHERE rn = 1
+    """,
+)
+def x_llm_nearest_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped similarity / nearest-class assignment (the fixture `label`
+    column's intended use): per-label mean centroids, then every vector is
+    assigned to the centroid with the highest dot product.
+
+    Centroid build is RELATIONAL — posexplode to (label, pos, x) rows, one
+    hash aggregate for the per-component means (map-side partials), then
+    the 10 centroid vectors are collected driver-side as the classifier
+    model (10 × 64 doubles) and closed over by ONE narrow ``mapInPandas``
+    scoring pass: argmax of E·Cᵀ per Arrow batch — the corpus is scanned
+    once, never joined or shuffled.  Centroid components are rounded to 6
+    decimals on both engines BEFORE scoring and scores to 4 after (double
+    sum order differs between engines; rounding makes the comparison
+    order-insensitive)."""
+    emb = table(spark, sf_dir, "embeddings")
+    comp = (
+        emb.select(
+            "label", F.posexplode(F.transform("embedding", lambda x: x.cast("double")))
+        )
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("col"), 6).alias("c"))
+    )
+    crows = (
+        comp.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select("label", F.col("pc.c").alias("cent"))
+        .collect()
+    )
+    crows = sorted(crows, key=lambda r: r.label)
+    clabels = np.array([r.label for r in crows])
+    cmat = np.array([r.cent for r in crows])  # classes × dim — the model
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            scores = np.round(np.vstack(pdf["e"].to_numpy()) @ cmat.T, 4)
+            best = scores.argmax(1)  # first max → lowest label on ties
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "label": pdf["label"],
+                    "pred_label": clabels[best],
+                    "score": scores[np.arange(len(best)), best],
+                }
+            )
+
+    vecs = emb.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    return vecs.mapInPandas(
+        assign, "vec_id long, label int, pred_label int, score double"
+    )
+
+
 LSH_PLANES = 16  # sign bits per vector
 LSH_BANDS = 4  # bands of LSH_PLANES/LSH_BANDS bits each
 LSH_SEED = 42

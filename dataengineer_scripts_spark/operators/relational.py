@@ -655,6 +655,45 @@ def x_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_agg_hypertable_rollup",
+    oracle="""
+    SELECT date_trunc('day', ts::TIMESTAMP)::DATE AS d, event_type,
+           count(*) AS n,
+           round(sum(value), 4) AS total_value,
+           count(DISTINCT date_trunc('hour', ts::TIMESTAMP)) AS n_hours
+    FROM events GROUP BY 1, 2
+    """,
+)
+def x_agg_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: the DAILY aggregate is
+    computed FROM the HOURLY aggregate, not from raw rows — the
+    TimescaleDB/materialized-rollup pattern where each resolution
+    reaggregates the finer one.  At 100 TB the hourly layer is the
+    materialized continuous aggregate (incrementally maintained per
+    arriving partition); the daily/weekly layers reaggregate ~24×/7× fewer
+    rows instead of rescanning the hypertable.  `n_hours` (count of hourly
+    partials per day) proves the intermediate resolution exists.  The
+    oracle aggregates raw rows directly — sums associate, so the two-level
+    plan must agree exactly (final round only; partials stay unrounded)."""
+    e = table(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy(
+            F.date_trunc("hour", "ts").alias("h"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sv"))
+    )
+    return (
+        hourly.groupBy(F.to_date(F.date_trunc("day", "h")).alias("d"), "event_type")
+        .agg(
+            F.sum("n").alias("n"),
+            F.round(F.sum("sv"), 4).alias("total_value"),
+            F.count("*").cast("bigint").alias("n_hours"),
+        )
+    )
+
+
+@register(
     "x_agg_sum_avg_min_max",
     oracle="""
     SELECT l_returnflag, l_linestatus,
