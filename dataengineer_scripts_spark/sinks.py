@@ -46,11 +46,18 @@ def post_sync(base_url: str, token: str, node_id: int, retries: int = 1) -> int:
     semantics (``sync_app3.py:58-74``): bounded attempts, short-circuit on
     HTTP 200, give up after the budget."""
     url = f"{base_url}/analytic/nodes/{node_id}/sync"
-    req = urllib.request.Request(
-        url, data=b"{}", method="POST",
-        headers={"Authorization": token, "Content-Type": "application/json"},
-    )
     for attempt in range(1, retries + 1):
+        # X-Attempt is the idempotency key: connection-level replays inside
+        # _post_once resend the SAME key, so the server records exactly one
+        # attempt per budget iteration no matter how the network behaves.
+        req = urllib.request.Request(
+            url, data=b"{}", method="POST",
+            headers={
+                "Authorization": token,
+                "Content-Type": "application/json",
+                "X-Attempt": str(attempt),
+            },
+        )
         if _post_once(req) == 200:  # success short-circuit (sync_app3.py:68)
             return attempt
         if attempt < retries:
@@ -59,11 +66,16 @@ def post_sync(base_url: str, token: str, node_id: int, retries: int = 1) -> int:
 
 
 def _post_once(req: urllib.request.Request) -> int:
-    """One HTTP-level attempt.  Connection-level transients (refused/reset
-    under concurrent fan-out) are retried internally — the server never saw
-    those requests, so they consume no HTTP retry budget and cannot alter
-    receipt counts.  Client errors (<500) raise: auth/404 are not
-    transient and must fail the Spark task."""
+    """One HTTP-level attempt.  Connection-level transients under
+    concurrent fan-out are retried internally — refused/reset connections
+    surface BOTH as ``URLError`` (during connect) and as raw
+    ``ConnectionError``/``TimeoutError`` (reset while reading the
+    response, urllib does NOT wrap those) — the request was not served, so
+    these consume no HTTP retry budget and cannot alter receipt counts.
+    Client errors (<500) raise: auth/404 are not transient and must fail
+    the Spark task."""
+    import http.client
+
     last: Exception | None = None
     for backoff in (0.0, 0.05, 0.2, 0.8):
         if backoff:
@@ -75,7 +87,12 @@ def _post_once(req: urllib.request.Request) -> int:
             if ex.code < 500:
                 raise
             return ex.code  # 5xx: a served failure — budget-consuming
-        except urllib.error.URLError as ex:
+        except (
+            urllib.error.URLError,
+            ConnectionError,
+            TimeoutError,
+            http.client.HTTPException,
+        ) as ex:
             last = ex
     raise last  # connection never recovered — fail the task
 

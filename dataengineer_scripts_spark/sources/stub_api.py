@@ -54,7 +54,11 @@ class StubApi:
         self.nodes = nodes
         self.fail_first = fail_first
         self.synced: list[int] = []
-        self.attempts: dict[str, int] = defaultdict(int)
+        #: per node: the set of X-Attempt idempotency keys seen.  A client
+        #: replaying the SAME attempt (connection reset after the server
+        #: recorded it) does not change the count — sync is idempotent per
+        #: attempt key, the real-world contract for retried side effects.
+        self.attempt_keys: dict[str, set] = defaultdict(set)
         self.requests_seen: list[str] = []
         self._lock = threading.Lock()
 
@@ -99,7 +103,7 @@ class StubApi:
                 if parsed.path == RESET_PATH:
                     with stub._lock:
                         stub.synced.clear()
-                        stub.attempts.clear()
+                        stub.attempt_keys.clear()
                     self._json(200, {"ok": True})
                     return
                 parts = parsed.path.strip("/").split("/")
@@ -114,11 +118,17 @@ class StubApi:
                         return
                     node_id = parts[2]
                     with stub._lock:
-                        stub.attempts[node_id] += 1
-                        if stub.attempts[node_id] <= stub.fail_first:
+                        keys = stub.attempt_keys[node_id]
+                        # Idempotency key: replays of the same attempt (a
+                        # connection reset after the server recorded it)
+                        # leave the count unchanged and get the same answer.
+                        key = self.headers.get("X-Attempt") or f"_{len(keys) + 1}"
+                        keys.add(key)
+                        if len(keys) <= stub.fail_first:
                             self._json(500, {"error": "transient"})
                             return
-                        stub.synced.append(int(node_id))
+                        if int(node_id) not in stub.synced:
+                            stub.synced.append(int(node_id))
                     self._json(200, {"synced": node_id})
                     return
                 self._json(404, {"error": "not found"})
@@ -132,11 +142,13 @@ class StubApi:
                     return
                 if parsed.path == RECEIPTS_PATH:
                     with stub._lock:
-                        self._json(
-                            200,
-                            {"synced": list(stub.synced),
-                             "attempts": dict(stub.attempts)},
-                        )
+                        payload = {
+                            "synced": list(stub.synced),
+                            "attempts": {
+                                k: len(v) for k, v in stub.attempt_keys.items()
+                            },
+                        }
+                    self._json(200, payload)
                     return
                 if parsed.path == PROJECTS_PATH:
                     q = parse_qs(parsed.query)
@@ -162,6 +174,12 @@ class StubApi:
     @property
     def base_url(self) -> str:
         return f"http://127.0.0.1:{self._server.server_address[1]}"
+
+    @property
+    def attempts(self) -> dict[str, int]:
+        """Distinct attempt keys per node (what /receipts reports)."""
+        with self._lock:
+            return {k: len(v) for k, v in self.attempt_keys.items()}
 
     def start(self) -> "StubApi":
         self._thread.start()
