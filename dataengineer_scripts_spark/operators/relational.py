@@ -821,6 +821,60 @@ def x_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_win_distribution",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           ntile(4) OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def x_win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (ntile / percent_rank / cume_dist)
+    per nation — one shuffle by the partition key, one sort; the unique
+    c_custkey tiebreak makes the ordering (and therefore every
+    distribution value) total and cross-engine deterministic."""
+    c = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@register(
+    "x_agg_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.25), 4) AS p25,
+           round(quantile_cont(l_quantity, 0.50), 4) AS p50,
+           round(quantile_cont(l_quantity, 0.75), 4) AS p75,
+           round(quantile_cont(l_extendedprice, 0.95), 4) AS price_p95
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def x_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (`F.percentile` ≡ SQL
+    PERCENTILE_CONT ≡ DuckDB quantile_cont).  Exact percentile is a
+    sort-based aggregate (per-group value buffers); at 100 TB prefer
+    `approx_percentile` (t-digest sketch, bounded state, map-side partials)
+    unless exactness is contractual — the registered
+    `x_agg_approx_distinct` op shows the sketch-side pattern."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.25)), 4).alias("p25"),
+        F.round(F.percentile("l_quantity", F.lit(0.50)), 4).alias("p50"),
+        F.round(F.percentile("l_quantity", F.lit(0.75)), 4).alias("p75"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.95)), 4).alias("price_p95"),
+    )
+
+
+@register(
     "x_win_rank",
     oracle="""
     SELECT o_orderkey, o_orderpriority,
