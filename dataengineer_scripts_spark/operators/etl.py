@@ -258,10 +258,10 @@ def snk_excel_styled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Styled Excel report sink (``app.py:222-291``): the health report is
     computed distributed (flagship plan), then rendered driver-side with
     the reference's styling model — merged/filled header with the report
-    date, fixed column widths, per-status fill colors, thin borders.
-    openpyxl is absent in this container, so the workbook model serializes
-    to deterministic JSON (marked stub in sinks.write_excel_styled); the
-    returned frame is the report itself."""
+    date, fixed column widths, per-status fill colors (app.py:243-249
+    verbatim), thin borders.  A real ``.xlsx`` artifact is written via the
+    stdlib OOXML writer (``xlsx.write_xlsx``); the returned frame is the
+    report itself."""
     report = health_report(spark, sf_dir).orderBy("user_id")
     out = os.path.join(
         scratch_dir("excel_" + os.path.basename(sf_dir.rstrip("/"))),

@@ -16,10 +16,9 @@
 - ``snk_excel_styled`` — the styled Excel summary (``app.py:222-291``):
   computed as a DataFrame, then rendered driver-side.  The workbook *model*
   (header merge + date, fixed widths, per-status fill colors, thin borders)
-  is built as plain data and serialized with openpyxl when available; in
-  this container openpyxl is absent, so the model is written as
-  deterministic JSON instead (clearly-marked presentation stub — the
-  distributed part, computing the report, is real either way).
+  is built as plain data and rendered to a real ``.xlsx`` — via openpyxl
+  when available, else via the stdlib OOXML writer in ``xlsx.py`` (an
+  xlsx is a zip of XML parts; the styled subset we need is hand-emitted).
 - ``snk_stdout_progress`` — progress/trace output (``sync.py:57``,
   ``app.py:115`` tqdm): per-partition progress via a Spark accumulator,
   rendered on the driver (executors must not print to the user's stdout).
@@ -149,14 +148,17 @@ def write_json_records(df: DataFrame, path: str) -> None:
 
 # --- styled Excel sink -----------------------------------------------------
 
-#: Per-status fill colors — the reference's map at app.py:243-249.
+#: Per-status fill colors — the reference's map at app.py:243-249
+#: (C6EFCE / FFC7CE / FFE699 / BFBFBF / FFFFFF, verbatim).
 STATUS_FILLS = {
     "Success": "C6EFCE",
     "Failed": "FFC7CE",
-    "Not Synced": "FFEB9C",
-    "No Schedule": "D9D9D9",
+    "Not Synced": "FFE699",
+    "No Schedule": "BFBFBF",
     "": "FFFFFF",
 }
+#: Header fill — app.py:231 uses solid FFFF00 (yellow) on the merged row.
+HEADER_FILL = "FFFF00"
 #: Fixed column widths — app.py:235-241.
 COLUMN_WIDTHS = {
     "A": 12, "B": 10, "C": 28, "D": 28, "E": 10, "F": 14, "G": 60,
@@ -179,7 +181,7 @@ def build_workbook_model(
         "header": {
             "title": f"Job Status Report {d}",
             "merge": f"A1:{chr(ord('A') + len(cols) - 1)}1",
-            "fill": "BDD7EE",
+            "fill": HEADER_FILL,
         },
         "columns": cols,
         "column_widths": COLUMN_WIDTHS,
@@ -204,19 +206,19 @@ def write_excel_styled(
 ) -> str:
     """Render the report DataFrame as a styled workbook.  Distributed part:
     the report computation (upstream plan).  Driver part: presentation.
-    With openpyxl installed this writes a real ``.xlsx``; without it (this
-    container) it writes the deterministic JSON workbook model to
-    ``path + '.json'`` — a clearly-marked presentation stub."""
+    With openpyxl installed it renders through openpyxl; otherwise (this
+    container) the stdlib OOXML writer (``xlsx.write_xlsx``) emits the
+    same styled ``.xlsx`` — merged/filled header, column widths,
+    per-status fills, thin borders — directly as zip + XML."""
     rows = [r.asDict() for r in df.collect()]  # presentation layer: small report
     model = build_workbook_model(rows, columns=df.columns, report_date=report_date)
     try:
         import openpyxl
         from openpyxl.styles import Alignment, Border, Font, PatternFill, Side
     except ImportError:
-        out = path + ".json"
-        with open(out, "w") as f:
-            json.dump(model, f, indent=2, sort_keys=True)
-        return out
+        from .xlsx import write_xlsx
+
+        return write_xlsx(model, path)
 
     wb = openpyxl.Workbook()
     ws = wb.active

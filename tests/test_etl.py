@@ -4,7 +4,6 @@ bounded retry semantics, and the styled-workbook model."""
 
 from __future__ import annotations
 
-import json
 import urllib.error
 import urllib.request
 from datetime import date
@@ -119,19 +118,57 @@ def test_workbook_model_styles():
     assert m["column_widths"]["G"] == 60  # note column width, app.py:235-241
 
 
-def test_excel_sink_writes_model(tmp_path, spark):
+def test_excel_sink_writes_real_xlsx(tmp_path, spark):
+    from dataengineer_scripts_spark.xlsx import read_xlsx, validate_xlsx
+
     df = spark.createDataFrame(
-        [("u1", "Success", ""), ("u2", "Failed", "boom")],
+        [("u1", "Success", ""), ("u2", "Failed", "boom"),
+         ("u3", "Not Synced", "Last Sync at ..."), ("u4", "No Schedule", "")],
         "name string, status string, error_note string",
     )
     out = write_excel_styled(df, str(tmp_path / "report.xlsx"),
                              report_date=date(2026, 8, 13))
-    with open(out) as f:
-        payload = json.load(f) if out.endswith(".json") else None
-    if payload is not None:  # openpyxl absent → deterministic model stub
-        assert payload["columns"] == ["name", "status", "error_note"]
-        assert [r["fill"] for r in payload["rows"]] == [
-            STATUS_FILLS["Success"], STATUS_FILLS["Failed"]]
+    assert out.endswith(".xlsx")
+    validate_xlsx(out)
+    wb = read_xlsx(out)
+    # header: title, merge range across the 3 columns, reference yellow fill
+    assert wb["rows"][1][0] == "Job Status Report 2026-08-13"
+    assert wb["merges"] == ["A1:C1"]
+    assert wb["header_fill"] == "FFFF00"  # app.py:231
+    # row 2 = column names; rows 3+ = data with per-status fills
+    assert wb["rows"][2] == ["name", "status", "error_note"]
+    assert wb["rows"][3] == ["u1", "Success", ""]
+    assert wb["rows"][4] == ["u2", "Failed", "boom"]
+    assert [wb["row_fills"][r] for r in (3, 4, 5, 6)] == [
+        STATUS_FILLS["Success"], STATUS_FILLS["Failed"],
+        STATUS_FILLS["Not Synced"], STATUS_FILLS["No Schedule"]]
+    # reference hex codes, app.py:243-249
+    assert STATUS_FILLS["Not Synced"] == "FFE699"
+    assert STATUS_FILLS["No Schedule"] == "BFBFBF"
+    # column widths survive the round trip (app.py:235-241 analog)
+    assert wb["column_widths"]["G"] == 60.0
+
+
+def test_xlsx_writer_escapes_and_types(tmp_path):
+    from dataengineer_scripts_spark.sinks import build_workbook_model
+    from dataengineer_scripts_spark.xlsx import read_xlsx, write_xlsx
+
+    rows = [
+        {"name": "a<b>&\"c\"", "status": "Success", "n": 7, "score": 1.5},
+        {"name": "plain", "status": "", "n": None, "score": -2.0},
+    ]
+    model = build_workbook_model(
+        rows, columns=["name", "status", "n", "score"],
+        report_date=date(2026, 1, 2))
+    p = str(tmp_path / "t.xlsx")
+    write_xlsx(model, p)
+    wb = read_xlsx(p)
+    assert wb["rows"][3] == ["a<b>&\"c\"", "Success", 7, 1.5]
+    assert wb["rows"][4] == ["plain", "", None, -2.0]
+    # determinism: same model → byte-identical artifact
+    p2 = str(tmp_path / "t2.xlsx")
+    write_xlsx(model, p2)
+    assert open(p, "rb").read() == open(p2, "rb").read()
 
 
 def test_memo_cache_computes_once_per_key(spark, sf_dir):
