@@ -51,7 +51,13 @@ from ..sources.files import (
     read_json_file,
     write_jdbc_table,
 )
-from ..sources.rest import NODE_FIELDS, NODE_SCHEMA, login, register_rest_source
+from ..sources.rest import (
+    NODE_FIELDS,
+    NODE_SCHEMA,
+    login,
+    register_rest_source,
+    rest_read,
+)
 from ..sources.stub_api import PROJECTS_PATH, RESET_PATH, StubApi
 from ..tables import table
 from .health import health_report
@@ -86,8 +92,10 @@ def nodes_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _node_seed_rows(spark: SparkSession, sf_dir: str) -> list[dict]:
     # Server seeding is setup for the external-API stand-in, not operator
-    # dataflow — 25 dim rows, driver-side by design.
-    rows = nodes_df(spark, sf_dir).collect()
+    # dataflow — 25 dim rows, driver-side by design.  Seeded in id order so
+    # the API's pagination is deterministic (page 0 = lowest 8 ids), which
+    # lets the limit-pushdown operator carry an exact oracle.
+    rows = nodes_df(spark, sf_dir).orderBy("id").collect()
     return [{k: r[k] for k in NODE_FIELDS} for r in rows]
 
 
@@ -157,18 +165,32 @@ def src_rest_get(spark: SparkSession, sf_dir: str) -> DataFrame:
     Either way the result is identical; pushdown only changes bytes moved."""
     api = _server(spark, sf_dir)
     token = login(api.base_url)
-    register_rest_source(spark)
     # python.filterPushdown is pinned on via ENGINE_CONFS (registry applies
     # it to driver-owned sessions too); without it Spark rejects any reader
     # that implements pushFilters.
-    return (
-        spark.read.format("rest")
-        .option("base_url", api.base_url)
-        .option("token", token)
-        .option("page_size", 8)
-        .load()
-        .filter(F.col("type") != "next")
+    return rest_read(spark, api.base_url, token, page_size=8).filter(
+        F.col("type") != "next"
     )
+
+
+@register(
+    "src_rest_limit_push",
+    oracle=f"""
+    WITH {_SQL_NODES}
+    SELECT * FROM nodes ORDER BY id LIMIT 8
+    """,
+)
+def src_rest_limit_push(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded REST fetch with the limit pushed to the source
+    (``app.py:126`` fetches exactly one ``page_size=8`` page): the
+    ``limit`` reader option caps the planned partitions at
+    ``ceil(limit/page_size)`` and the planning probe's page-0 payload is
+    reused, so exactly ONE projects request is issued.  The stub is seeded
+    in id order, so page 0 is deterministically the 8 lowest ids and the
+    result carries a full oracle (``ORDER BY id LIMIT 8``)."""
+    api = _server(spark, sf_dir)
+    token = login(api.base_url)
+    return rest_read(spark, api.base_url, token, page_size=8, limit=8)
 
 
 @register(

@@ -19,6 +19,17 @@ Spark-first design: a **Python DataSource** (Spark 4
   params, so filtered pages are never transferred; unsupported filters are
   returned to Spark for post-scan evaluation (correctness never depends on
   the source honoring them).
+- *Limit pushdown*: a ``limit`` reader option bounds the fetch to
+  ``ceil(limit / page_size)`` pages, exactly like the reference's
+  ``page_size=8&page=0`` bounded fetch (``app.py:126,162,202``).  The
+  Python DataSource API (4.1) exposes no ``pushLimit`` hook — the JVM
+  DSv2 ``SupportsPushDownLimit`` surface isn't mirrored — so the limit is
+  declared at read time (``rest_read(..., limit=8)`` sets the option AND
+  applies ``df.limit``); the planning probe's page-0 payload is embedded
+  into partition 0 so a one-page limit costs exactly ONE data fetch.
+  Safety: when a residual client-side ``type_eq`` filter is active the
+  page bound is NOT applied (truncating pre-filter pages could starve a
+  post-filter limit); Spark's own limit still guarantees the result.
 - *Auth on the driver only*: the login exchange happens once, driver-side;
   executors receive the short-lived bearer token via the pickled reader,
   never the credentials.
@@ -79,8 +90,12 @@ def login(base_url: str, username: str | None = None, password: str | None = Non
 
 
 class RestPagePartition(InputPartition):
-    def __init__(self, page: int):
+    def __init__(self, page: int, rows: list | None = None):
         self.page = page
+        #: planning-probe payload for page 0, embedded so the executor
+        #: doesn't refetch what the driver already holds (a page is ≤
+        #: page_size small dicts — cheap to pickle into the task).
+        self.rows = rows
 
 
 class RestDataSourceReader(DataSourceReader):
@@ -90,6 +105,9 @@ class RestDataSourceReader(DataSourceReader):
         self.page_size = int(options.get("page_size", DEFAULT_PAGE_SIZE))
         self.type_ne: str | None = options.get("type_ne")
         self.type_eq: str | None = None
+        self.limit: int | None = (
+            int(options["limit"]) if "limit" in options else None
+        )
 
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
         """Translate supported predicates to API query params; yield back
@@ -112,15 +130,38 @@ class RestDataSourceReader(DataSourceReader):
             params.append(f"type_ne={self.type_ne}")
         return f"{self.base_url}{PROJECTS_PATH}?" + "&".join(params)
 
+    def _effective_limit(self) -> int | None:
+        # A client-side residual filter (type_eq) makes page truncation
+        # unsafe: pages dropped pre-filter could starve a post-filter
+        # limit.  type_ne is applied server-side before pagination, so it
+        # composes with the page bound.
+        return None if self.type_eq is not None else self.limit
+
     def partitions(self) -> Sequence[RestPagePartition]:
         # Planning fetch (driver-side): one cheap page-0 probe for the total,
         # then one partition per page — executors fetch pages in parallel.
+        # The probe's payload rides along in partition 0, so the limit≤page
+        # case (the reference's `page_size=8&page=0` single-page fetch,
+        # app.py:126) performs exactly one data request in total.
         head = _get_json(self._query(0), self.token)
-        n_pages = max(1, math.ceil(head["total"] / self.page_size))
-        return [RestPagePartition(p) for p in range(n_pages)]
+        total = head["total"]
+        limit = self._effective_limit()
+        if limit is not None:
+            total = min(total, limit)
+        n_pages = max(1, math.ceil(total / self.page_size))
+        return [
+            RestPagePartition(p, rows=head["data"] if p == 0 else None)
+            for p in range(n_pages)
+        ]
 
     def read(self, partition: RestPagePartition) -> Iterator[tuple]:
-        rows = _get_json(self._query(partition.page), self.token)["data"]
+        rows = partition.rows
+        if rows is None:
+            rows = _get_json(self._query(partition.page), self.token)["data"]
+        limit = self._effective_limit()
+        if limit is not None:
+            # rows remaining under the limit once earlier pages are counted
+            rows = rows[: max(0, limit - partition.page * self.page_size)]
         for r in rows:
             if self.type_eq is not None and r.get("type") != self.type_eq:
                 continue
@@ -145,3 +186,29 @@ class RestDataSource(DataSource):
 def register_rest_source(spark) -> None:
     """Idempotently register the ``rest`` format on this session."""
     spark.dataSource.register(RestDataSource)
+
+
+def rest_read(
+    spark,
+    base_url: str,
+    token: str,
+    page_size: int = DEFAULT_PAGE_SIZE,
+    limit: int | None = None,
+):
+    """The blessed read path for the ``rest`` format.  ``limit`` is pushed
+    to the source as a reader option (bounding pages fetched to
+    ``ceil(limit/page_size)``, the reference's bounded-fetch behavior at
+    ``app.py:126``) AND applied as a plan-level ``df.limit`` — the plan
+    limit guarantees the row count regardless of what the source honors,
+    the option keeps the bytes moved proportional to the limit."""
+    register_rest_source(spark)
+    reader = (
+        spark.read.format("rest")
+        .option("base_url", base_url)
+        .option("token", token)
+        .option("page_size", page_size)
+    )
+    if limit is not None:
+        reader = reader.option("limit", limit)
+    df = reader.load()
+    return df.limit(limit) if limit is not None else df

@@ -84,6 +84,53 @@ def test_server_side_filter_reduces_transfer(api):
     assert any("type_ne=next" in seen for seen in api.requests_seen)
 
 
+def test_limit_pushdown_fetches_exactly_one_page(api):
+    r = RestDataSourceReader(
+        {"base_url": api.base_url, "token": TOKEN, "page_size": "4", "limit": "4"}
+    )
+    parts = r.partitions()
+    assert len(parts) == 1  # ceil(4/4) of 10 total — limit bounds the plan
+    rows = [row for p in parts for row in r.read(p)]
+    assert len(rows) == 4
+    # the planning probe's payload rides in partition 0: ONE data request
+    pages = [s for s in api.requests_seen if "/analytic/projects?" in s]
+    assert len(pages) == 1
+
+
+def test_limit_pushdown_truncates_last_page(api):
+    r = RestDataSourceReader(
+        {"base_url": api.base_url, "token": TOKEN, "page_size": "4", "limit": "6"}
+    )
+    parts = r.partitions()
+    assert len(parts) == 2  # ceil(6/4)
+    rows = [row for p in parts for row in r.read(p)]
+    assert len(rows) == 6  # page 1 truncated to the 2 remaining rows
+    pages = [s for s in api.requests_seen if "/analytic/projects?" in s]
+    assert len(pages) == 2  # probe (reused as partition 0) + page 1
+
+
+def test_limit_not_applied_under_residual_client_filter(api):
+    # a client-side type_eq residual makes page truncation unsafe: the
+    # reader must ignore the limit and let Spark's plan limit decide.
+    r = RestDataSourceReader(
+        {"base_url": api.base_url, "token": TOKEN, "page_size": "4", "limit": "2"}
+    )
+    list(r.pushFilters([EqualTo(("type",), "next")]))
+    rows = [row for p in r.partitions() for row in r.read(p)]
+    assert [row[0] for row in rows] == [4, 9]  # all matches, not first-2-rows
+
+
+def test_rest_read_limit_end_to_end(api, spark):
+    from dataengineer_scripts_spark.sources.rest import rest_read
+
+    df = rest_read(spark, api.base_url, TOKEN, page_size=4, limit=4)
+    assert df.count() == 4
+    pages = [s for s in api.requests_seen if "/analytic/projects?" in s]
+    # planning probe reused for partition 0 → one request per job; Spark
+    # may re-plan (count triggers one job), allow probe+0 but never page 1+
+    assert all("page=0" in s for s in pages)
+
+
 def test_retry_short_circuits_on_success():
     with StubApi(list(NODES), fail_first=2) as flaky:
         used = post_sync(flaky.base_url, TOKEN, 1, retries=3)
