@@ -237,9 +237,20 @@ def x_llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     stay EXACT: the hot shingles' contribution to each surviving pair's
     common count is added back by a candidate-linear join against the hot
     shingle rows (each doc holds few hot shingles), and sizes always count
-    the full shingle set.  Only pairs sharing NOTHING BUT boilerplate are
-    skipped — their J is ≈ 0 by definition (on the fixture the cap is
-    inert and output equals the exact all-pairs oracle)."""
+    the full shingle set.
+
+    Recall is ALSO exact, in two cases.  A pair invisible to the cold
+    self-join shares only hot shingles, so its intersection is at most
+    ``min(hot_a, hot_b)`` — for it to reach J ≥ 0.5 BOTH docs must be
+    template-dominated (cold shingles ≤ half their set).  Those docs are
+    routed through a completion pass: mostly-hot docs pair via their hot
+    shingle rows and get full-set Jaccard via ``_pair_jaccard``.  The
+    completion join's size is governed by the template-class sizes, and
+    every pair it emits is (near-)real output rather than skew waste —
+    exact template COPIES should still be collapsed by
+    ``x_llm_dedup_exact`` first at scale, since their pair set is
+    inherently quadratic in the class size.  On the fixture the cap is
+    inert and output equals the exact all-pairs oracle."""
     sh = _shingle_rows(spark, sf_dir)
     n_docs = table(spark, sf_dir, "documents").agg(F.count("*").alias("n_docs"))
     hot = _hot_shingle_keys(sh, n_docs)
@@ -271,7 +282,7 @@ def x_llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     c = F.col("c_cold") + F.col("c_hot")
     j = c.cast("double") / ((F.col("sa.n") + F.col("sb.n") - c).cast("double"))
-    return (
+    via_cold = (
         cold_common.join(hot_common, ["doc_a", "doc_b"], "left")
         .withColumn("c_hot", F.coalesce("c_hot", F.lit(0)))
         .join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
@@ -279,6 +290,34 @@ def x_llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(j >= 0.5)
         .select("doc_a", "doc_b", F.round(j, 6).alias("jaccard"))
     )
+
+    # Completion pass (recall): pairs whose ENTIRE overlap is hot never met
+    # in the cold self-join, and can reach J >= 0.5 only when both docs are
+    # template-dominated (cold <= half the shingle set).  Pair exactly those
+    # docs through their hot shingle rows, drop pairs the cold route already
+    # produced, and compute full-set Jaccard candidate-linearly.  Empty
+    # whenever the cap is inert (no hot shingles -> no mostly-hot docs).
+    cold_n = cold.groupBy("doc_id").agg(F.count("*").alias("n_cold"))
+    mostly_hot_docs = (
+        sizes.join(cold_n, "doc_id", "left")
+        .filter(F.coalesce(F.col("n_cold"), F.lit(0)) * 2 <= F.col("n"))
+        .select("doc_id")
+    )
+    mh_sh = hot_sh.join(mostly_hot_docs, "doc_id")
+    extra_pairs = (
+        mh_sh.select(F.col("doc_id").alias("doc_a"), "h")
+        .join(mh_sh.select(F.col("doc_id").alias("doc_b"), "h"), "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+        .join(cold_common.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_anti")
+    )
+    via_hot = (
+        _pair_jaccard(extra_pairs, sh)
+        .filter(F.col("j") >= 0.5)
+        .select("doc_a", "doc_b", F.round("j", 6).alias("jaccard"))
+    )
+    return via_cold.unionByName(via_hot)
 
 
 #: MinHash/LSH geometry: 128 hashes in 32 bands of 4 rows.  At the J=0.8
@@ -533,7 +572,7 @@ def x_llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"id_a": lo[keep], "id_b": hi[keep], "cosine": cos[keep]}
         )
 
-    def cell_pairs(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def cell_pairs(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         i, j = key
         if i == j:  # diagonal cell: triangle within one block
             ids = pdf["vec_id"].to_numpy()
@@ -634,6 +673,176 @@ def x_llm_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         partial.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= KNN_K)
     )
+
+
+#: batch-query set: every other vector (250 queries at sf0.01, 1000 at
+#: sf0.1) — a query SET as a DataFrame, not a driver-held literal list.
+KNN_BATCH_MOD = 2
+
+_SQL_KNN_BATCH = f"""
+    WITH {{normed}},
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               round(list_sum(list_transform(generate_series(1, 64),
+                     i -> q.e[i] * c.e[i])), 6) AS cosine
+        FROM normed q JOIN normed c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id % {KNN_BATCH_MOD} = 0
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored)
+    WHERE rank <= {KNN_K}
+"""
+
+
+def _partial_topk_frame(qids, qmat, cand_ids, cand_mat, k) -> pd.DataFrame:
+    """Exact per-query top-k of one (query-slice × candidate-slice) GEMM.
+    Ranking is on the ROUNDED cosine with id tiebreak (lexsort — exact, no
+    argpartition boundary-tie hazard), so partials compose deterministically
+    under the final window in both engines."""
+    cos = np.round(cand_mat @ qmat.T, 6)  # C×Q
+    out = []
+    for j, qid in enumerate(qids):
+        mask = cand_ids != qid  # exclude self-match
+        ids = cand_ids[mask]
+        col = cos[mask, j]
+        order = np.lexsort((ids, -col))[:k]
+        out.append(
+            pd.DataFrame(
+                {"query_id": qid, "neighbor_id": ids[order], "cosine": col[order]}
+            )
+        )
+    if not out:
+        return pd.DataFrame({"query_id": [], "neighbor_id": [], "cosine": []}).astype(
+            {"query_id": "int64", "neighbor_id": "int64", "cosine": "float64"}
+        )
+    return pd.concat(out, ignore_index=True)
+
+
+def knn_batch_broadcast(corpus: DataFrame, queries: DataFrame, k: int) -> DataFrame:
+    """Batch kNN, broadcast regime: the query side is a DataFrame whose
+    materialized matrix fits executor memory (Q×dim doubles — 1M×64 ≈
+    0.5 GB upper bound; beyond that use ``knn_batch_blocked``).  The query
+    matrix rides a **TorrentBroadcast** — staged through the driver once
+    (exactly like a broadcast-hash-join build side) and torrent-distributed
+    once per executor, NOT pickled into every task closure.  The corpus is
+    scanned once by ONE narrow ``mapInPandas`` (per-batch GEMM +
+    partition-local exact top-k) and never joined or shuffled; only
+    (batches × Q × k) partial rows reach the final window."""
+    spark = corpus.sparkSession
+    qrows = sorted(queries.select("vec_id", "e").collect(), key=lambda r: r.vec_id)
+    bc = spark.sparkContext.broadcast(
+        (np.array([r.vec_id for r in qrows]), np.array([r.e for r in qrows]))
+    )
+
+    def topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qids, qmat = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            yield _partial_topk_frame(
+                qids, qmat, pdf["vec_id"].to_numpy(), np.vstack(pdf["e"].to_numpy()), k
+            )
+
+    partial = corpus.mapInPandas(
+        topk, "query_id long, neighbor_id long, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return partial.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def knn_batch_blocked(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    q_blocks: int = 4,
+    c_blocks: int = 4,
+) -> DataFrame:
+    """Batch kNN, blocked-GEMM regime: NO driver collect, NO broadcast, no
+    fit-anywhere assumption on either side — the fully distributed path
+    when the query set is itself a big table.
+
+    Bipartite variant of the ``x_llm_dedup_embed`` upper-triangle grid:
+    queries hash into ``q_blocks`` row blocks, corpus into ``c_blocks``
+    column blocks; each side is replicated to the other side's block count
+    (corpus ×q_blocks, queries ×c_blocks — the entire shuffle cost, chosen
+    by the two knobs) and every (qb, cb) cell is one ``applyInPandas``
+    group computing a bounded (Q/q_blocks × C/c_blocks) GEMM with an exact
+    partial top-k.  Each query meets every corpus vector exactly once
+    across its ``c_blocks`` cells, so the final window over (c_blocks × k)
+    partials per query is exact.  Task memory is bounded by the block
+    sizes regardless of total scale."""
+    c = corpus.select(
+        "vec_id",
+        "e",
+        F.lit("c").alias("side"),
+        F.pmod(F.xxhash64("vec_id"), F.lit(c_blocks)).alias("cb"),
+        F.explode(F.sequence(F.lit(0), F.lit(q_blocks - 1))).alias("qb"),
+    )
+    q = queries.select(
+        "vec_id",
+        "e",
+        F.lit("q").alias("side"),
+        F.explode(F.sequence(F.lit(0), F.lit(c_blocks - 1))).alias("cb"),
+        F.pmod(F.xxhash64("vec_id"), F.lit(q_blocks)).alias("qb"),
+    ).select("vec_id", "e", "side", "cb", "qb")
+
+    def cell_topk(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        qs = pdf[pdf["side"] == "q"]
+        cs = pdf[pdf["side"] == "c"]
+        if qs.empty or cs.empty:
+            return pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "cosine": []}
+            ).astype(
+                {"query_id": "int64", "neighbor_id": "int64", "cosine": "float64"}
+            )
+        return _partial_topk_frame(
+            qs["vec_id"].to_numpy(),
+            np.vstack(qs["e"].to_numpy()),
+            cs["vec_id"].to_numpy(),
+            np.vstack(cs["e"].to_numpy()),
+            k,
+        )
+
+    partial = c.unionByName(q).groupBy("qb", "cb").applyInPandas(
+        cell_topk, "query_id long, neighbor_id long, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return partial.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+@register(
+    "x_llm_knn_batch",
+    oracle=_SQL_KNN_BATCH.format(normed=_SQL_NORMED.strip().rstrip()),
+)
+def x_llm_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed batch similarity search, broadcast regime: the query
+    set is a DataFrame (every other vector — 1000 queries at sf0.1), not a
+    driver-held literal list; exact top-5 cosine neighbors per query.  See
+    ``knn_batch_broadcast`` for the plan shape (corpus never shuffled)."""
+    e = _normalized(spark, sf_dir)
+    queries = e.filter(F.col("vec_id") % KNN_BATCH_MOD == 0)
+    return knn_batch_broadcast(e, queries, KNN_K)
+
+
+@register(
+    "x_llm_knn_batch_blocked",
+    oracle=_SQL_KNN_BATCH.format(normed=_SQL_NORMED.strip().rstrip()),
+)
+def x_llm_knn_batch_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed batch similarity search, blocked regime: same query set
+    and same exact answer as ``x_llm_knn_batch``, computed with NO driver
+    collect and no broadcast — the path for query sets too big to fit
+    anywhere (see ``knn_batch_blocked``).  Both regimes hash-match the
+    same oracle, locking in that the regime switch is purely physical."""
+    e = _normalized(spark, sf_dir)
+    queries = e.filter(F.col("vec_id") % KNN_BATCH_MOD == 0)
+    return knn_batch_blocked(e, queries, KNN_K)
 
 
 IVF_CELLS = 10

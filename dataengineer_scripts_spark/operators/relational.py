@@ -659,7 +659,7 @@ def x_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT date_trunc('day', ts::TIMESTAMP)::DATE AS d, event_type,
            count(*) AS n,
-           round(sum(value), 4) AS total_value,
+           round(sum(value::DECIMAL(30,9)), 4)::DOUBLE AS total_value,
            count(DISTINCT date_trunc('hour', ts::TIMESTAMP)) AS n_hours
     FROM events GROUP BY 1, 2
     """,
@@ -673,21 +673,29 @@ def x_agg_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     arriving partition); the daily/weekly layers reaggregate ~24×/7× fewer
     rows instead of rescanning the hypertable.  `n_hours` (count of hourly
     partials per day) proves the intermediate resolution exists.  The
-    oracle aggregates raw rows directly — sums associate, so the two-level
-    plan must agree exactly (final round only; partials stay unrounded)."""
+    oracle aggregates raw rows directly, so the rollup must agree with the
+    one-level sum exactly — which double addition does NOT guarantee
+    (FP addition is non-associative; an hourly→daily re-sum can differ in
+    the last ulp and flip a round(...,4) near a tie).  Both engines
+    therefore sum ``value`` as DECIMAL(30,9) — decimal addition IS
+    associative, so the two-level plan equals the direct sum bit-for-bit
+    at any partitioning — and cast back to double after the final round."""
     e = table(spark, sf_dir, "events")
     hourly = (
         e.groupBy(
             F.date_trunc("hour", "ts").alias("h"),
             "event_type",
         )
-        .agg(F.count("*").alias("n"), F.sum("value").alias("sv"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(30,9)")).alias("sv"),
+        )
     )
     return (
         hourly.groupBy(F.to_date(F.date_trunc("day", "h")).alias("d"), "event_type")
         .agg(
             F.sum("n").alias("n"),
-            F.round(F.sum("sv"), 4).alias("total_value"),
+            F.round(F.sum("sv"), 4).cast("double").alias("total_value"),
             F.count("*").cast("bigint").alias("n_hours"),
         )
     )

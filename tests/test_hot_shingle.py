@@ -74,6 +74,36 @@ def test_hot_shingle_cap_prunes_boilerplate_only_pairs(spark, tmp_path):
     assert out == {(1, 2): 1.0}
 
 
+def test_template_duplicates_survive_the_cap(spark, tmp_path):
+    # 120 docs are literal copies of one template whose every shingle is
+    # hot (df = 120 > the 100 floor).  The cold self-join cannot see these
+    # pairs (their entire overlap is hot) — the mostly-hot completion pass
+    # must recover them with exact J = 1.0.  A doc that is only half
+    # template (cold-dominated) must NOT gain false pairs.
+    template = "hot1 hot2 hot3 hot4 hot5"
+    docs = [(i, template) for i in range(120)]
+    docs.append((500, "c1 c2 c3 c4 hot1 hot2 hot3"))  # cold-dominated
+    sf = _write_docs(spark, tmp_path, docs)
+
+    sh = _shingle_rows(spark, sf)
+    n_docs = table(spark, sf, "documents").agg(F.count("*").alias("n_docs"))
+    assert _hot_shingle_keys(sh, n_docs).count() == 3  # all template grams
+
+    # the cold route alone misses every template pair...
+    assert all(a == 500 or b == 500 for (a, b) in _cold_pairs(spark, sf)) \
+        or len(_cold_pairs(spark, sf)) == 0
+    # ...but the operator's completion pass recovers all C(120,2) of them
+    out = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in x_llm_dedup_ngram_jaccard(spark, sf).collect()
+    }
+    template_pairs = {(a, b) for (a, b) in out if a != 500 and b != 500}
+    assert len(template_pairs) == 120 * 119 // 2
+    assert all(out[p] == 1.0 for p in template_pairs)
+    # the half-template doc has J = 1/7 with each template copy — below 0.5
+    assert not any(a == 500 or b == 500 for (a, b) in out)
+
+
 def test_cap_inert_below_floor(spark, tmp_path):
     # A shingle in every doc of a small corpus (df < 100 floor) is NOT
     # capped — candidates still flow through it.

@@ -75,6 +75,26 @@ def test_no_cartesian_in_pair_generation(spark, sf_dir):
         assert "BroadcastNestedLoopJoin" not in plan, name
 
 
+def test_knn_batch_never_shuffles_the_corpus(spark, sf_dir):
+    # broadcast regime: corpus scan → mapInPandas with NO Exchange below
+    # it; the only shuffle is the final window over tiny top-k partials.
+    plan = _physical(DEFS["x_llm_knn_batch"].fn(spark, sf_dir))
+    assert plan.count("Exchange") == 1
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the one Exchange must sit ABOVE the python map (partials, not corpus)
+    assert plan.index("Exchange") < plan.index("MapInPandas")
+
+
+def test_knn_batch_blocked_is_two_bounded_shuffles(spark, sf_dir):
+    # blocked regime: one hash shuffle into (qb, cb) GEMM cells + the
+    # final window over partials — never a join, never a collect.
+    plan = _physical(DEFS["x_llm_knn_batch_blocked"].fn(spark, sf_dir))
+    assert plan.count("Exchange") == 2
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_whole_stage_codegen_on_scalar_layer(spark, sf_dir):
     plan = _physical(DEFS["fn_case_status"].fn(spark, sf_dir))
     # codegen'd operators carry the `*(stageId)` prefix in plan text
@@ -82,9 +102,16 @@ def test_whole_stage_codegen_on_scalar_layer(spark, sf_dir):
     assert "BatchEvalPython" not in plan  # no row-at-a-time Python anywhere
 
 
+# flagship_sync is excluded with the snk_/src_/exec_ families: building its
+# frame performs the HTTP fan-out side effect (stub reset + POSTs) at
+# fn-call time, which a plan-only sweep must not trigger (it also mutates
+# the shared stub state other tests read).
+_PLAN_SWEEP_EXCLUDED = ("snk_", "src_", "exec_", "flagship_sync")
+
+
 @pytest.mark.parametrize(
     "name",
-    [n for n in DEFS if not n.startswith(("snk_", "src_", "exec_"))],
+    [n for n in DEFS if not n.startswith(_PLAN_SWEEP_EXCLUDED)],
 )
 def test_no_row_at_a_time_python_udf(spark, sf_dir, name):
     plan = _physical(DEFS[name].fn(spark, sf_dir))
