@@ -58,7 +58,12 @@ from ..sources.rest import (
     register_rest_source,
     rest_read,
 )
-from ..sources.stub_api import PROJECTS_PATH, RESET_PATH, StubApi
+from ..sources.stub_api import (
+    PROJECTS_PATH,
+    RECEIPTS_LIST_PATH,
+    RESET_PATH,
+    StubApi,
+)
 from ..tables import table
 from .health import health_report
 
@@ -122,9 +127,17 @@ def _reset(api: StubApi) -> None:
 
 
 def _receipts_df(spark: SparkSession, api: StubApi, token: str) -> DataFrame:
-    rec = fetch_receipts(api.base_url, token)
-    rows = [(int(i), int(rec["attempts"][str(i)])) for i in sorted(set(rec["synced"]))]
-    return spark.createDataFrame(rows, "node_id int, attempts int")
+    """Delivery receipts as a PARTITIONED read through the paginated REST
+    source (``/receipts/list``) — one executor-fetched partition per page,
+    never one driver-side GET, so the verify-side read scales with the
+    fan-out it audits."""
+    return rest_read(
+        spark,
+        api.base_url,
+        token,
+        path=RECEIPTS_LIST_PATH,
+        schema="node_id int, attempts int",
+    )
 
 
 # --- §2.1 sources ----------------------------------------------------------

@@ -102,6 +102,11 @@ class RestDataSourceReader(DataSourceReader):
     def __init__(self, options: dict):
         self.base_url = options["base_url"]
         self.token = options["token"]
+        self.path = options.get("path", PROJECTS_PATH)
+        self.fields = tuple(
+            f.strip().split()[0]
+            for f in options.get("schema", NODE_SCHEMA).split(",")
+        )
         self.page_size = int(options.get("page_size", DEFAULT_PAGE_SIZE))
         self.type_ne: str | None = options.get("type_ne")
         self.type_eq: str | None = None
@@ -128,7 +133,7 @@ class RestDataSourceReader(DataSourceReader):
         params = [f"page={page}", f"page_size={self.page_size}"]
         if self.type_ne is not None:
             params.append(f"type_ne={self.type_ne}")
-        return f"{self.base_url}{PROJECTS_PATH}?" + "&".join(params)
+        return f"{self.base_url}{self.path}?" + "&".join(params)
 
     def _effective_limit(self) -> int | None:
         # A client-side residual filter (type_eq) makes page truncation
@@ -165,19 +170,21 @@ class RestDataSourceReader(DataSourceReader):
         for r in rows:
             if self.type_eq is not None and r.get("type") != self.type_eq:
                 continue
-            yield tuple(r.get(k) for k in NODE_FIELDS)
+            yield tuple(r.get(k) for k in self.fields)
 
 
 class RestDataSource(DataSource):
     """``spark.read.format("rest")`` — options: base_url, token, page_size,
-    optional type_ne (pre-set server-side filter)."""
+    optional path (endpoint, default the projects list), schema (DDL string
+    whose field names are the JSON keys to project, default node schema),
+    limit (page-bounding fetch cap), type_ne (pre-set server-side filter)."""
 
     @classmethod
     def name(cls) -> str:
         return "rest"
 
     def schema(self) -> str:
-        return NODE_SCHEMA
+        return self.options.get("schema", NODE_SCHEMA)
 
     def reader(self, schema) -> RestDataSourceReader:
         return RestDataSourceReader(self.options)
@@ -194,6 +201,8 @@ def rest_read(
     token: str,
     page_size: int = DEFAULT_PAGE_SIZE,
     limit: int | None = None,
+    path: str | None = None,
+    schema: str | None = None,
 ):
     """The blessed read path for the ``rest`` format.  ``limit`` is pushed
     to the source as a reader option (bounding pages fetched to
@@ -210,5 +219,9 @@ def rest_read(
     )
     if limit is not None:
         reader = reader.option("limit", limit)
+    if path is not None:
+        reader = reader.option("path", path)
+    if schema is not None:
+        reader = reader.option("schema", schema)
     df = reader.load()
     return df.limit(limit) if limit is not None else df

@@ -44,6 +44,7 @@ TOKEN = "Bearer stub-token-0001"
 LOGIN_PATH = "/analytic/login"
 PROJECTS_PATH = "/analytic/projects"
 RECEIPTS_PATH = "/receipts"
+RECEIPTS_LIST_PATH = "/receipts/list"
 RESET_PATH = "/reset"
 
 
@@ -139,6 +140,21 @@ class StubApi:
                     stub.requests_seen.append(f"GET {self.path}")
                 if not self._authed():
                     self._json(401, {"error": "unauthorized"})
+                    return
+                if parsed.path == RECEIPTS_LIST_PATH:
+                    # paginated row-oriented receipts view (REST-source
+                    # readable): one {node_id, attempts} row per synced
+                    # node, node_id order for deterministic pages.
+                    q = parse_qs(parsed.query)
+                    page = int(q.get("page", ["0"])[0])
+                    size = int(q.get("page_size", ["8"])[0])
+                    with stub._lock:
+                        rows = [
+                            {"node_id": i, "attempts": len(stub.attempt_keys[str(i)])}
+                            for i in sorted(set(stub.synced))
+                        ]
+                    window = rows[page * size:(page + 1) * size]
+                    self._json(200, {"data": window, "total": len(rows)})
                     return
                 if parsed.path == RECEIPTS_PATH:
                     with stub._lock:

@@ -175,6 +175,38 @@ def x_stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("x_stream_smoke")  # real readStream run → rows-only by design
+def x_stream_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered smoke of the ACTUAL streaming engine (the other
+    x_stream_* entries run their shared definitions in batch mode; their
+    streaming twins live in tests/test_streaming.py).  This one drives a
+    real bounded ``readStream`` — file source → 1 h watermark → tumbling
+    1-day windows — to completion through the memory sink
+    (``processAllAvailable``), then returns the finalized windows (append
+    mode: every emitted row is below the advanced watermark, hence final
+    and deterministic).  Rows-only check: the subject is the streaming
+    runtime itself, which no batch SQL oracle exercises."""
+    from .runtime import run_to_memory, stream_events
+
+    name = "stream_smoke_" + "".join(
+        ch for ch in sf_dir.rsplit("/", 1)[-1] if ch.isalnum()
+    )
+    agg = (
+        stream_events(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total",
+        )
+    )
+    run_to_memory(agg, name, "append")
+    return spark.table(name)
+
+
 @register(
     "x_stream_stateful",
     oracle="""
