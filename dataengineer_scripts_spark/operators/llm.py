@@ -1312,3 +1312,221 @@ def x_llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_chars") > 0)
         .select("doc_id", fp.alias("fp"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup clustering, sampling, scrubbing (training-pipeline curation layer)
+# ---------------------------------------------------------------------------
+
+#: Near-dup edges for clustering: same threshold the pair operator reports.
+CLUSTER_J_THRESHOLD = 0.5
+#: Safety valve for the label-propagation loop (components from near-dup
+#: pair graphs are near-cliques — measured convergence is 2-3 sweeps).
+CLUSTER_MAX_ITERS = 25
+
+
+@register(
+    "x_llm_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_SHINGLES},
+    {_SQL_PAIR_JACCARD},
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM jac WHERE j >= {CLUSTER_J_THRESHOLD}
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM jac WHERE j >= {CLUSTER_J_THRESHOLD}
+    ),
+    reach(node, root) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node
+    )
+    SELECT node AS doc_id, min(root) AS cluster_id,
+           (node = min(root)) AS is_canonical
+    FROM reach GROUP BY node
+    """,
+)
+def x_llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the near-dup pair graph: every document
+    gets ``cluster_id`` = the smallest doc_id reachable through J >= 0.5
+    n-gram-Jaccard edges (singletons cluster to themselves), plus an
+    ``is_canonical`` keep-flag — the step that turns PAIRS into the
+    keep/drop decision an actual dedup pipeline needs (mirrors the
+    reference's duplicate-collapse intent, `Job Cek Script/app.py:112`-ish
+    memoization, generalized to transitive duplicate classes).
+
+    Algorithm: iterative min-label propagation on DataFrames — per sweep,
+    one equi-join of the (symmetrized) edge list against current labels +
+    one min-aggregate, i.e. two bounded shuffles on doc_id-shaped keys; no
+    driver-side graph, no collect.  Labels are ``localCheckpoint``-ed each
+    sweep so lineage stays O(1) instead of O(iterations).  Sweeps needed =
+    graph diameter; near-dup components are near-cliques (a dup class
+    shares most shingles pairwise), so 2-3 sweeps in practice, 25-sweep
+    valve.  At 100 TB with adversarial chain-shaped components, swap the
+    sweep body for the large-star/small-star alternation (Kiveris et al.,
+    "Connected Components in MapReduce") — same join primitives, O(log n)
+    rounds; not needed at dedup's observed diameters.
+
+    The DuckDB oracle is the same fixpoint computed declaratively: a
+    recursive CTE closing (node, root) over the edge relation, then
+    min(root) per node — engine-independent ground truth for the whole
+    pairs->components->canonical pipeline."""
+    pairs = x_llm_dedup_ngram_jaccard(spark, sf_dir).filter(
+        F.col("jaccard") >= CLUSTER_J_THRESHOLD
+    )
+    fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    rev = pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    # materialize once: every sweep re-reads the edge list, and its lineage
+    # (the whole shingle self-join) must not be re-executed per sweep.
+    edges = fwd.unionAll(rev).localCheckpoint()
+
+    labels = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.col("doc_id").alias("cluster_id"))
+        .localCheckpoint()
+    )
+    for _ in range(CLUSTER_MAX_ITERS):
+        nbr_min = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    "cluster_id", F.coalesce("nbr_min", "cluster_id")
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+    )
+
+
+#: Per-stratum keep rates in per-mille: down-sample dominant English, keep
+#: the long-tail languages — the data-mixing move every corpus build does.
+SAMPLE_RATES_PER_MILLE = {"en": 200, "de": 600, "es": 600, "fr": 600, "zh": 600}
+SAMPLE_DEFAULT_PER_MILLE = 500
+
+_SAMPLE_CASE_SQL = (
+    "CASE lang "
+    + " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in SAMPLE_RATES_PER_MILLE.items()
+    )
+    + f" ELSE {SAMPLE_DEFAULT_PER_MILLE} END"
+)
+
+
+@register(
+    "x_llm_sample_stratified",
+    oracle=f"""
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 6))::BIGINT % 1000
+          < {_SAMPLE_CASE_SQL}
+    """,
+)
+def x_llm_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based stratified sampling: keep a document iff
+    ``md5(doc_id)``'s first 24 bits land under the stratum's per-mille
+    rate.  This is how a training-data pipeline samples at scale — NOT
+    ``df.sample()`` — because the decision is a pure function of the row
+    key: reproducible across runs/engines/retries (a re-executed task
+    keeps the same rows), stable under repartitioning, and extendable to
+    consistent cross-table sampling (same key → same verdict everywhere).
+    Narrow codegen'd filter, zero shuffle, pushes nothing to Python.
+
+    Spark's ``conv(substring(md5(x),1,6),16,10)`` and DuckDB's
+    ``('0x' || substr(md5(x),1,6))::BIGINT`` read the same 24 hex-derived
+    bits, so both engines make bit-identical keep decisions."""
+    rates = F.lit(SAMPLE_DEFAULT_PER_MILLE)
+    for k, v in reversed(SAMPLE_RATES_PER_MILLE.items()):
+        rates = F.when(F.col("lang") == k, F.lit(v)).otherwise(rates)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10)
+        .cast("bigint")
+        % 1000
+    )
+    return (
+        table(spark, sf_dir, "documents")
+        .filter(bucket < rates)
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
+#: PII scrub patterns — valid and semantically identical in Java regex
+#: (Spark, JVM-side regexp_replace) and RE2 (DuckDB): no backrefs, no
+#: lookaround.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\b\d{3}-\d{4}\b"
+
+
+@register(
+    "x_llm_pii_scrub",
+    oracle=f"""
+    WITH seeded AS (
+        SELECT doc_id,
+               text || ' Contact user' || doc_id::VARCHAR ||
+               '@example.com or 555-' ||
+               lpad((doc_id % 10000)::VARCHAR, 4, '0') || '.' AS raw
+        FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(raw, '{PII_EMAIL_RE}')) +
+           len(regexp_extract_all(raw, '{PII_PHONE_RE}')) AS n_redacted,
+           regexp_replace(regexp_replace(raw, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{PII_PHONE_RE}', '<PHONE>', 'g') AS clean
+    FROM seeded
+    """,
+)
+def x_llm_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over the documents table: redact emails and phone
+    numbers to typed placeholders and count redactions per doc.  The
+    fixture text is synthetic words, so deterministic pseudo-PII is seeded
+    per row first (``user<id>@example.com``, ``555-<id%10000>``) in BOTH
+    engines — the oracle then proves the scrub machinery end-to-end rather
+    than vacuously matching on untouched text.
+
+    Everything is JVM-side ``regexp_replace``/``regexp_count`` inside one
+    whole-stage-codegen'd narrow pass — zero shuffle, no Python; at 100 TB
+    this runs at scan speed, which is why scrubbing belongs in built-in
+    regex functions and not a UDF.  Spark compiles the patterns with
+    java.util.regex and DuckDB with RE2; the patterns avoid every
+    construct the two dialects disagree on (backrefs, lookaround,
+    possessives), so replacements are position-identical."""
+    doc_id_s = F.col("doc_id").cast("string")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" Contact user"),
+        doc_id_s,
+        F.lit("@example.com or 555-"),
+        F.lpad(F.pmod("doc_id", F.lit(10000)).cast("string"), 4, "0"),
+        F.lit("."),
+    )
+    seeded = table(spark, sf_dir, "documents").select(
+        "doc_id", raw.alias("raw")
+    )
+    n_red = F.regexp_count("raw", F.lit(PII_EMAIL_RE)) + F.regexp_count(
+        "raw", F.lit(PII_PHONE_RE)
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace("raw", PII_EMAIL_RE, "<EMAIL>"),
+        PII_PHONE_RE,
+        "<PHONE>",
+    )
+    return seeded.select(
+        "doc_id", n_red.alias("n_redacted"), clean.alias("clean")
+    )

@@ -1130,3 +1130,57 @@ def x_udf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table(spark, sf_dir, "events").select(
         "event_id", F.round(sigmoid("value"), 6).alias("sigmoid_value")
     )
+
+
+@register(
+    "x_join_multiway_analytic",
+    oracle="""
+    SELECT l_orderkey,
+           round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(30,10)),
+                 2)::DOUBLE AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def x_join_multiway_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped three-table analytic (segment revenue top-10): the
+    canonical Catalyst showcase — all three filters push into their
+    parquet scans, and the join strategy is deliberately left to
+    Catalyst/AQE: no broadcast hints, because the right answer is
+    size-dependent (at fixture scale AQE broadcasts the filtered customer
+    and orders sides — shuffle-free; at 100 TB the same declarative plan
+    degrades gracefully to shuffle joins on the join keys, with the
+    aggregate reusing lineitem's l_orderkey partitioning).  The top-10 is
+    TakeOrderedAndProject (per-partition heaps), never a global sort.
+    Revenue terms are double-multiplied (elementwise, deterministic) then
+    summed as DECIMAL(30,10) — decimal addition associates, so the
+    grouped sum is bit-equal across engines and partitionings; tie-break
+    on l_orderkey keeps the LIMIT deterministic."""
+    cutoff = F.lit("1998-06-01 00:00:00").cast("timestamp")
+    cust = table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    rev = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    ).cast("decimal(30,10)")
+    return (
+        li.join(
+            orders.join(cust, F.col("c_custkey") == F.col("o_custkey")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )

@@ -1,0 +1,148 @@
+"""Property + plan tests for the curation layer: dedup clustering,
+deterministic stratified sampling, PII scrubbing, and the multiway
+analytic join."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dataengineer_scripts_spark import registry
+from dataengineer_scripts_spark.operators.llm import (
+    CLUSTER_J_THRESHOLD,
+    PII_EMAIL_RE,
+    PII_PHONE_RE,
+    SAMPLE_DEFAULT_PER_MILLE,
+    SAMPLE_RATES_PER_MILLE,
+)
+
+DEFS = registry.definitions()
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _meta(df) -> str:
+    return df._jdf.queryExecution().toString()
+
+
+# --- x_llm_dedup_clusters ---------------------------------------------------
+
+
+def test_clusters_respect_every_edge(spark, sf_dir):
+    """Both endpoints of every near-dup edge land in the same cluster, and
+    the cluster label IS the component minimum (fixpoint reached)."""
+    labels = DEFS["x_llm_dedup_clusters"].fn(spark, sf_dir)
+    pairs = DEFS["x_llm_dedup_ngram_jaccard"].fn(spark, sf_dir).filter(
+        F.col("jaccard") >= CLUSTER_J_THRESHOLD
+    )
+    la = labels.select(
+        F.col("doc_id").alias("doc_a"), F.col("cluster_id").alias("ca")
+    )
+    lb = labels.select(
+        F.col("doc_id").alias("doc_b"), F.col("cluster_id").alias("cb")
+    )
+    joined = pairs.join(la, "doc_a").join(lb, "doc_b")
+    assert joined.filter(F.col("ca") != F.col("cb")).count() == 0
+    # labels are component minima: every cluster_id is a member doc_id of
+    # its own cluster, and no member is smaller than its label.
+    bad = labels.filter(F.col("cluster_id") > F.col("doc_id")).count()
+    assert bad == 0
+    canon = labels.filter(F.col("is_canonical"))
+    assert canon.filter(F.col("doc_id") != F.col("cluster_id")).count() == 0
+
+
+def test_clusters_cover_all_docs_once(spark, sf_dir):
+    from dataengineer_scripts_spark.tables import table
+
+    labels = DEFS["x_llm_dedup_clusters"].fn(spark, sf_dir)
+    n_docs = table(spark, sf_dir, "documents").count()
+    assert labels.count() == n_docs
+    assert labels.select("doc_id").distinct().count() == n_docs
+
+
+# --- x_llm_sample_stratified ------------------------------------------------
+
+
+def test_sample_is_deterministic_and_honors_rates(spark, sf_dir):
+    s1 = DEFS["x_llm_sample_stratified"].fn(spark, sf_dir)
+    s2 = DEFS["x_llm_sample_stratified"].fn(spark, sf_dir)
+    assert s1.exceptAll(s2).count() == 0 and s2.exceptAll(s1).count() == 0
+    # re-derive the keep decision independently and compare exactly
+    from dataengineer_scripts_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10)
+        .cast("bigint")
+        % 1000
+    )
+    rate = F.lit(SAMPLE_DEFAULT_PER_MILLE)
+    for k, v in SAMPLE_RATES_PER_MILLE.items():
+        rate = F.when(F.col("lang") == k, F.lit(v)).otherwise(rate)
+    expect = docs.filter(bucket < rate).select("doc_id")
+    got = s1.select("doc_id")
+    assert got.exceptAll(expect).count() == 0
+    assert expect.exceptAll(got).count() == 0
+
+
+def test_sample_rate_is_plausible_per_stratum(spark, sf_dir):
+    """Loose binomial envelope: observed per-mille within ±250 of target
+    (sf0.001 strata are ~60-220 docs — wide tolerance, no flakes)."""
+    from dataengineer_scripts_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents")
+    kept = (
+        DEFS["x_llm_sample_stratified"].fn(spark, sf_dir)
+        .groupBy("lang")
+        .agg(F.count("*").alias("k"))
+    )
+    totals = docs.groupBy("lang").agg(F.count("*").alias("n"))
+    for row in totals.join(kept, "lang", "left").fillna(0, ["k"]).collect():
+        target = SAMPLE_RATES_PER_MILLE.get(row["lang"], SAMPLE_DEFAULT_PER_MILLE)
+        observed = 1000.0 * row["k"] / row["n"]
+        assert abs(observed - target) < 250, (row["lang"], observed, target)
+
+
+def test_sample_plan_is_narrow_scan_side_filter(spark, sf_dir):
+    plan = _physical(DEFS["x_llm_sample_stratified"].fn(spark, sf_dir))
+    assert "Exchange" not in plan  # zero shuffle
+    assert "BatchEvalPython" not in plan  # no Python
+
+
+# --- x_llm_pii_scrub --------------------------------------------------------
+
+
+def test_pii_scrub_removes_every_match(spark, sf_dir):
+    df = DEFS["x_llm_pii_scrub"].fn(spark, sf_dir)
+    leftover = df.filter(
+        (F.regexp_count("clean", F.lit(PII_EMAIL_RE)) > 0)
+        | (F.regexp_count("clean", F.lit(PII_PHONE_RE)) > 0)
+    )
+    assert leftover.count() == 0
+    # the seeded email + phone must both have been found
+    assert df.filter(F.col("n_redacted") < 2).count() == 0
+    assert df.filter(~F.col("clean").contains("<EMAIL>")).count() == 0
+    assert df.filter(~F.col("clean").contains("<PHONE>")).count() == 0
+
+
+def test_pii_scrub_plan_is_narrow_jvm_regex(spark, sf_dir):
+    plan = _physical(DEFS["x_llm_pii_scrub"].fn(spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+# --- x_join_multiway_analytic -----------------------------------------------
+
+
+def test_multiway_filters_push_to_all_three_scans(spark, sf_dir):
+    meta = _meta(DEFS["x_join_multiway_analytic"].fn(spark, sf_dir))
+    assert "EqualTo(c_mktsegment,BUILDING)" in meta
+    assert "LessThan(o_orderdate" in meta
+    assert "GreaterThan(l_shipdate" in meta
+
+
+def test_multiway_topk_never_global_sorts(spark, sf_dir):
+    plan = _physical(DEFS["x_join_multiway_analytic"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
