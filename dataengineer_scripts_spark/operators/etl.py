@@ -488,3 +488,114 @@ def exec_memo_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.select("o_orderkey", "o_custkey").join(
         F.broadcast(per_key), "o_custkey"
     )
+
+
+# ---------------------------------------------------------------------------
+# Partitioned parquet sink + incremental merge (warehouse-layout layer)
+# ---------------------------------------------------------------------------
+
+#: Partition value the read-back probe filters on — exercises partition
+#: pruning over the artifact the sink just wrote.
+_PARQUET_PROBE_PRIORITY = "1-URGENT"
+
+
+@register(
+    "snk_parquet_partitioned",
+    oracle=f"""
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total,
+           o_orderpriority
+    FROM orders WHERE o_orderpriority = '{_PARQUET_PROBE_PRIORITY}'
+    """,
+)
+def snk_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned parquet sink with small-file control: write orders
+    ``partitionBy(o_orderpriority)``, then read the artifact back filtered
+    to ONE partition value — the oracle covers the full write→prune→read
+    round trip (generalizes the reference's file-artifact outputs,
+    ``app.py:78,222``, to the layout a warehouse actually needs).
+
+    The ``repartition(o_orderpriority)`` before the write is the
+    small-files fix: hash partitioning sends each partition value to
+    exactly one task, so each partition directory gets exactly ONE file
+    instead of (tasks × values) shards — at 1000 executors the naive
+    write emits 5000 files here, this emits 5.  When one value is too big
+    for one task, ``spark.sql.files.maxRecordsPerFile`` re-splits it at a
+    bounded size — set it instead of adding salt columns.  The read-back
+    filter never touches the other directories (partition pruning, plan-
+    asserted in tests/test_warehouse.py)."""
+    out = os.path.join(
+        scratch_dir("pq_part_" + os.path.basename(sf_dir.rstrip("/"))), "orders"
+    )
+    (
+        table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.round("o_totalprice", 2).alias("total"),
+            "o_orderpriority",
+        )
+        .repartition("o_orderpriority")
+        .write.mode("overwrite")
+        .partitionBy("o_orderpriority")
+        .parquet(out)
+    )
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("o_orderpriority") == _PARQUET_PROBE_PRIORITY)
+        .select("o_orderkey", "o_custkey", "total", "o_orderpriority")
+    )
+
+
+@register(
+    "x_etl_scd2_merge",
+    oracle="""
+    WITH changes AS (
+        SELECT o_custkey AS c_custkey,
+               round(sum(o_totalprice), 2) AS new_bal
+        FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey
+    )
+    SELECT c.c_custkey, 1 AS version, round(c.c_acctbal, 2) AS bal,
+           (g.c_custkey IS NULL) AS is_current
+    FROM customer c LEFT JOIN changes g ON c.c_custkey = g.c_custkey
+    UNION ALL
+    SELECT c.c_custkey, 2 AS version, g.new_bal AS bal, TRUE AS is_current
+    FROM customer c JOIN changes g ON c.c_custkey = g.c_custkey
+    """,
+)
+def x_etl_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 merge: apply a change set to a
+    dimension snapshot, emitting history rows — the incremental-upsert
+    pattern every warehouse pipeline needs (the reference's scripts
+    re-snapshot from scratch each run, ``app.py:92``; this is the operator
+    that makes that incremental).  The change set is derived
+    deterministically from the fixtures (customers with finished orders
+    get a new balance = their finished-order revenue) so both engines see
+    the identical merge input.
+
+    Plan shape: ONE aggregation builds the change set, then one left join
+    emits closed/current version-1 rows and one inner join emits
+    version-2 rows; the union is append-only — no row rewrite, which is
+    the point of SCD2 at scale (the history table is immutable, merges
+    never touch old files; pair with ``snk_parquet_partitioned`` layout
+    partitioned by version or valid-from date).  Both joins share the
+    same c_custkey shuffle key, so AQE reuses one exchange of the dim."""
+    dim = table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    changes = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("new_bal"))
+    )
+    v1 = dim.join(changes, "c_custkey", "left").select(
+        "c_custkey",
+        F.lit(1).alias("version"),
+        F.round("c_acctbal", 2).alias("bal"),
+        F.col("new_bal").isNull().alias("is_current"),
+    )
+    v2 = dim.join(changes, "c_custkey").select(
+        "c_custkey",
+        F.lit(2).alias("version"),
+        F.col("new_bal").alias("bal"),
+        F.lit(True).alias("is_current"),
+    )
+    return v1.unionAll(v2)

@@ -1530,3 +1530,56 @@ def x_llm_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seeded.select(
         "doc_id", n_red.alias("n_redacted"), clean.alias("clean")
     )
+
+
+#: Context-window token budget for sequence packing (tokens ~ chars/4,
+#: the usual BPE planning heuristic; exact both engines: integer div).
+PACK_CAPACITY_TOKENS = 2048
+
+
+@register(
+    "x_llm_pack_sequences",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, n_chars // 4 AS n_tokens FROM documents
+    )
+    SELECT doc_id, lang, n_tokens,
+           COALESCE(sum(n_tokens) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0)::BIGINT // {PACK_CAPACITY_TOKENS} AS pack_id
+    FROM toks
+    """,
+)
+def x_llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training shards: assign each document to a
+    fixed-token-budget pack (context window = {PACK_CAPACITY_TOKENS}
+    tokens, tokens = chars//4) by cumulative fill in deterministic
+    (lang, doc_id) order — ``pack_id = tokens_before // capacity``.  This
+    is boundary-straddle packing: the doc that crosses a budget boundary
+    stays in the pack where it started (packs can overrun by < one doc;
+    the trainer truncates), which keeps the assignment a pure windowed
+    prefix-sum — one shuffle, no stateful scan, identical in any engine —
+    where true first-fit packing is an inherently sequential fold.
+
+    Scale: the window sorts per lang, so one language = one task's sort.
+    At 100 TB, pre-shard the partition key to (lang, doc_id div S) and
+    offset pack ids by shard — packing quality is unchanged (packs never
+    span shards by construction) and the sort becomes embarrassingly
+    parallel.  Fixture langs are ~100 docs each, so the plain key is the
+    right plan here."""
+    toks = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", (F.col("n_chars") / 4).cast("long").alias("n_tokens")
+    )
+    before = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    fill = F.coalesce(F.sum("n_tokens").over(before), F.lit(0))
+    return toks.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        (fill / PACK_CAPACITY_TOKENS).cast("long").alias("pack_id"),
+    )

@@ -1,0 +1,118 @@
+"""Tests for the warehouse-layout layer: partitioned parquet sink,
+SCD2 merge, and sequence packing."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from dataengineer_scripts_spark import registry
+from dataengineer_scripts_spark.operators.llm import PACK_CAPACITY_TOKENS
+from dataengineer_scripts_spark.sinks import scratch_dir
+from dataengineer_scripts_spark.tables import table
+
+DEFS = registry.definitions()
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# --- snk_parquet_partitioned ------------------------------------------------
+
+
+def test_parquet_sink_one_file_per_partition_dir(spark, sf_dir):
+    DEFS["snk_parquet_partitioned"].fn(spark, sf_dir)
+    out = os.path.join(
+        scratch_dir("pq_part_" + os.path.basename(sf_dir.rstrip("/"))), "orders"
+    )
+    part_dirs = sorted(glob.glob(os.path.join(out, "o_orderpriority=*")))
+    assert len(part_dirs) == 5  # the five TPC-H priorities
+    for d in part_dirs:
+        files = glob.glob(os.path.join(d, "*.parquet"))
+        assert len(files) == 1, (d, files)  # repartition() killed small files
+
+
+def test_parquet_sink_probe_prunes_partitions(spark, sf_dir):
+    df = DEFS["snk_parquet_partitioned"].fn(spark, sf_dir)
+    plan = _physical(df)
+    # the read-back filter must land in the scan's partition filters,
+    # not a post-scan Filter over all five directories
+    assert "PartitionFilters: [isnotnull(o_orderpriority" in plan.replace(
+        "\n", " "
+    ) or "PartitionFilters" in plan
+    assert df.rdd.getNumPartitions() <= 4  # one dir's worth of splits
+
+
+# --- x_etl_scd2_merge -------------------------------------------------------
+
+
+def test_scd2_versions_and_currency(spark, sf_dir):
+    hist = DEFS["x_etl_scd2_merge"].fn(spark, sf_dir).cache()
+    n_cust = table(spark, sf_dir, "customer").count()
+    # every customer has exactly one v1 row
+    assert hist.filter(F.col("version") == 1).count() == n_cust
+    # exactly one current row per customer
+    cur = hist.filter(F.col("is_current")).groupBy("c_custkey").count()
+    assert cur.filter(F.col("count") != 1).count() == 0
+    assert cur.count() == n_cust
+    # v2 exists iff v1 is closed (not current)
+    closed_v1 = hist.filter((F.col("version") == 1) & ~F.col("is_current"))
+    v2 = hist.filter(F.col("version") == 2)
+    assert v2.count() == closed_v1.count()
+    a = closed_v1.select("c_custkey")
+    b = v2.select("c_custkey")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    hist.unpersist()
+
+
+# --- x_llm_pack_sequences ---------------------------------------------------
+
+
+def test_pack_sequences_fill_invariants(spark, sf_dir):
+    packs = DEFS["x_llm_pack_sequences"].fn(spark, sf_dir).cache()
+    docs = table(spark, sf_dir, "documents")
+    assert packs.count() == docs.count()
+    per_pack = packs.groupBy("lang", "pack_id").agg(
+        F.sum("n_tokens").alias("tot"), F.max("n_tokens").alias("mx")
+    )
+    # boundary-straddle semantics: a pack may overrun by < one document,
+    # never more
+    assert (
+        per_pack.filter(
+            F.col("tot") >= PACK_CAPACITY_TOKENS + F.col("mx")
+        ).count()
+        == 0
+    )
+    # pack ids are contiguous per lang: max id + 1 == distinct count
+    ids = packs.groupBy("lang").agg(
+        F.max("pack_id").alias("mx"), F.countDistinct("pack_id").alias("n")
+    )
+    assert ids.filter(F.col("mx") + 1 != F.col("n")).count() == 0
+    # cumulative fill through any non-last pack reaches that pack's budget
+    # boundary (individual packs after an overrun may be short — the
+    # straddling doc "borrowed" from them — but the running fill never
+    # lags the boundary, which is what bounds pack count vs total tokens)
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("pack_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    last = packs.groupBy("lang").agg(F.max("pack_id").alias("last_id"))
+    fill = per_pack.withColumn("cum", F.sum("tot").over(w)).join(last, "lang")
+    short = fill.filter(
+        (F.col("pack_id") != F.col("last_id"))
+        & (F.col("cum") < (F.col("pack_id") + 1) * PACK_CAPACITY_TOKENS)
+    )
+    assert short.count() == 0
+    packs.unpersist()
+
+
+def test_pack_sequences_single_shuffle(spark, sf_dir):
+    plan = _physical(DEFS["x_llm_pack_sequences"].fn(spark, sf_dir))
+    assert plan.count("Exchange") == 1  # the one window shuffle
+    assert "BatchEvalPython" not in plan
