@@ -599,3 +599,47 @@ def x_etl_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(True).alias("is_current"),
     )
     return v1.unionAll(v2)
+
+
+#: Compaction target: one output file per this many bytes of input.
+_COMPACT_TARGET_BYTES = 64 * 1024 * 1024
+
+
+@register(
+    "x_etl_compact_small_files",
+    oracle="""
+    SELECT event_id, ts::TIMESTAMP AS ts, user_id, event_type, value
+    FROM events
+    """,
+)
+def x_etl_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction: rewrite a fragmented parquet dataset (here:
+    events deliberately shattered into 64 shards, the mess a streaming
+    or per-task writer leaves behind) into size-targeted files —
+    ``max(1, ceil(input_bytes / 64 MiB))`` output files via coalesce.
+    Compaction is THE recurring maintenance job of a parquet lake: scan
+    cost is dominated by file-open/footer overhead once files are small,
+    and a 1000-executor job writing per-task files fragments every run.
+
+    ``coalesce`` (not ``repartition``) does the narrow thing: it merges
+    input splits without a shuffle — the whole compaction is a read +
+    write with zero exchanges (plan-asserted in tests).  The returned
+    frame re-reads the compacted artifact, so the oracle proves the
+    rewrite lost/duplicated nothing."""
+    frag = os.path.join(
+        scratch_dir("frag_" + os.path.basename(sf_dir.rstrip("/"))), "events"
+    )
+    cols = ["event_id", "ts", "user_id", "event_type", "value"]
+    table(spark, sf_dir, "events").select(*cols).repartition(64).write.mode(
+        "overwrite"
+    ).parquet(frag)
+
+    in_bytes = sum(
+        os.path.getsize(os.path.join(frag, f))
+        for f in os.listdir(frag)
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, -(-in_bytes // _COMPACT_TARGET_BYTES))
+    out = os.path.join(os.path.dirname(frag), "events_compacted")
+    spark.read.parquet(frag).coalesce(n_files).write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out).select(*cols)

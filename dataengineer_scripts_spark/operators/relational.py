@@ -1184,3 +1184,36 @@ def x_join_multiway_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), "l_orderkey")
         .limit(10)
     )
+
+
+#: Quantiles the approximate-percentile sketch reports.
+APPROX_QUANTILES = [0.5, 0.9, 0.99]
+#: GK sketch accuracy: rank error <= n / accuracy.
+APPROX_QUANTILE_ACCURACY = 10_000
+
+
+@register("x_agg_approx_quantile")  # sketch output → rows-only by design
+def x_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles (p50/p90/p99 of extended price per return
+    flag) via ``approx_percentile`` — Spark's Greenwald-Khanna sketch:
+    mergeable partial state, so the plan is ONE map-side-partial hash
+    aggregate regardless of data size, where exact percentiles need a
+    full sort (or one shuffle + per-key sort) of every value.  At 100 TB
+    the sketch is the only sane plan; rank error is bounded by
+    n/accuracy.  No cross-engine oracle (DuckDB's quantile sketch makes
+    different tie decisions); tests/test_warehouse.py gates every
+    reported quantile against the exact percentile within the sketch's
+    rank-error envelope."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            *[
+                F.expr(
+                    f"approx_percentile(l_extendedprice, {q},"
+                    f" {APPROX_QUANTILE_ACCURACY})"
+                ).alias(f"p{int(q * 100)}")
+                for q in APPROX_QUANTILES
+            ]
+        )
+    )

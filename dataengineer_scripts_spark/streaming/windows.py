@@ -249,3 +249,43 @@ def x_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("user_id").applyInPandas(
         incidents, "user_id bigint, n_incidents bigint"
     )
+
+
+def enriched_window_revenue(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static enrichment join + windowed rollup — shared by batch
+    and stream (the join and window are ordinary expressions in both)."""
+    return (
+        events.join(F.broadcast(dim), events.user_id == dim.c_custkey, "left")
+        .groupBy(
+            F.window("ts", "1 day").alias("w"),
+            F.coalesce("c_mktsegment", F.lit("UNKNOWN")).alias("segment"),
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("revenue"))
+        .select(F.col("w.start").alias("window_start"), "segment", "n", "revenue")
+    )
+
+
+@register(
+    "x_stream_join",
+    oracle="""
+    SELECT time_bucket(INTERVAL 1 DAY, e.ts::TIMESTAMP) AS window_start,
+           COALESCE(c.c_mktsegment, 'UNKNOWN') AS segment,
+           count(*) AS n, round(sum(e.value), 2) AS revenue
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def x_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: events (the unbounded side) enriched
+    with the customer dimension, then rolled up per (day, segment).  In
+    streaming mode Spark re-broadcasts the static side per micro-batch —
+    the dim stays the broadcast build side and the stream is never
+    shuffled for the join (only the window aggregate shuffles); the batch
+    twin here pins the same physical shape with an explicit
+    ``F.broadcast``.  Left join + COALESCE('UNKNOWN') keeps unmatched
+    events — an enrichment must never drop facts.  The streaming twin
+    runs in tests/test_streaming.py."""
+    return enriched_window_revenue(
+        table(spark, sf_dir, "events"),
+        table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment"),
+    )

@@ -197,3 +197,24 @@ def test_stream_foreach_batch_sink(spark, sf_dir):
         .count()
     )
     assert sum(seen) == want
+
+
+def test_stream_static_join_equals_batch(spark, sf_dir):
+    """Stream-static enrichment join: the static dim side is joined to a
+    real readStream; results must equal the batch twin's."""
+    from dataengineer_scripts_spark.streaming.windows import enriched_window_revenue
+
+    dim = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    stream = stream_events(spark, sf_dir)
+    run_to_memory(enriched_window_revenue(stream, dim), "sjoin_out", "complete")
+    got = {
+        (r.window_start, r.segment): (r.n, r.revenue)
+        for r in spark.sql("SELECT * FROM sjoin_out").collect()
+    }
+    want = {
+        (r.window_start, r.segment): (r.n, r.revenue)
+        for r in enriched_window_revenue(
+            table(spark, sf_dir, "events"), dim
+        ).collect()
+    }
+    assert got == want and len(got) > 0

@@ -116,3 +116,57 @@ def test_pack_sequences_single_shuffle(spark, sf_dir):
     plan = _physical(DEFS["x_llm_pack_sequences"].fn(spark, sf_dir))
     assert plan.count("Exchange") == 1  # the one window shuffle
     assert "BatchEvalPython" not in plan
+
+
+# --- x_agg_approx_quantile --------------------------------------------------
+
+
+def test_approx_quantile_within_rank_error(spark, sf_dir):
+    from dataengineer_scripts_spark.operators.relational import (
+        APPROX_QUANTILE_ACCURACY,
+        APPROX_QUANTILES,
+    )
+
+    got = {
+        r["l_returnflag"]: r.asDict()
+        for r in DEFS["x_agg_approx_quantile"].fn(spark, sf_dir).collect()
+    }
+    li = table(spark, sf_dir, "lineitem")
+    for flag, row in got.items():
+        vals = sorted(
+            v.l_extendedprice
+            for v in li.filter(F.col("l_returnflag") == flag)
+            .select("l_extendedprice")
+            .collect()
+        )
+        n = len(vals)
+        eps = max(1, n // APPROX_QUANTILE_ACCURACY + 1)
+        for q in APPROX_QUANTILES:
+            target = int(q * n)
+            lo = vals[max(0, target - eps - 1)]
+            hi = vals[min(n - 1, target + eps)]
+            v = row[f"p{int(q * 100)}"]
+            assert lo <= v <= hi, (flag, q, v, lo, hi)
+
+
+def test_approx_quantile_is_single_partial_aggregate(spark, sf_dir):
+    plan = _physical(DEFS["x_agg_approx_quantile"].fn(spark, sf_dir))
+    assert plan.count("Exchange") == 1  # partials merge, values never sort
+    assert "Sort" not in plan
+
+
+# --- x_etl_compact_small_files ----------------------------------------------
+
+
+def test_compaction_reduces_file_count_without_shuffle(spark, sf_dir):
+    DEFS["x_etl_compact_small_files"].fn(spark, sf_dir)
+    base = scratch_dir("frag_" + os.path.basename(sf_dir.rstrip("/")))
+    n_frag = len(glob.glob(os.path.join(base, "events", "*.parquet")))
+    n_comp = len(glob.glob(os.path.join(base, "events_compacted", "*.parquet")))
+    assert n_frag == 64
+    assert n_comp == 1  # sf0.001 events ≪ 64 MiB target
+    # the compaction read->coalesce->write pipeline is shuffle-free
+    plan = _physical(
+        spark.read.parquet(os.path.join(base, "events")).coalesce(1)
+    )
+    assert "Exchange" not in plan
