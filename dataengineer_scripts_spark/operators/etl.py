@@ -643,3 +643,57 @@ def x_etl_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = os.path.join(os.path.dirname(frag), "events_compacted")
     spark.read.parquet(frag).coalesce(n_files).write.mode("overwrite").parquet(out)
     return spark.read.parquet(out).select(*cols)
+
+
+#: Consistent-sampling keep rate (per mille of the customer key space).
+_CONSISTENT_RATE_PER_MILLE = 200
+
+
+def _keep_bucket(key: F.Column) -> F.Column:
+    """The shared keep decision: first 24 bits of md5(key) mod 1000."""
+    return (
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 6), 16, 10).cast("bigint")
+        % 1000
+    )
+
+
+@register(
+    "x_etl_sample_consistent",
+    oracle=f"""
+    SELECT o_orderkey, o_custkey, c_mktsegment
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE ('0x' || substr(md5(c_custkey::VARCHAR), 1, 6))::BIGINT % 1000
+          < {_CONSISTENT_RATE_PER_MILLE}
+    """,
+)
+def x_etl_sample_consistent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consistent cross-table sampling: keep 20% of CUSTOMERS — and
+    exactly the orders of kept customers — by applying the SAME
+    deterministic keep decision (md5 of the entity key) independently to
+    each table BEFORE the join.  This is the sampling that preserves
+    referential integrity across a warehouse: every table filtered by
+    the shared entity hash yields a mutually consistent subset (no
+    orphan facts, no truncated entities), where row-level ``sample()``
+    on each table would break every foreign key.
+
+    Because each side filters independently, the filters are scan-side
+    (pushed ahead of the join, no post-join row explosion to discard)
+    and the sampled join is provably identical to join-then-filter —
+    asserted in tests.  At 100 TB this means a 5× cheaper dev-scale
+    mirror of the whole warehouse from a one-line predicate, with zero
+    coordination between table pipelines."""
+    keep_c = _keep_bucket(F.col("c_custkey")) < _CONSISTENT_RATE_PER_MILLE
+    keep_o = _keep_bucket(F.col("o_custkey")) < _CONSISTENT_RATE_PER_MILLE
+    cust = (
+        table(spark, sf_dir, "customer")
+        .filter(keep_c)
+        .select("c_custkey", "c_mktsegment")
+    )
+    orders = (
+        table(spark, sf_dir, "orders")
+        .filter(keep_o)
+        .select("o_orderkey", "o_custkey")
+    )
+    return orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    ).select("o_orderkey", "o_custkey", "c_mktsegment")

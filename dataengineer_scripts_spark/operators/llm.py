@@ -1553,7 +1553,7 @@ PACK_CAPACITY_TOKENS = 2048
 )
 def x_llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing for training shards: assign each document to a
-    fixed-token-budget pack (context window = {PACK_CAPACITY_TOKENS}
+    fixed-token-budget pack (context window = PACK_CAPACITY_TOKENS = 2048
     tokens, tokens = chars//4) by cumulative fill in deterministic
     (lang, doc_id) order — ``pack_id = tokens_before // capacity``.  This
     is boundary-straddle packing: the doc that crosses a budget boundary
@@ -1582,4 +1582,76 @@ def x_llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "n_tokens",
         (fill / PACK_CAPACITY_TOKENS).cast("long").alias("pack_id"),
+    )
+
+
+#: Incremental split: doc_id % 10 >= 8 plays the "newly arrived batch"
+#: (20% of the corpus); the rest is the already-deduped corpus.
+_INCR_NEW_MOD = 8
+
+
+@register(
+    "x_llm_dedup_incremental",
+    oracle=f"""
+    WITH {_SQL_SHINGLES},
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT o.doc_id AS doc_old, nw.doc_id AS doc_new, count(*) AS c
+        FROM sh o JOIN sh nw ON o.s = nw.s
+        WHERE o.doc_id % 10 < {_INCR_NEW_MOD}
+          AND nw.doc_id % 10 >= {_INCR_NEW_MOD}
+        GROUP BY 1, 2
+    )
+    SELECT doc_old, doc_new,
+           round(c::DOUBLE / (so.n + sn.n - c)::DOUBLE, 6) AS jaccard
+    FROM common
+    JOIN sizes so ON doc_old = so.doc_id
+    JOIN sizes sn ON doc_new = sn.doc_id
+    WHERE c::DOUBLE / (so.n + sn.n - c)::DOUBLE >= 0.5
+    """,
+)
+def x_llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: near-dup pairs (exact n-gram Jaccard >= 0.5)
+    between a NEW batch (doc_id % 10 >= 8 stands in for today's crawl)
+    and the EXISTING corpus — the production shape of dedup, where the
+    corpus is 100 TB and already deduped, and re-running the full
+    self-join per batch (``x_llm_dedup_ngram_jaccard``) would redo
+    O(corpus²) work for an O(batch × corpus-overlap) question.
+
+    The pair generator is a BIPARTITE inverted-index equi-join: the new
+    batch's shingle rows join the corpus's shingle index on the 64-bit
+    shingle hash, so candidate count scales with (batch shingles ×
+    per-shingle document frequency) — independent of corpus size for
+    bounded df.  At scale the corpus side is a MAINTAINED index (the
+    shingle rows persisted bucketed by ``h`` when each batch is
+    admitted), so the per-batch cost is one narrow scan of the batch +
+    one co-located join — the corpus text is never re-shingled.  The
+    hot-shingle cap of ``x_llm_dedup_ngram_jaccard`` applies unchanged
+    when boilerplate df crosses the cap (same anti-join + candidate-
+    linear correction, bipartite instead of self-join); the fixture df
+    stays below it, so this operator states the exact J directly.
+    Sizes count FULL shingle sets on both sides, so reported J is exact,
+    same as the batch operator."""
+    sh = _shingle_rows(spark, sf_dir)
+    is_new = F.pmod("doc_id", F.lit(10)) >= _INCR_NEW_MOD
+    old_sh = sh.filter(~is_new).select(F.col("doc_id").alias("doc_old"), "h")
+    new_sh = sh.filter(is_new).select(F.col("doc_id").alias("doc_new"), "h")
+    common = (
+        old_sh.join(new_sh, "h")
+        .groupBy("doc_old", "doc_new")
+        .agg(F.count("*").alias("c"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    j = F.col("c") / (F.col("n_old") + F.col("n_new") - F.col("c"))
+    return (
+        common.join(
+            sizes.select(F.col("doc_id").alias("doc_old"), F.col("n").alias("n_old")),
+            "doc_old",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_new"), F.col("n").alias("n_new")),
+            "doc_new",
+        )
+        .filter(j >= 0.5)
+        .select("doc_old", "doc_new", F.round(j, 6).alias("jaccard"))
     )

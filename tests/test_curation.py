@@ -146,3 +146,82 @@ def test_multiway_topk_never_global_sorts(spark, sf_dir):
     plan = _physical(DEFS["x_join_multiway_analytic"].fn(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+# --- x_llm_dedup_incremental ------------------------------------------------
+
+
+def test_incremental_equals_full_dedup_restricted_to_boundary(spark, sf_dir):
+    """The bipartite incremental join must find EXACTLY the full
+    self-join's pairs that straddle the old/new split (same J values) —
+    incrementality changes cost, never results."""
+    from dataengineer_scripts_spark.operators.llm import _INCR_NEW_MOD
+
+    full = DEFS["x_llm_dedup_ngram_jaccard"].fn(spark, sf_dir)
+    a_new = F.pmod("doc_a", F.lit(10)) >= _INCR_NEW_MOD
+    b_new = F.pmod("doc_b", F.lit(10)) >= _INCR_NEW_MOD
+    # orient the straddling full-join pairs as (old, new)
+    want = (
+        full.filter(a_new != b_new)
+        .select(
+            F.when(a_new, F.col("doc_b")).otherwise(F.col("doc_a")).alias("doc_old"),
+            F.when(a_new, F.col("doc_a")).otherwise(F.col("doc_b")).alias("doc_new"),
+            "jaccard",
+        )
+    )
+    got = DEFS["x_llm_dedup_incremental"].fn(spark, sf_dir)
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_incremental_join_is_bipartite_not_self(spark, sf_dir):
+    """Candidate generation joins disjoint doc sets: no pair has both
+    sides old or both sides new."""
+    from dataengineer_scripts_spark.operators.llm import _INCR_NEW_MOD
+
+    got = DEFS["x_llm_dedup_incremental"].fn(spark, sf_dir)
+    bad = got.filter(
+        (F.pmod("doc_old", F.lit(10)) >= _INCR_NEW_MOD)
+        | (F.pmod("doc_new", F.lit(10)) < _INCR_NEW_MOD)
+    )
+    assert bad.count() == 0
+
+
+# --- x_etl_sample_consistent ------------------------------------------------
+
+
+def test_consistent_sample_equals_join_then_filter(spark, sf_dir):
+    """Filtering each table independently by the shared key hash must be
+    row-identical to joining first and filtering once — the property that
+    makes per-table sampling safe with zero coordination."""
+    from dataengineer_scripts_spark.operators.etl import (
+        _CONSISTENT_RATE_PER_MILLE,
+        _keep_bucket,
+    )
+    from dataengineer_scripts_spark.tables import table
+
+    got = DEFS["x_etl_sample_consistent"].fn(spark, sf_dir)
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    want = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .filter(_keep_bucket(F.col("c_custkey")) < _CONSISTENT_RATE_PER_MILLE)
+        .select("o_orderkey", "o_custkey", "c_mktsegment")
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_consistent_sample_filters_push_ahead_of_join(spark, sf_dir):
+    """Both keep-filters must run scan-side (before the join), so no
+    discarded rows ever cross the join."""
+    plan = _physical(DEFS["x_etl_sample_consistent"].fn(spark, sf_dir))
+    import re
+
+    join_pos = plan.find("BroadcastHashJoin")
+    assert join_pos != -1
+    # two md5-based filters, both in the join's subtree (children print
+    # after the parent in toString order) — i.e. evaluated scan-side
+    md5_sites = [m.start() for m in re.finditer(r"md5", plan)]
+    assert len(md5_sites) >= 2
+    assert all(p > join_pos for p in md5_sites)
