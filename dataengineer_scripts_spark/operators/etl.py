@@ -697,3 +697,99 @@ def x_etl_sample_consistent(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.join(
         F.broadcast(cust), orders.o_custkey == cust.c_custkey
     ).select("o_orderkey", "o_custkey", "c_mktsegment")
+
+
+#: Heavy hitters the skew profile reports.
+_SKEW_TOP_K = 20
+
+
+@register(
+    "x_etl_key_skew_profile",
+    oracle=f"""
+    WITH per_key AS (
+        SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id
+    ),
+    tot AS (SELECT sum(cnt)::BIGINT AS total, count(*) AS n_keys FROM per_key)
+    SELECT user_id, cnt, round(cnt::DOUBLE / total, 6) AS share,
+           round(cnt::DOUBLE * n_keys / total, 4) AS skew_x
+    FROM per_key, tot
+    ORDER BY cnt DESC, user_id
+    LIMIT {_SKEW_TOP_K}
+    """,
+)
+def x_etl_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/agg-key skew diagnostics: the top heavy-hitter keys with
+    their row count, share of the table, and skew factor (count ÷ the
+    uniform per-key expectation).  This is the measurement that DECIDES
+    the mitigation — ``skew_x`` near 1 → plain hash partitioning is
+    fine; tens → AQE skew-join handles it; thousands (one key owns a
+    task) → salt that key (``x_join_skew_salted``) or cap it
+    (``x_llm_dedup_ngram_jaccard``'s hot-shingle cap).  Run it before
+    shuffling 100 TB, not after the straggler task appears.
+
+    Cost: one map-side-combined count per key, then a broadcast of the
+    ONE-row total joined to the per-key counts, then a top-K heap —
+    nothing global except two scalar numbers."""
+    per_key = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("cnt"))
+    )
+    tot = per_key.agg(
+        F.sum("cnt").alias("total"), F.count("*").alias("n_keys")
+    )
+    return (
+        per_key.crossJoin(F.broadcast(tot))
+        .select(
+            "user_id",
+            "cnt",
+            F.round(F.col("cnt") / F.col("total"), 6).alias("share"),
+            F.round(F.col("cnt") * F.col("n_keys") / F.col("total"), 4).alias(
+                "skew_x"
+            ),
+        )
+        .orderBy(F.desc("cnt"), "user_id")
+        .limit(_SKEW_TOP_K)
+    )
+
+
+@register(
+    "src_parquet_schema_evolution",
+    oracle="""
+    SELECT event_id, round(value, 2) AS value, NULL::VARCHAR AS event_type
+    FROM events WHERE event_id % 2 = 0
+    UNION ALL
+    SELECT event_id, round(value, 2) AS value, event_type
+    FROM events WHERE event_id % 2 = 1
+    """,
+)
+def src_parquet_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read: a dataset written over time by TWO writer
+    generations (v1: event_id+value; v2 adds event_type) read back as
+    ONE frame via ``mergeSchema`` — v1 rows surface NULL for the added
+    column.  This is how a parquet lake absorbs additive schema change
+    without rewriting history: merge-on-read, old files untouched.
+
+    Scale note: ``mergeSchema`` footer-merges every file on the driver,
+    so at 100 TB you set the union schema EXPLICITLY on the reader
+    (``spark.read.schema(evolved)``) — same per-row semantics, no
+    footer sweep; the option here exercises the inference path.  Only
+    ADDITIVE evolution is safe; renames/type-changes need a real table
+    format (Delta/Iceberg) on top of parquet."""
+    base = os.path.join(
+        scratch_dir("evo_" + os.path.basename(sf_dir.rstrip("/"))), "events"
+    )
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", F.round("value", 2).alias("value"), "event_type"
+    )
+    ev.filter(F.col("event_id") % 2 == 0).drop("event_type").coalesce(2).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(base, "gen=v1"))
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(2).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(base, "gen=v2"))
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(os.path.join(base, "gen=v1"), os.path.join(base, "gen=v2"))
+        .select("event_id", "value", "event_type")
+    )

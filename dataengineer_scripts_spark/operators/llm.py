@@ -1655,3 +1655,45 @@ def x_llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(j >= 0.5)
         .select("doc_old", "doc_new", F.round(j, 6).alias("jaccard"))
     )
+
+
+#: Vocabulary size the tokenizer-training count reports.
+VOCAB_TOP_K = 1000
+
+
+@register(
+    "x_llm_vocab_topk",
+    oracle=f"""
+    WITH tok AS (
+        SELECT lower(t.tok) AS token
+        FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+        WHERE t.tok <> ''
+    )
+    SELECT token, count(*) AS freq
+    FROM tok GROUP BY token
+    ORDER BY freq DESC, token
+    LIMIT {VOCAB_TOP_K}
+    """,
+)
+def x_llm_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-K whitespace tokens by frequency — the
+    counting pass every tokenizer build (BPE seed vocab, frequency
+    cutoffs) starts from.  The plan is the canonical heavy-hitters
+    shape: explode → partial count per partition (map-side combine eats
+    the Zipf head BEFORE the shuffle: 'the' leaves each of 1000
+    executors as ONE (token, n) row, not a billion) → final count →
+    ``TakeOrderedAndProject`` top-K via per-partition heaps, never a
+    global sort of the vocabulary.  Tie-break on the token keeps the cut
+    deterministic across engines and partitionings."""
+    tok = (
+        table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("t"))
+        .filter(F.col("t") != "")
+        .select(F.lower("t").alias("token"))
+    )
+    return (
+        tok.groupBy("token")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("token"))
+        .limit(VOCAB_TOP_K)
+    )

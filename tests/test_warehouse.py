@@ -170,3 +170,57 @@ def test_compaction_reduces_file_count_without_shuffle(spark, sf_dir):
         spark.read.parquet(os.path.join(base, "events")).coalesce(1)
     )
     assert "Exchange" not in plan
+
+
+# --- x_llm_vocab_topk -------------------------------------------------------
+
+
+def test_vocab_topk_plan_partial_agg_and_heap(spark, sf_dir):
+    plan = _physical(DEFS["x_llm_vocab_topk"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan  # top-k, no global sort
+    assert plan.count("HashAggregate") >= 2  # map-side partial + final
+    assert "BatchEvalPython" not in plan
+
+
+def test_vocab_topk_counts_are_exact(spark, sf_dir):
+    from tests.conftest import make_duck
+
+    got = {
+        r.token: r.freq for r in DEFS["x_llm_vocab_topk"].fn(spark, sf_dir).collect()
+    }
+    duck = make_duck(sf_dir)
+    want = dict(
+        duck.execute(
+            "SELECT lower(t.tok), count(*) FROM documents,"
+            " unnest(string_split(text,' ')) AS t(tok)"
+            " WHERE t.tok <> '' GROUP BY 1"
+        ).fetchall()
+    )
+    assert all(want[t] == f for t, f in got.items())
+
+
+# --- x_etl_key_skew_profile -------------------------------------------------
+
+
+def test_skew_profile_shares_and_factors(spark, sf_dir):
+    rows = DEFS["x_etl_key_skew_profile"].fn(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 20
+    assert sum(r.share for r in rows) <= 1.000001
+    # counts are reported descending; skew factor is count/uniform
+    cnts = [r.cnt for r in rows]
+    assert cnts == sorted(cnts, reverse=True)
+    for r in rows:
+        assert r.skew_x > 0
+
+
+# --- src_parquet_schema_evolution -------------------------------------------
+
+
+def test_schema_evolution_null_pattern(spark, sf_dir):
+    df = DEFS["src_parquet_schema_evolution"].fn(spark, sf_dir).cache()
+    # v1 rows (even ids) have no event_type; v2 rows all do
+    assert df.filter((F.col("event_id") % 2 == 0) & F.col("event_type").isNotNull()).count() == 0
+    assert df.filter((F.col("event_id") % 2 == 1) & F.col("event_type").isNull()).count() == 0
+    n = table(spark, sf_dir, "events").count()
+    assert df.count() == n
+    df.unpersist()
