@@ -793,3 +793,69 @@ def src_parquet_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(os.path.join(base, "gen=v1"), os.path.join(base, "gen=v2"))
         .select("event_id", "value", "event_type")
     )
+
+
+#: Range partitions the global numbering sorts into (stands in for
+#: cluster parallelism; any value yields identical ranks).
+_ROWNUM_RANGE_PARTS = 16
+
+
+@register(
+    "x_etl_global_row_number",
+    oracle="""
+    SELECT event_id,
+           row_number() OVER (ORDER BY ts, event_id) AS global_rn
+    FROM events
+    """,
+)
+def x_etl_global_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global row numbering at scale (stable example ids for a training
+    corpus, offsets for shard manifests) WITHOUT the single-partition
+    window: ``row_number() OVER (ORDER BY ...)`` with no PARTITION BY
+    funnels 100 TB through one task — the classic scale killer.  The
+    scale-correct plan, built from Spark primitives:
+
+    1. ``repartitionByRange`` + ``sortWithinPartitions`` on the total
+       order key — a sampled range shuffle, every partition sorted and
+       range-disjoint (what ``orderBy`` does under the hood);
+    2. per-partition ``row_number`` windowed by ``spark_partition_id()``
+       — embarrassingly parallel, partitions already sorted;
+    3. per-partition counts (a P-row aggregate) prefix-summed into start
+       offsets and broadcast-joined back — the only global object is a
+       P-row map, never the data.
+
+    Ranks are identical to the declarative window for ANY partition
+    count/boundary sampling because the order key (ts, event_id) is
+    total and offsets come from actual counts — asserted against the
+    single-partition form in tests."""
+    key = [F.col("ts"), F.col("event_id")]
+    sorted_ev = (
+        table(spark, sf_dir, "events")
+        .select("event_id", "ts")
+        .repartitionByRange(_ROWNUM_RANGE_PARTS, *key)
+        .sortWithinPartitions(*key)
+        .withColumn("pid", F.spark_partition_id())
+    )
+    from pyspark.sql import Window
+
+    local_rn = F.row_number().over(
+        Window.partitionBy("pid").orderBy("ts", "event_id")
+    )
+    numbered = sorted_ev.withColumn("local_rn", local_rn)
+    counts = numbered.groupBy("pid").agg(F.count("*").alias("cnt"))
+    offsets = counts.select(
+        "pid",
+        (
+            F.coalesce(
+                F.sum("cnt").over(
+                    Window.orderBy("pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            )
+        ).alias("offset"),
+    )
+    return numbered.join(F.broadcast(offsets), "pid").select(
+        "event_id", (F.col("offset") + F.col("local_rn")).alias("global_rn")
+    )

@@ -224,3 +224,26 @@ def test_schema_evolution_null_pattern(spark, sf_dir):
     n = table(spark, sf_dir, "events").count()
     assert df.count() == n
     df.unpersist()
+
+
+# --- x_etl_global_row_number ------------------------------------------------
+
+
+def test_global_row_number_equals_single_partition_window(spark, sf_dir):
+    from pyspark.sql import Window
+
+    got = DEFS["x_etl_global_row_number"].fn(spark, sf_dir)
+    naive = table(spark, sf_dir, "events").select(
+        "event_id",
+        F.row_number().over(Window.orderBy("ts", "event_id")).alias("global_rn"),
+    )
+    assert got.exceptAll(naive).count() == 0
+    assert naive.exceptAll(got).count() == 0
+
+
+def test_global_row_number_plan_is_range_partitioned(spark, sf_dir):
+    plan = _physical(DEFS["x_etl_global_row_number"].fn(spark, sf_dir))
+    assert "rangepartitioning" in plan  # the sampled range shuffle
+    # the event-side window runs partitioned by pid; the only
+    # SinglePartition exchange feeds the P-row offsets aggregate
+    assert plan.count("SinglePartition") <= 2
