@@ -770,10 +770,12 @@ def src_parquet_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     column.  This is how a parquet lake absorbs additive schema change
     without rewriting history: merge-on-read, old files untouched.
 
-    Scale note: ``mergeSchema`` footer-merges every file on the driver,
-    so at 100 TB you set the union schema EXPLICITLY on the reader
-    (``spark.read.schema(evolved)``) — same per-row semantics, no
-    footer sweep; the option here exercises the inference path.  Only
+    Scale note: ``mergeSchema`` runs a footer-reading job over EVERY
+    file before the query (distributed, but an extra full pass over
+    file metadata), so at 100 TB you set the union schema EXPLICITLY on
+    the reader (``spark.read.schema(evolved)``) — same per-row
+    semantics, no footer sweep; the option here exercises the inference
+    path.  Only
     ADDITIVE evolution is safe; renames/type-changes need a real table
     format (Delta/Iceberg) on top of parquet."""
     base = os.path.join(

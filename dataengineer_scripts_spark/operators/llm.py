@@ -1622,10 +1622,12 @@ def x_llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch's shingle rows join the corpus's shingle index on the 64-bit
     shingle hash, so candidate count scales with (batch shingles ×
     per-shingle document frequency) — independent of corpus size for
-    bounded df.  At scale the corpus side is a MAINTAINED index (the
-    shingle rows persisted bucketed by ``h`` when each batch is
-    admitted), so the per-batch cost is one narrow scan of the batch +
-    one co-located join — the corpus text is never re-shingled.  The
+    bounded df.  This fixture implementation shingles both sides fresh
+    (one documents scan); the production deployment keeps the corpus
+    side as a MAINTAINED index (shingle rows persisted bucketed by
+    ``h`` as each batch is admitted), so the per-batch cost becomes one
+    narrow scan of the batch + one co-located join, with the corpus
+    text never re-shingled.  The
     hot-shingle cap of ``x_llm_dedup_ngram_jaccard`` applies unchanged
     when boilerplate df crosses the cap (same anti-join + candidate-
     linear correction, bipartite instead of self-join); the fixture df

@@ -1200,8 +1200,9 @@ def x_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate regardless of data size, where exact percentiles need a
     full sort (or one shuffle + per-key sort) of every value.  At 100 TB
     the sketch is the only sane plan; rank error is bounded by
-    n/accuracy.  No cross-engine oracle (DuckDB's quantile sketch makes
-    different tie decisions); tests/test_warehouse.py gates every
+    n/accuracy.  No cross-engine oracle (DuckDB's approx_quantile is a
+    t-digest — a different sketch with different value selection);
+    tests/test_warehouse.py gates every
     reported quantile against the exact percentile within the sketch's
     rank-error envelope."""
     return (
