@@ -1373,17 +1373,29 @@ def x_llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = x_llm_dedup_ngram_jaccard(spark, sf_dir).filter(
         F.col("jaccard") >= CLUSTER_J_THRESHOLD
     )
+    nodes = table(spark, sf_dir, "documents").select("doc_id")
+    labels = _min_label_components(nodes, pairs)
+    return labels.select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+    )
+
+
+def _min_label_components(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Connected components by iterative min-label propagation (the sweep
+    loop of ``x_llm_dedup_clusters``, reusable over any node/edge set).
+    ``nodes``: one ``doc_id`` per node; ``pairs``: undirected edges as
+    (doc_a, doc_b).  Returns (doc_id, cluster_id = component minimum)."""
     fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     rev = pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     # materialize once: every sweep re-reads the edge list, and its lineage
     # (the whole shingle self-join) must not be re-executed per sweep.
     edges = fwd.unionAll(rev).localCheckpoint()
 
-    labels = (
-        table(spark, sf_dir, "documents")
-        .select("doc_id", F.col("doc_id").alias("cluster_id"))
-        .localCheckpoint()
-    )
+    labels = nodes.select(
+        "doc_id", F.col("doc_id").alias("cluster_id")
+    ).localCheckpoint()
     for _ in range(CLUSTER_MAX_ITERS):
         nbr_min = (
             edges.join(labels, edges.src == labels.doc_id)
@@ -1409,11 +1421,7 @@ def x_llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
-    return labels.select(
-        "doc_id",
-        "cluster_id",
-        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
-    )
+    return labels
 
 
 #: Per-stratum keep rates in per-mille: down-sample dominant English, keep
@@ -1698,4 +1706,270 @@ def x_llm_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("freq"))
         .orderBy(F.desc("freq"), F.asc("token"))
         .limit(VOCAB_TOP_K)
+    )
+
+
+#: Benchmark split for decontamination: doc_id % 10 == 9 plays the
+#: held-out eval set; everything else is training data.
+_DECON_BENCH_MOD = 9
+#: Containment threshold: flag when >= 80% of a benchmark doc's shingles
+#: appear in a training doc.
+DECON_CONTAINMENT = 0.8
+
+
+@register(
+    "x_llm_decontaminate",
+    oracle=f"""
+    WITH {_SQL_SHINGLES},
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT tr.doc_id AS doc_train, be.doc_id AS doc_bench, count(*) AS c
+        FROM sh tr JOIN sh be ON tr.s = be.s
+        WHERE tr.doc_id % 10 <> {_DECON_BENCH_MOD}
+          AND be.doc_id % 10 = {_DECON_BENCH_MOD}
+        GROUP BY 1, 2
+    )
+    SELECT doc_train, doc_bench,
+           round(c::DOUBLE / sb.n, 6) AS containment
+    FROM common JOIN sizes sb ON doc_bench = sb.doc_id
+    WHERE c::DOUBLE / sb.n >= {DECON_CONTAINMENT}
+    """,
+)
+def x_llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination check: flag (train doc, benchmark doc)
+    pairs where >= 80% of the BENCHMARK doc's shingles appear in the
+    training doc.  The metric is CONTAINMENT |A∩B|/|B| (benchmark side),
+    not Jaccard: a 50-token eval question pasted into a 5000-token web
+    page has J ≈ 0.01 — invisible to every dedup threshold — but
+    containment 1.0.  This asymmetry is why decontamination is its own
+    pipeline step and not a rerun of dedup.
+
+    Same bipartite inverted-index shape as ``x_llm_dedup_incremental``
+    (benchmark shingles join the train index on the 64-bit hash; the
+    candidate set scales with benchmark size × df, never train²), and
+    the benchmark side of a real pipeline is tiny — a broadcast-sized
+    index checked against each incoming batch."""
+    sh = _shingle_rows(spark, sf_dir)
+    is_bench = F.pmod("doc_id", F.lit(10)) == _DECON_BENCH_MOD
+    train = sh.filter(~is_bench).select(F.col("doc_id").alias("doc_train"), "h")
+    bench = sh.filter(is_bench).select(F.col("doc_id").alias("doc_bench"), "h")
+    common = (
+        train.join(bench, "h")
+        .groupBy("doc_train", "doc_bench")
+        .agg(F.count("*").alias("c"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    containment = F.col("c") / F.col("n_bench")
+    return (
+        common.join(
+            sizes.select(
+                F.col("doc_id").alias("doc_bench"), F.col("n").alias("n_bench")
+            ),
+            "doc_bench",
+        )
+        .filter(containment >= DECON_CONTAINMENT)
+        .select(
+            "doc_train", "doc_bench", F.round(containment, 6).alias("containment")
+        )
+    )
+
+
+@register(
+    "x_llm_repetition_score",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    tri AS (
+        SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        FROM toks, unnest(generate_series(1, len(t) - 2)) AS r(i)
+        WHERE len(t) >= 3
+    )
+    SELECT doc_id, count(*) AS n_tri,
+           round(1.0 - count(DISTINCT s)::DOUBLE / count(*), 6) AS rep_ratio
+    FROM tri GROUP BY doc_id
+    """,
+)
+def x_llm_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition score: fraction of a doc's trigram
+    occurrences that are repeats of an earlier trigram (0 = no
+    repetition, →1 = the same phrase looping) — the Gopher-class
+    repetition rule that catches boilerplate loops, keyword stuffing and
+    generation degeneracy, which length/stopword quality features
+    (``x_llm_quality_score``) cannot see.
+
+    ENTIRELY narrow: the trigram array, its ``array_distinct``, and the
+    ratio are computed per row inside codegen — zero shuffle, zero
+    Python, no explode (the doc's shingle multiset never leaves the
+    row).  At 100 TB this is the cheapest possible filter shape: scan
+    speed, trivially combinable with the other per-doc scores in the
+    same pass."""
+    # _tri_shingle_array zip_with-pads two trailing nulls (the explode
+    # path drops them row-wise); drop them array-side here
+    arr = F.filter(_tri_shingle_array(F.col("text")), lambda x: x.isNotNull())
+    n_tri = F.size(arr)
+    rep = F.round(
+        F.lit(1.0) - F.size(F.array_distinct(arr)) / n_tri.cast("double"), 6
+    )
+    return (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", n_tri.cast("long").alias("n_tri"), rep.alias("rep_ratio"))
+        .filter(F.col("n_tri") > 0)
+    )
+
+
+#: Repetition ceiling for the curation pipeline's quality gate.
+REP_MAX_RATIO = 0.3
+
+
+@register(
+    "flagship_curation",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_SHINGLES},
+    {_SQL_PAIR_JACCARD},
+    tri AS (
+        SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        FROM toks, unnest(generate_series(1, len(t) - 2)) AS r(i)
+        WHERE len(t) >= 3
+    ),
+    rep AS (
+        SELECT doc_id, 1.0 - count(DISTINCT s)::DOUBLE / count(*) AS r
+        FROM tri GROUP BY doc_id
+    ),
+    t1 AS (
+        SELECT d.doc_id, d.text, d.lang, d.n_chars
+        FROM documents d JOIN rep USING (doc_id)
+        WHERE d.doc_id % 10 <> {_DECON_BENCH_MOD} AND rep.r < {REP_MAX_RATIO}
+    ),
+    t2 AS (
+        SELECT doc_id, text, lang, n_chars FROM t1
+        QUALIFY doc_id = min(doc_id) OVER (PARTITION BY text)
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM jac
+        WHERE j >= {CLUSTER_J_THRESHOLD}
+          AND doc_a IN (SELECT doc_id FROM t2)
+          AND doc_b IN (SELECT doc_id FROM t2)
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM jac
+        WHERE j >= {CLUSTER_J_THRESHOLD}
+          AND doc_a IN (SELECT doc_id FROM t2)
+          AND doc_b IN (SELECT doc_id FROM t2)
+    ),
+    reach(node, root) AS (
+        SELECT doc_id, doc_id FROM t2
+        UNION
+        SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    lbl AS (SELECT node AS doc_id, min(root) AS cluster_id FROM reach GROUP BY node),
+    t3 AS (
+        SELECT t2.doc_id, t2.lang, t2.n_chars
+        FROM t2 JOIN lbl USING (doc_id) WHERE lbl.cluster_id = t2.doc_id
+    ),
+    contam AS (
+        SELECT DISTINCT p.doc_train AS doc_id FROM (
+            SELECT tr.doc_id AS doc_train, be.doc_id AS doc_bench,
+                   count(*) AS c
+            FROM sh tr JOIN sh be ON tr.s = be.s
+            WHERE tr.doc_id % 10 <> {_DECON_BENCH_MOD}
+              AND be.doc_id % 10 = {_DECON_BENCH_MOD}
+            GROUP BY 1, 2
+        ) p
+        JOIN sizes sb ON p.doc_bench = sb.doc_id
+        WHERE p.c::DOUBLE / sb.n >= {DECON_CONTAINMENT}
+    ),
+    t4 AS (
+        SELECT * FROM t3 WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+    ),
+    t5 AS (
+        SELECT doc_id, lang, n_chars // 4 AS n_tokens FROM t4
+        WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 6))::BIGINT % 1000
+              < {_SAMPLE_CASE_SQL}
+    )
+    SELECT doc_id, lang, n_tokens,
+           COALESCE(sum(n_tokens) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0)::BIGINT // {PACK_CAPACITY_TOKENS} AS pack_id
+    FROM t5
+    """,
+)
+def flagship_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end corpus curation pipeline, raw documents → packed
+    training manifest, composed ENTIRELY from this module's operators in
+    the order a production corpus build runs them:
+
+    1. benchmark docs out (they are eval, not training data);
+    2. quality gate: intra-doc repetition < REP_MAX_RATIO (narrow,
+       scan-side — the cheap filter runs FIRST so every later stage sees
+       fewer rows);
+    3. exact dedup: keep the lowest doc_id per identical text;
+    4. near-dup collapse: connected components over J >= 0.5 shingle-
+       Jaccard edges among survivors (edge weights don't depend on other
+       docs, so full-corpus pairs semi-joined to survivors ARE the
+       survivor subgraph), keep each component's canonical minimum;
+    5. decontamination: drop survivors containing >= 80% of any
+       benchmark doc's shingles;
+    6. deterministic stratified sampling (per-lang md5 rates);
+    7. sequence packing into PACK_CAPACITY_TOKENS bins.
+
+    One registered query proves the operators COMPOSE — the DuckDB
+    oracle replays all seven stages (recursive CTE for the components)
+    and the driver hash-matches the final manifest.  Each stage keeps
+    the scale shape of its standalone operator: the only data-sized
+    shuffles are the shingle self-join (skew-capped), the components'
+    bounded sweeps, and the final per-lang window."""
+    docs = table(spark, sf_dir, "documents")
+    arr = F.filter(_tri_shingle_array(F.col("text")), lambda x: x.isNotNull())
+    rep = F.lit(1.0) - F.size(F.array_distinct(arr)) / F.size(arr).cast("double")
+    t1 = docs.filter(
+        (F.pmod("doc_id", F.lit(10)) != _DECON_BENCH_MOD) & (rep < REP_MAX_RATIO)
+    ).select("doc_id", "text", "lang", "n_chars")
+
+    t2 = t1.withColumn(
+        "min_id", F.min("doc_id").over(Window.partitionBy("text"))
+    ).filter(F.col("doc_id") == F.col("min_id"))
+
+    surv = t2.select("doc_id")
+    pairs = (
+        x_llm_dedup_ngram_jaccard(spark, sf_dir)
+        .filter(F.col("jaccard") >= CLUSTER_J_THRESHOLD)
+        .join(surv.withColumnRenamed("doc_id", "doc_a"), "doc_a", "semi")
+        .join(surv.withColumnRenamed("doc_id", "doc_b"), "doc_b", "semi")
+    )
+    lbl = _min_label_components(surv, pairs)
+    t3 = (
+        t2.join(lbl, "doc_id")
+        .filter(F.col("cluster_id") == F.col("doc_id"))
+        .select("doc_id", "lang", "n_chars")
+    )
+
+    contam = (
+        x_llm_decontaminate(spark, sf_dir)
+        .select(F.col("doc_train").alias("doc_id"))
+        .distinct()
+    )
+    t4 = t3.join(contam, "doc_id", "anti")
+
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10)
+        .cast("bigint")
+        % 1000
+    )
+    rates = F.lit(SAMPLE_DEFAULT_PER_MILLE)
+    for k, v in reversed(SAMPLE_RATES_PER_MILLE.items()):
+        rates = F.when(F.col("lang") == k, F.lit(v)).otherwise(rates)
+    t5 = t4.filter(bucket < rates).select(
+        "doc_id", "lang", (F.col("n_chars") / 4).cast("long").alias("n_tokens")
+    )
+
+    before = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    fill = F.coalesce(F.sum("n_tokens").over(before), F.lit(0))
+    return t5.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        (fill / PACK_CAPACITY_TOKENS).cast("long").alias("pack_id"),
     )

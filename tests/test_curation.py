@@ -225,3 +225,112 @@ def test_consistent_sample_filters_push_ahead_of_join(spark, sf_dir):
     md5_sites = [m.start() for m in re.finditer(r"md5", plan)]
     assert len(md5_sites) >= 2
     assert all(p > join_pos for p in md5_sites)
+
+
+# --- x_llm_decontaminate ----------------------------------------------------
+
+
+def test_decontaminate_orientation_and_threshold(spark, sf_dir):
+    from dataengineer_scripts_spark.operators.llm import (
+        _DECON_BENCH_MOD,
+        DECON_CONTAINMENT,
+    )
+
+    got = DEFS["x_llm_decontaminate"].fn(spark, sf_dir)
+    bad = got.filter(
+        (F.pmod("doc_bench", F.lit(10)) != _DECON_BENCH_MOD)
+        | (F.pmod("doc_train", F.lit(10)) == _DECON_BENCH_MOD)
+        | (F.col("containment") < DECON_CONTAINMENT)
+        | (F.col("containment") > 1.0)
+    )
+    assert bad.count() == 0
+
+
+def test_decontaminate_containment_vs_duck(spark, sf_dir):
+    """Re-derive containment for every flagged pair with DuckDB set ops."""
+    from tests.conftest import make_duck
+
+    rows = DEFS["x_llm_decontaminate"].fn(spark, sf_dir).collect()
+    duck = make_duck(sf_dir)
+    for r in rows:
+        c = duck.execute(
+            """
+            WITH toks AS (SELECT doc_id, string_split(text,' ') AS t
+                          FROM documents WHERE doc_id IN (?, ?)),
+            sh AS (SELECT DISTINCT doc_id,
+                          t[i]||' '||t[i+1]||' '||t[i+2] AS s
+                   FROM toks, unnest(generate_series(1, len(t)-2)) AS r(i)
+                   WHERE len(t) >= 3)
+            SELECT count(*) FILTER (WHERE in_both) * 1.0 / count(*) FROM (
+                SELECT s, count(DISTINCT doc_id) = 2 AS in_both
+                FROM sh GROUP BY s
+                HAVING bool_or(doc_id = ?)
+            )
+            """,
+            [r.doc_train, r.doc_bench, r.doc_bench],
+        ).fetchone()[0]
+        assert abs(c - r.containment) < 1e-6
+
+
+# --- x_llm_repetition_score -------------------------------------------------
+
+
+def test_repetition_score_range_and_exactness(spark, sf_dir):
+    got = DEFS["x_llm_repetition_score"].fn(spark, sf_dir).cache()
+    assert got.filter((F.col("rep_ratio") < 0) | (F.col("rep_ratio") >= 1)).count() == 0
+    # cross-check n_tri against the explode path used by the dedup ops
+    from dataengineer_scripts_spark.operators.llm import _shingle_rows
+
+    # explode path counts DISTINCT trigrams; rep_ratio re-derives from it:
+    # distinct = n_tri * (1 - rep)
+    distinct = _shingle_rows(spark, sf_dir).groupBy("doc_id").count()
+    j = got.join(distinct, "doc_id")
+    mism = j.filter(
+        F.round(F.col("n_tri") * (1 - F.col("rep_ratio"))).cast("long")
+        != F.col("count")
+    )
+    assert mism.count() == 0
+    got.unpersist()
+
+
+def test_repetition_score_plan_is_narrow(spark, sf_dir):
+    plan = _physical(DEFS["x_llm_repetition_score"].fn(spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "Generate" not in plan  # no explode — the multiset stays in-row
+    assert "BatchEvalPython" not in plan
+
+
+# --- flagship_curation ------------------------------------------------------
+
+
+def test_curation_manifest_stage_properties(spark, sf_dir):
+    from dataengineer_scripts_spark.operators.llm import (
+        _DECON_BENCH_MOD,
+        PACK_CAPACITY_TOKENS,
+    )
+
+    man = DEFS["flagship_curation"].fn(spark, sf_dir).cache()
+    # no benchmark docs in a training manifest
+    assert man.filter(F.pmod("doc_id", F.lit(10)) == _DECON_BENCH_MOD).count() == 0
+    # manifest docs are canonical near-dup survivors: no two manifest docs
+    # may be a near-dup pair of each other
+    pairs = DEFS["x_llm_dedup_ngram_jaccard"].fn(spark, sf_dir)
+    ids = man.select("doc_id")
+    both = (
+        pairs.join(ids.withColumnRenamed("doc_id", "doc_a"), "doc_a", "semi")
+        .join(ids.withColumnRenamed("doc_id", "doc_b"), "doc_b", "semi")
+    )
+    assert both.count() == 0
+    # no two manifest docs share identical text
+    from dataengineer_scripts_spark.tables import table
+
+    texts = man.join(table(spark, sf_dir, "documents"), "doc_id").select("text")
+    assert texts.count() == texts.distinct().count()
+    # packs never overrun by a full doc
+    per_pack = man.groupBy("lang", "pack_id").agg(
+        F.sum("n_tokens").alias("tot"), F.max("n_tokens").alias("mx")
+    )
+    assert per_pack.filter(
+        F.col("tot") >= PACK_CAPACITY_TOKENS + F.col("mx")
+    ).count() == 0
+    man.unpersist()
