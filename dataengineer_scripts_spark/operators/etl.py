@@ -36,7 +36,6 @@ from pyspark.sql import functions as F
 from ..registry import register
 from ..sinks import (
     MAX_RETRIES,
-    fetch_receipts,
     foreach_progress,
     http_post_partition,
     http_post_partition_async,
@@ -551,7 +550,7 @@ def snk_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH changes AS (
         SELECT o_custkey AS c_custkey,
-               round(sum(o_totalprice), 2) AS new_bal
+               round(sum(o_totalprice::DECIMAL(30,10)), 2)::DOUBLE AS new_bal
         FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey
     )
     SELECT c.c_custkey, 1 AS version, round(c.c_acctbal, 2) AS bal,
@@ -584,7 +583,13 @@ def x_etl_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "orders")
         .filter(F.col("o_orderstatus") == "F")
         .groupBy(F.col("o_custkey").alias("c_custkey"))
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("new_bal"))
+        # decimal sum: addition associates, so the rounded cents are
+        # bit-equal across engines and partitionings (double sums are not)
+        .agg(
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(30,10)")), 2)
+            .cast("double")
+            .alias("new_bal")
+        )
     )
     v1 = dim.join(changes, "c_custkey", "left").select(
         "c_custkey",

@@ -720,6 +720,28 @@ def _partial_topk_frame(qids, qmat, cand_ids, cand_mat, k) -> pd.DataFrame:
     return pd.concat(out, ignore_index=True)
 
 
+#: Latest (digest, Broadcast) of the kNN query matrix — repeated calls in
+#: one long session (the correctness harness re-runs every round) must not
+#: accumulate executor-pinned broadcasts.
+_KNN_BC_CACHE: list = []
+
+
+def _query_matrix_broadcast(spark, qids: np.ndarray, qmat: np.ndarray):
+    """Broadcast (qids, qmat), reusing the live broadcast when the content
+    is identical and unpersisting the superseded one otherwise (unpersist,
+    not destroy: an already-built plan re-fetches from the driver)."""
+    import hashlib
+
+    key = hashlib.sha256(qids.tobytes() + qmat.tobytes()).digest()
+    if _KNN_BC_CACHE and _KNN_BC_CACHE[0][0] == key:
+        return _KNN_BC_CACHE[0][1]
+    if _KNN_BC_CACHE:
+        _KNN_BC_CACHE.pop()[1].unpersist()
+    bc = spark.sparkContext.broadcast((qids, qmat))
+    _KNN_BC_CACHE.append((key, bc))
+    return bc
+
+
 def knn_batch_broadcast(corpus: DataFrame, queries: DataFrame, k: int) -> DataFrame:
     """Batch kNN, broadcast regime: the query side is a DataFrame whose
     materialized matrix fits executor memory (Q×dim doubles — 1M×64 ≈
@@ -732,8 +754,8 @@ def knn_batch_broadcast(corpus: DataFrame, queries: DataFrame, k: int) -> DataFr
     (batches × Q × k) partial rows reach the final window."""
     spark = corpus.sparkSession
     qrows = sorted(queries.select("vec_id", "e").collect(), key=lambda r: r.vec_id)
-    bc = spark.sparkContext.broadcast(
-        (np.array([r.vec_id for r in qrows]), np.array([r.e for r in qrows]))
+    bc = _query_matrix_broadcast(
+        spark, np.array([r.vec_id for r in qrows]), np.array([r.e for r in qrows])
     )
 
     def topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1396,6 +1418,7 @@ def _min_label_components(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
     labels = nodes.select(
         "doc_id", F.col("doc_id").alias("cluster_id")
     ).localCheckpoint()
+    changed = -1
     for _ in range(CLUSTER_MAX_ITERS):
         nbr_min = (
             edges.join(labels, edges.src == labels.doc_id)
@@ -1421,6 +1444,14 @@ def _min_label_components(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # returning partial labels would silently split components (and
+        # mismatch the recursive-CTE oracle); a graph whose diameter beats
+        # the valve needs the O(log n) large-star/small-star variant.
+        raise RuntimeError(
+            f"label propagation did not converge in {CLUSTER_MAX_ITERS} sweeps"
+            " (component diameter exceeds the valve)"
+        )
     return labels
 
 

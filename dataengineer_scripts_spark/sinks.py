@@ -36,6 +36,8 @@ from datetime import date
 
 from pyspark.sql import DataFrame
 
+from .xlsx import col_letter as _col_letter
+
 MAX_RETRIES = 3  # reference retry budget: sync_app3.py:58
 
 
@@ -180,7 +182,7 @@ def build_workbook_model(
     return {
         "header": {
             "title": f"Job Status Report {d}",
-            "merge": f"A1:{chr(ord('A') + len(cols) - 1)}1",
+            "merge": f"A1:{_col_letter(len(cols))}1",
             "fill": HEADER_FILL,
         },
         "columns": cols,

@@ -98,15 +98,30 @@ class RestPagePartition(InputPartition):
         self.rows = rows
 
 
+def _ddl_field_names(ddl: str) -> tuple[str, ...]:
+    """Top-level field names of a DDL struct string.  Splits only on
+    commas at bracket depth 0, so types with embedded commas/brackets
+    (``decimal(10,2)``, ``array<struct<a:int,b:int>>``) stay intact."""
+    names, depth, start = [], 0, 0
+    for i, ch in enumerate(ddl + ","):
+        if ch in "<(":
+            depth += 1
+        elif ch in ">)":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            field = ddl[start:i].strip()
+            if field:
+                names.append(field.replace(":", " ").split()[0])
+            start = i + 1
+    return tuple(names)
+
+
 class RestDataSourceReader(DataSourceReader):
     def __init__(self, options: dict):
         self.base_url = options["base_url"]
         self.token = options["token"]
         self.path = options.get("path", PROJECTS_PATH)
-        self.fields = tuple(
-            f.strip().split()[0]
-            for f in options.get("schema", NODE_SCHEMA).split(",")
-        )
+        self.fields = _ddl_field_names(options.get("schema", NODE_SCHEMA))
         self.page_size = int(options.get("page_size", DEFAULT_PAGE_SIZE))
         self.type_ne: str | None = options.get("type_ne")
         self.type_eq: str | None = None
@@ -123,9 +138,20 @@ class RestDataSourceReader(DataSourceReader):
                 and isinstance(f.child, EqualTo)
                 and f.child.attribute == ("type",)
             ):
-                self.type_ne = str(f.child.value)
+                # the API takes ONE type_ne param: consume the filter only
+                # if it agrees with (or sets) the current value — never
+                # clobber a constraint already pushed via reader option
+                val = str(f.child.value)
+                if self.type_ne is None or self.type_ne == val:
+                    self.type_ne = val
+                else:
+                    yield f
             elif isinstance(f, EqualTo) and f.attribute == ("type",):
-                self.type_eq = str(f.value)
+                val = str(f.value)
+                if self.type_eq is None or self.type_eq == val:
+                    self.type_eq = val
+                else:
+                    yield f
             else:
                 yield f
 

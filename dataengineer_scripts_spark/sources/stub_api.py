@@ -149,8 +149,13 @@ class StubApi:
                     page = int(q.get("page", ["0"])[0])
                     size = int(q.get("page_size", ["8"])[0])
                     with stub._lock:
+                        # .get(), not [..]: indexing the defaultdict would
+                        # insert empty entries — a read must not mutate state
                         rows = [
-                            {"node_id": i, "attempts": len(stub.attempt_keys[str(i)])}
+                            {
+                                "node_id": i,
+                                "attempts": len(stub.attempt_keys.get(str(i), ())),
+                            }
                             for i in sorted(set(stub.synced))
                         ]
                     window = rows[page * size:(page + 1) * size]

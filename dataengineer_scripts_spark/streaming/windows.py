@@ -260,7 +260,13 @@ def enriched_window_revenue(events: DataFrame, dim: DataFrame) -> DataFrame:
             F.window("ts", "1 day").alias("w"),
             F.coalesce("c_mktsegment", F.lit("UNKNOWN")).alias("segment"),
         )
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("revenue"))
+        .agg(
+            F.count("*").alias("n"),
+            # decimal sum → rounding is partition-order-independent
+            F.round(F.sum(F.col("value").cast("decimal(30,10)")), 2)
+            .cast("double")
+            .alias("revenue"),
+        )
         .select(F.col("w.start").alias("window_start"), "segment", "n", "revenue")
     )
 
@@ -270,7 +276,8 @@ def enriched_window_revenue(events: DataFrame, dim: DataFrame) -> DataFrame:
     oracle="""
     SELECT time_bucket(INTERVAL 1 DAY, e.ts::TIMESTAMP) AS window_start,
            COALESCE(c.c_mktsegment, 'UNKNOWN') AS segment,
-           count(*) AS n, round(sum(e.value), 2) AS revenue
+           count(*) AS n,
+           round(sum(e.value::DECIMAL(30,10)), 2)::DOUBLE AS revenue
     FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
     GROUP BY 1, 2
     """,

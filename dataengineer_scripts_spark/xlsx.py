@@ -19,6 +19,7 @@ report computation upstream; this renders a small collected report.
 
 from __future__ import annotations
 
+import math
 import re
 import zipfile
 from xml.etree import ElementTree as ET
@@ -127,6 +128,10 @@ def _styles_xml(fills: list[str]) -> str:
     )
 
 
+#: Characters illegal in XML 1.0 (OOXML would be rejected by any parser).
+_XML_ILLEGAL = re.compile(r"[\x00-\x08\x0b\x0c\x0e-\x1f]")
+
+
 def _cell_xml(ref: str, value, style: int) -> str:
     s = f' s="{style}"' if style else ""
     if value is None:
@@ -134,8 +139,13 @@ def _cell_xml(ref: str, value, style: int) -> str:
     if isinstance(value, bool):
         return f'<c r="{ref}"{s} t="b"><v>{int(value)}</v></c>'
     if isinstance(value, (int, float)):
-        return f'<c r="{ref}"{s}><v>{value!r}</v></c>'
-    text = escape(str(value))
+        # NaN/Inf have no OOXML numeric form — store as inline string
+        # (what openpyxl effectively does) instead of emitting <v>nan</v>
+        if isinstance(value, float) and not math.isfinite(value):
+            value = str(value)
+        else:
+            return f'<c r="{ref}"{s}><v>{value!r}</v></c>'
+    text = escape(_XML_ILLEGAL.sub("", str(value)))
     return (
         f'<c r="{ref}"{s} t="inlineStr">'
         f'<is><t xml:space="preserve">{text}</t></is></c>'

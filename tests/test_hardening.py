@@ -1,0 +1,106 @@
+"""Regression tests for the round-3 hardening pass (code-review findings):
+DDL parsing, pushdown no-clobber, xlsx edge cases, label-prop convergence
+valve, broadcast reuse."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from dataengineer_scripts_spark.sources.rest import (
+    RestDataSourceReader,
+    _ddl_field_names,
+)
+
+
+def test_ddl_field_names_handles_commas_in_types():
+    assert _ddl_field_names("node_id int, price decimal(10,2)") == (
+        "node_id",
+        "price",
+    )
+    assert _ddl_field_names("a int, tags array<struct<x:int,y:int>>, b string") == (
+        "a",
+        "tags",
+        "b",
+    )
+    assert _ddl_field_names("x:int, y:decimal(10,2)") == ("x", "y")
+
+
+def _mk_reader(**extra):
+    opts = {"base_url": "http://x", "token": "t"}
+    opts.update(extra)
+    return RestDataSourceReader(opts)
+
+
+def test_pushfilters_never_clobbers_option_filter():
+    from pyspark.sql.datasource import EqualTo, Not
+
+    r = _mk_reader(type_ne="next")
+    residual = list(r.pushFilters([Not(EqualTo(("type",), "legacy"))]))
+    assert r.type_ne == "next"  # option preserved
+    assert len(residual) == 1  # conflicting filter handed back to Spark
+
+    r2 = _mk_reader(type_ne="next")
+    residual2 = list(r2.pushFilters([Not(EqualTo(("type",), "next"))]))
+    assert r2.type_ne == "next" and residual2 == []  # agreeing filter consumed
+
+    r3 = _mk_reader()
+    residual3 = list(r3.pushFilters([Not(EqualTo(("type",), "legacy"))]))
+    assert r3.type_ne == "legacy" and residual3 == []
+
+
+def test_cell_xml_nan_inf_and_control_chars():
+    from dataengineer_scripts_spark.xlsx import _cell_xml
+
+    assert "<v>nan</v>" not in _cell_xml("A1", float("nan"), 0)
+    assert "<v>inf</v>" not in _cell_xml("A1", float("inf"), 0)
+    out = _cell_xml("A1", "bad\x1b[31mansi\x00", 0)
+    assert "\x1b" not in out and "\x00" not in out
+    # normal numerics still numeric
+    assert "<v>2.5</v>" in _cell_xml("A1", 2.5, 0)
+
+
+def test_merge_ref_beyond_26_columns():
+    from dataengineer_scripts_spark.sinks import build_workbook_model
+
+    cols = [f"c{i}" for i in range(28)]
+    model = build_workbook_model([{c: 1 for c in cols}], columns=cols)
+    assert model["header"]["merge"] == "A1:AB1"
+
+
+def test_label_propagation_raises_on_nonconvergence(spark, monkeypatch):
+    import dataengineer_scripts_spark.operators.llm as llm
+
+    monkeypatch.setattr(llm, "CLUSTER_MAX_ITERS", 3)
+    n = 8  # chain 0-1-...-7 needs 7 sweeps for label 0 to reach the end
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        llm._min_label_components(nodes, pairs)
+
+
+def test_label_propagation_converges_on_chain_within_valve(spark):
+    from dataengineer_scripts_spark.operators.llm import _min_label_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(5)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(4)], "doc_a long, doc_b long"
+    )
+    got = {r.doc_id: r.cluster_id for r in _min_label_components(nodes, pairs).collect()}
+    assert got == {i: 0 for i in range(5)}
+
+
+def test_knn_query_broadcast_is_cached_and_superseded(spark):
+    import dataengineer_scripts_spark.operators.llm as llm
+
+    llm._KNN_BC_CACHE.clear()
+    ids = np.array([1, 2])
+    mat = np.ones((2, 4))
+    b1 = llm._query_matrix_broadcast(spark, ids, mat)
+    b2 = llm._query_matrix_broadcast(spark, ids, mat)
+    assert b1 is b2  # identical content reuses the live broadcast
+    b3 = llm._query_matrix_broadcast(spark, ids, mat * 2.0)
+    assert b3 is not b1
+    assert len(llm._KNN_BC_CACHE) == 1  # superseded broadcast evicted
