@@ -639,10 +639,16 @@ def x_etl_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         "overwrite"
     ).parquet(frag)
 
+    # Size the input through the Hadoop FileSystem API, not os.listdir —
+    # identical on local paths, and still correct when the lake lives on
+    # s3a://, hdfs://, abfss://, where no POSIX listing exists.
+    jvm = spark.sparkContext._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(frag)
+    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
     in_bytes = sum(
-        os.path.getsize(os.path.join(frag, f))
-        for f in os.listdir(frag)
-        if f.endswith(".parquet")
+        st.getLen()
+        for st in fs.listStatus(jpath)
+        if st.getPath().getName().endswith(".parquet")
     )
     n_files = max(1, -(-in_bytes // _COMPACT_TARGET_BYTES))
     out = os.path.join(os.path.dirname(frag), "events_compacted")

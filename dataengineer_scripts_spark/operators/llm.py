@@ -729,15 +729,25 @@ _KNN_BC_CACHE: list = []
 def _query_matrix_broadcast(spark, qids: np.ndarray, qmat: np.ndarray):
     """Broadcast (qids, qmat), reusing the live broadcast when the content
     is identical and unpersisting the superseded one otherwise (unpersist,
-    not destroy: an already-built plan re-fetches from the driver)."""
+    not destroy: an already-built plan re-fetches from the driver).
+
+    Keyed by (applicationId, content digest): a Broadcast belongs to one
+    SparkContext, so after a stop()/restart the cached handle is dead even
+    if the content matches — the applicationId component forces a fresh
+    broadcast on the new context."""
     import hashlib
 
-    key = hashlib.sha256(qids.tobytes() + qmat.tobytes()).digest()
+    sc = spark.sparkContext
+    key = (sc.applicationId, hashlib.sha256(qids.tobytes() + qmat.tobytes()).digest())
     if _KNN_BC_CACHE and _KNN_BC_CACHE[0][0] == key:
         return _KNN_BC_CACHE[0][1]
     if _KNN_BC_CACHE:
-        _KNN_BC_CACHE.pop()[1].unpersist()
-    bc = spark.sparkContext.broadcast((qids, qmat))
+        try:
+            _KNN_BC_CACHE.pop()[1].unpersist()
+        except Exception:
+            # superseded broadcast belonged to an already-stopped context
+            _KNN_BC_CACHE.clear()
+    bc = sc.broadcast((qids, qmat))
     _KNN_BC_CACHE.append((key, bc))
     return bc
 
@@ -1608,7 +1618,7 @@ def x_llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     parallel.  Fixture langs are ~100 docs each, so the plain key is the
     right plan here."""
     toks = table(spark, sf_dir, "documents").select(
-        "doc_id", "lang", (F.col("n_chars") / 4).cast("long").alias("n_tokens")
+        "doc_id", "lang", F.expr("n_chars div 4").alias("n_tokens")
     )
     before = (
         Window.partitionBy("lang")
@@ -1616,11 +1626,14 @@ def x_llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     fill = F.coalesce(F.sum("n_tokens").over(before), F.lit(0))
-    return toks.select(
+    # Integer `div` end-to-end (matches the oracle's `//`): a double
+    # division .cast('long') diverges once cumulative fill passes 2^53 —
+    # exactly the regime the 100 TB framing of this operator implies.
+    return toks.select("doc_id", "lang", "n_tokens", fill.alias("_fill")).select(
         "doc_id",
         "lang",
         "n_tokens",
-        (fill / PACK_CAPACITY_TOKENS).cast("long").alias("pack_id"),
+        F.expr(f"_fill div {PACK_CAPACITY_TOKENS}").alias("pack_id"),
     )
 
 
@@ -1989,7 +2002,7 @@ def flagship_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     for k, v in reversed(SAMPLE_RATES_PER_MILLE.items()):
         rates = F.when(F.col("lang") == k, F.lit(v)).otherwise(rates)
     t5 = t4.filter(bucket < rates).select(
-        "doc_id", "lang", (F.col("n_chars") / 4).cast("long").alias("n_tokens")
+        "doc_id", "lang", F.expr("n_chars div 4").alias("n_tokens")
     )
 
     before = (
@@ -1998,9 +2011,10 @@ def flagship_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     fill = F.coalesce(F.sum("n_tokens").over(before), F.lit(0))
-    return t5.select(
+    # Integer `div` end-to-end — same 2^53 rationale as x_llm_pack_sequences.
+    return t5.select("doc_id", "lang", "n_tokens", fill.alias("_fill")).select(
         "doc_id",
         "lang",
         "n_tokens",
-        (fill / PACK_CAPACITY_TOKENS).cast("long").alias("pack_id"),
+        F.expr(f"_fill div {PACK_CAPACITY_TOKENS}").alias("pack_id"),
     )

@@ -927,7 +927,12 @@ def x_win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Analytic lag/lead over event time with a unique tiebreak; gap
     seconds rounded to whole seconds on both sides."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    # unix_micros keeps the arithmetic integral (exact past 2^53, where a
+    # double-seconds cast would round) and works on TimestampType regardless
+    # of how the parquet scan delivered the column.
+    gap = (
+        F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    ) / F.lit(1_000_000)
     return table(spark, sf_dir, "events").select(
         "event_id",
         "user_id",

@@ -38,6 +38,12 @@ ENGINE_CONFS: dict[str, str] = {
     # long and convert at the scan (tables.table) — ns→µs truncation matches
     # DuckDB's TIMESTAMP_NS::TIMESTAMP cast.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Parquet TIMESTAMP(isAdjustedToUTC=false) must come back as plain
+    # TimestampType, not TIMESTAMP_NTZ: the session is pinned to UTC (above)
+    # so values are identical, and NTZ breaks event-time ops (withWatermark
+    # rejects it; ntz→double casts throw).  DuckDB's oracle read is naive-UTC
+    # either way, so this keeps both engines on the same semantics.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
 }
 
 

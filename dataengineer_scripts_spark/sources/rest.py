@@ -128,6 +128,13 @@ class RestDataSourceReader(DataSourceReader):
         self.limit: int | None = (
             int(options["limit"]) if "limit" in options else None
         )
+        #: "reuse" (default): partition 0 serves the planning probe's
+        #: payload — one request total for a ≤1-page read, but the page-0
+        #: rows are a snapshot from PLANNING time, so a server-side write
+        #: between planning and execution yields page 0 stale while later
+        #: pages are fresh.  "refetch": every partition (page 0 included)
+        #: fetches at read time — one extra request, uniform read point.
+        self.probe_payload = options.get("probe_payload", "reuse")
 
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
         """Translate supported predicates to API query params; yield back
@@ -180,8 +187,9 @@ class RestDataSourceReader(DataSourceReader):
         if limit is not None:
             total = min(total, limit)
         n_pages = max(1, math.ceil(total / self.page_size))
+        reuse = self.probe_payload != "refetch"
         return [
-            RestPagePartition(p, rows=head["data"] if p == 0 else None)
+            RestPagePartition(p, rows=head["data"] if p == 0 and reuse else None)
             for p in range(n_pages)
         ]
 

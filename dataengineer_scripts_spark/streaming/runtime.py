@@ -40,8 +40,13 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = f"{sf_dir}/events.parquet"
     schema = spark.read.parquet(path).schema
     stream = spark.readStream.schema(schema).parquet(_as_source_dir(path))
-    if dict(stream.dtypes)["ts"] == "bigint":
+    ts_dtype = dict(stream.dtypes)["ts"]
+    if ts_dtype == "bigint":
         stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif ts_dtype == "timestamp_ntz":
+        # withWatermark requires TimestampType; UTC session makes the cast a
+        # value no-op (same normalization as tables.table).
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 

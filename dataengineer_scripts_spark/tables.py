@@ -30,10 +30,19 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        # nanosAsLong read (session.py): ns-since-epoch long → µs timestamp.
-        # Integer `div` — a double division would lose precision above 2^53.
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if name == "events":
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            # nanosAsLong read (session.py): ns-since-epoch long → µs
+            # timestamp.  Integer `div` — a double division would lose
+            # precision above 2^53.
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif isinstance(ts_type, T.TimestampNTZType):
+            # Fixture regenerated as parquet timestamp[us] without tz; if a
+            # driver-owned session read it as NTZ before our confs applied
+            # (session.py pins inferTimestampNTZ=false), normalize.  Value
+            # no-op under the pinned UTC session timezone.
+            df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
     return df
 
 
