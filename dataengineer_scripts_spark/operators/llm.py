@@ -251,7 +251,16 @@ def x_llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``x_llm_dedup_exact`` first at scale, since their pair set is
     inherently quadratic in the class size.  On the fixture the cap is
     inert and output equals the exact all-pairs oracle."""
-    sh = _shingle_rows(spark, sf_dir)
+    return _ngram_jaccard_pairs(spark, sf_dir, _shingle_rows(spark, sf_dir))
+
+
+def _ngram_jaccard_pairs(
+    spark: SparkSession, sf_dir: str, sh: DataFrame
+) -> DataFrame:
+    """Body of :func:`x_llm_dedup_ngram_jaccard` over a caller-supplied
+    shingle frame, so a pipeline that needs shingles for several stages
+    (``flagship_curation``: pair-gen + decontamination) builds them ONCE
+    and shares the materialized frame."""
     n_docs = table(spark, sf_dir, "documents").agg(F.count("*").alias("n_docs"))
     hot = _hot_shingle_keys(sh, n_docs)
     cold = sh.join(F.broadcast(hot), "h", "left_anti")
@@ -1793,7 +1802,12 @@ def x_llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate set scales with benchmark size × df, never train²), and
     the benchmark side of a real pipeline is tiny — a broadcast-sized
     index checked against each incoming batch."""
-    sh = _shingle_rows(spark, sf_dir)
+    return _decontaminate_pairs(_shingle_rows(spark, sf_dir))
+
+
+def _decontaminate_pairs(sh: DataFrame) -> DataFrame:
+    """Body of :func:`x_llm_decontaminate` over a caller-supplied shingle
+    frame (shared-build hook for ``flagship_curation``)."""
     is_bench = F.pmod("doc_id", F.lit(10)) == _DECON_BENCH_MOD
     train = sh.filter(~is_bench).select(F.col("doc_id").alias("doc_train"), "h")
     bench = sh.filter(is_bench).select(F.col("doc_id").alias("doc_bench"), "h")
@@ -1972,9 +1986,15 @@ def flagship_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_id", F.min("doc_id").over(Window.partitionBy("text"))
     ).filter(F.col("doc_id") == F.col("min_id"))
 
+    # ONE shingle build for the whole pipeline: stages 4 (pair-gen) and 5
+    # (decontamination) both consume it, and localCheckpoint materializes
+    # the exploded+hashed+distinct frame so the explode isn't recomputed
+    # per consumer (it was the pipeline's single biggest repeated cost).
+    sh = _shingle_rows(spark, sf_dir).localCheckpoint(eager=False)
+
     surv = t2.select("doc_id")
     pairs = (
-        x_llm_dedup_ngram_jaccard(spark, sf_dir)
+        _ngram_jaccard_pairs(spark, sf_dir, sh)
         .filter(F.col("jaccard") >= CLUSTER_J_THRESHOLD)
         .join(surv.withColumnRenamed("doc_id", "doc_a"), "doc_a", "semi")
         .join(surv.withColumnRenamed("doc_id", "doc_b"), "doc_b", "semi")
@@ -1987,7 +2007,7 @@ def flagship_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     contam = (
-        x_llm_decontaminate(spark, sf_dir)
+        _decontaminate_pairs(sh)
         .select(F.col("doc_train").alias("doc_id"))
         .distinct()
     )
