@@ -16,6 +16,7 @@ stay within the driver's 2x envelope.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import sys
@@ -60,18 +61,22 @@ def main() -> None:
     gc_every = int(os.environ.get("SPARK_GRAFT_BENCH_GC_EVERY", "8"))
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for idx, (name, fn) in enumerate(qs.items()):
-        t0 = time.perf_counter()
-        try:
-            fn(spark, sf_dir).count()
-            timings[name] = round(time.perf_counter() - t0, 3)
-            print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
-        except Exception as ex:  # noqa: BLE001
-            errors[name] = f"{type(ex).__name__}: {str(ex)[:300]}"
-            print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
-        if gc_every and (idx + 1) % gc_every == 0:
-            spark.catalog.clearCache()
-            spark.sparkContext._jvm.System.gc()
+    # stdout belongs to the ONE final JSON line (the driver parses it);
+    # anything a query prints (snk_stdout_progress's progress sink, by
+    # design) must land on stderr instead.
+    with contextlib.redirect_stdout(sys.stderr):
+        for idx, (name, fn) in enumerate(qs.items()):
+            t0 = time.perf_counter()
+            try:
+                fn(spark, sf_dir).count()
+                timings[name] = round(time.perf_counter() - t0, 3)
+                print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+            except Exception as ex:  # noqa: BLE001
+                errors[name] = f"{type(ex).__name__}: {str(ex)[:300]}"
+                print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
+            if gc_every and (idx + 1) % gc_every == 0:
+                spark.catalog.clearCache()
+                spark.sparkContext._jvm.System.gc()
 
     out = {
         "metric": "total_query_wall_clock",
