@@ -104,3 +104,58 @@ def test_knn_query_broadcast_is_cached_and_superseded(spark):
     b3 = llm._query_matrix_broadcast(spark, ids, mat * 2.0)
     assert b3 is not b1
     assert len(llm._KNN_BC_CACHE) == 1  # superseded broadcast evicted
+
+
+# ---------------------------------------------------------------------------
+# Round-5 hardening: TIMESTAMP_NTZ fixture robustness.  The driver
+# regenerated events.parquet with a plain timestamp[us] column (no tz),
+# which Spark 4 reads as TIMESTAMP_NTZ when inferTimestampNTZ is on —
+# breaking withWatermark and ts arithmetic.  The engine must deliver plain
+# TimestampType regardless of which parquet encoding the fixture uses.
+# ---------------------------------------------------------------------------
+
+
+def test_events_ts_is_plain_timestamp(spark, sf_dir):
+    from pyspark.sql import types as T
+
+    from dataengineer_scripts_spark.tables import table
+
+    assert isinstance(table(spark, sf_dir, "events").schema["ts"].dataType, T.TimestampType)
+
+
+def test_ntz_parquet_normalized_even_without_session_conf(spark, tmp_path):
+    """Even if a driver-owned session read the parquet as NTZ (confs not
+    yet applied), tables.table must still hand back TimestampType."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+
+    from dataengineer_scripts_spark.tables import table
+
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2], pa.int64()),
+            "ts": pa.array([1_700_000_000_000_000, 1_700_000_060_000_000], pa.timestamp("us")),
+            "user_id": pa.array([10, 11], pa.int64()),
+            "event_type": pa.array(["a", "b"]),
+            "value": pa.array([1.0, 2.0]),
+            "props": pa.array(["{}", "{}"]),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    old = spark.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+    try:
+        df = table(spark, str(tmp_path), "events")
+        assert isinstance(df.schema["ts"].dataType, T.TimestampType)
+        # UTC-pinned session: wall-clock values survive the normalization
+        got = sorted(r.ts.isoformat() for r in df.select("ts").collect())
+        assert got == ["2023-11-14T22:13:20", "2023-11-14T22:14:20"]
+    finally:
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", old)
+
+
+def test_stream_events_ts_is_plain_timestamp(spark, sf_dir):
+    from dataengineer_scripts_spark.streaming.runtime import stream_events
+
+    assert dict(stream_events(spark, sf_dir).dtypes)["ts"] == "timestamp"
