@@ -2038,3 +2038,192 @@ def flagship_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.expr(f"_fill div {PACK_CAPACITY_TOKENS}").alias("pack_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Chunking / span-level dedup / mixture planning (round 5)
+# ---------------------------------------------------------------------------
+
+#: Context-window chunking geometry: 32-token windows, stride 24 (8-token
+#: overlap) — the usual embed/train prep shape scaled to the fixture's
+#: ~30-60-token documents.
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24
+
+
+@register(
+    "x_llm_chunk_windows",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    starts AS (
+        SELECT doc_id, t, i
+        FROM toks,
+             unnest(generate_series(1, greatest(len(t), 1), {CHUNK_STRIDE}))
+               AS r(i)
+    )
+    SELECT doc_id, (i - 1) // {CHUNK_STRIDE} AS chunk_id,
+           array_to_string(t[i:i+{CHUNK_TOKENS - 1}], ' ') AS chunk,
+           least({CHUNK_TOKENS}, len(t) - i + 1)::BIGINT AS n_tokens
+    FROM starts
+    """,
+)
+def x_llm_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping context-window chunking: split every document into
+    CHUNK_TOKENS-token windows advancing by CHUNK_STRIDE tokens (tail
+    windows shorter; overlap = TOKENS − STRIDE keeps boundary context in
+    two chunks) — the preprocessing step feeding embedding models and
+    fixed-context trainers.
+
+    ENTIRELY narrow: one split, a generated starts array, explode, and a
+    per-row slice+join — no shuffle at all (the explode multiplies rows
+    ~n/STRIDE map-side).  At 100 TB this runs at scan speed and its output
+    partitioning inherits the input's, so a downstream embed/tokenize
+    stage starts co-located."""
+    toks = F.split(F.col("text"), " ")
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(CHUNK_STRIDE)
+    )
+    return (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", toks.alias("t"), F.explode(starts).alias("i"))
+        .select(
+            "doc_id",
+            F.expr(f"(i - 1) div {CHUNK_STRIDE}").alias("chunk_id"),
+            F.array_join(F.slice("t", F.col("i"), CHUNK_TOKENS), " ").alias(
+                "chunk"
+            ),
+            F.least(
+                F.lit(CHUNK_TOKENS), F.size("t") - F.col("i") + F.lit(1)
+            )
+            .cast("long")
+            .alias("n_tokens"),
+        )
+    )
+
+
+#: Span-dedup geometry: exact duplicated spans of SPAN_K consecutive tokens.
+SPAN_K = 8
+
+
+@register(
+    "x_llm_dup_spans",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sp AS (
+        SELECT doc_id, array_to_string(t[i:i+{SPAN_K - 1}], ' ') AS s
+        FROM toks,
+             unnest(generate_series(1, len(t) - {SPAN_K - 1})) AS r(i)
+        WHERE len(t) >= {SPAN_K}
+    ),
+    multi AS (
+        SELECT s FROM sp GROUP BY s HAVING count(DISTINCT doc_id) >= 2
+    )
+    SELECT doc_id, count(*) AS n_spans,
+           count(*) FILTER (WHERE s IN (SELECT s FROM multi)) AS n_dup_spans,
+           round(count(*) FILTER (WHERE s IN (SELECT s FROM multi))::DOUBLE
+                 / count(*), 6) AS dup_fraction
+    FROM sp GROUP BY doc_id
+    """,
+)
+def x_llm_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplication profile: for each document, the count
+    and fraction of its SPAN_K-token spans that also occur verbatim in at
+    least one OTHER document — the span-granular dedup signal of Lee et
+    al. 2022 ("Deduplicating Training Data Makes Language Models Better"),
+    which catches boilerplate/quotation overlap that document-level
+    Jaccard cannot see (a shared 50-token header in 10k long docs moves J
+    by ~nothing but is exactly what the trainer memorizes).
+
+    Scale shape — identical to the shingle machinery: spans become 64-bit
+    xxhash64 keys at explode time (the span STRING never enters a
+    shuffle), cross-doc support is one hash aggregate, and the flagging is
+    a semi join on the hash — span-linear, never corpus².  A production
+    span-REMOVAL pass would keep (doc_id, i) alongside and rewrite text
+    from the unflagged positions; the profile here is the decision input
+    (remove / down-weight / drop doc)."""
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    starts = F.when(
+        n >= SPAN_K, F.sequence(F.lit(1), n - F.lit(SPAN_K - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    sp = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", toks.alias("t"), F.explode(starts).alias("i"))
+        .select(
+            "doc_id",
+            F.xxhash64(F.array_join(F.slice("t", F.col("i"), SPAN_K), " ")).alias(
+                "h"
+            ),
+        )
+    )
+    multi = (
+        sp.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    dup = sp.join(multi, "h", "semi").groupBy("doc_id").agg(
+        F.count("*").alias("n_dup_spans")
+    )
+    return (
+        sp.groupBy("doc_id")
+        .agg(F.count("*").alias("n_spans"))
+        .join(dup, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_spans",
+            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+            F.round(
+                F.coalesce("n_dup_spans", F.lit(0)).cast("double")
+                / F.col("n_spans").cast("double"),
+                6,
+            ).alias("dup_fraction"),
+        )
+    )
+
+
+@register(
+    "x_llm_source_mix",
+    oracle="""
+    WITH s AS (
+        SELECT source, count(*) AS n_docs, sum(n_chars // 4) AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    tot AS (SELECT sum(n_tokens) AS t, count(*) AS k FROM s)
+    SELECT source, n_docs, n_tokens,
+           round(n_tokens::DOUBLE / t, 6) AS token_share,
+           round((t::DOUBLE / k) / n_tokens::DOUBLE, 6) AS uniform_weight
+    FROM s, tot
+    """,
+)
+def x_llm_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture planning: per-source token counts, the observed token
+    share, and the per-source sampling weight that would equalize the mix
+    (weight = target share / observed share with a uniform target) — the
+    bookkeeping behind every "x% web, y% code, z% books" training recipe.
+    Swap the uniform target for a configured one and the same frame drives
+    ``x_llm_sample_stratified``'s rates.
+
+    One hash aggregate over the corpus (map-side combine does nearly all
+    the work: one row per source per task) + a broadcast of the 1-row
+    totals — nothing here grows with corpus size except the single scan."""
+    s = (
+        table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.expr("n_chars div 4")).alias("n_tokens"),
+        )
+    )
+    tot = s.agg(F.sum("n_tokens").alias("t"), F.count("*").alias("k"))
+    share = F.col("n_tokens").cast("double") / F.col("t")
+    weight = (F.col("t").cast("double") / F.col("k")) / F.col("n_tokens").cast(
+        "double"
+    )
+    return s.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(share, 6).alias("token_share"),
+        F.round(weight, 6).alias("uniform_weight"),
+    )

@@ -116,3 +116,15 @@ _PLAN_SWEEP_EXCLUDED = ("snk_", "src_", "exec_", "flagship_sync")
 def test_no_row_at_a_time_python_udf(spark, sf_dir, name):
     plan = _physical(DEFS[name].fn(spark, sf_dir))
     assert "BatchEvalPython" not in plan, f"{name} uses a row-at-a-time UDF"
+
+
+def test_chunk_windows_is_narrow(spark, sf_dir):
+    plan = _physical(DEFS["x_llm_chunk_windows"].fn(spark, sf_dir))
+    # split + explode + slice all run map-side: chunking must be shuffle-free
+    assert "Exchange" not in plan
+
+
+def test_source_mix_broadcasts_totals(spark, sf_dir):
+    plan = _physical(DEFS["x_llm_source_mix"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
