@@ -122,13 +122,20 @@ def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "documents")
         .select("doc_id", F.explode(_tri_shingle_array(F.col("text"))).alias("s"))
         .filter(s.isNotNull())
+        .select("doc_id", F.xxhash64("s").alias("h"))
+        .distinct()
+        # h1/h2 derive from h ABOVE the distinct: the corpus-wide explode
+        # hashes the shingle string once (not three times) and the distinct
+        # shuffles 2 longs (not 4); the long→long rehashes below are
+        # whole-stage-codegen mul-shift work on the already-deduplicated
+        # rows.  Hash-of-hash keeps the K–M family members uniform and
+        # pairwise independent exactly as string-seeded hashes did.
         .select(
             "doc_id",
-            F.xxhash64("s").alias("h"),
-            F.xxhash64("s", F.lit(1)).bitwiseAND(m32).alias("h1"),
-            F.xxhash64("s", F.lit(2)).bitwiseAND(m32).bitwiseOR(F.lit(1)).alias("h2"),
+            "h",
+            F.xxhash64("h", F.lit(1)).bitwiseAND(m32).alias("h1"),
+            F.xxhash64("h", F.lit(2)).bitwiseAND(m32).bitwiseOR(F.lit(1)).alias("h2"),
         )
-        .distinct()
     )
 
 
