@@ -116,10 +116,17 @@ def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     the minhash design error).  The ``distinct`` is BOTH the set semantics
     and a materialization barrier: everything downstream joins on plain
     attributes, never re-evaluating the shingle expression."""
+    return _shingle_rows_of(table(spark, sf_dir, "documents"))
+
+
+def _shingle_rows_of(docs: DataFrame) -> DataFrame:
+    """:func:`_shingle_rows` over a caller-supplied (possibly filtered)
+    documents frame — the batch side of the incremental-index operators
+    shingles ONLY the batch, never the corpus."""
     m32 = F.lit((1 << 32) - 1)
     s = F.col("s")
     return (
-        table(spark, sf_dir, "documents")
+        docs
         .select("doc_id", F.explode(_tri_shingle_array(F.col("text"))).alias("s"))
         .filter(s.isNotNull())
         .select("doc_id", F.xxhash64("s").alias("h"))
@@ -1658,9 +1665,7 @@ def x_llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 _INCR_NEW_MOD = 8
 
 
-@register(
-    "x_llm_dedup_incremental",
-    oracle=f"""
+_INCR_ORACLE = f"""
     WITH {_SQL_SHINGLES},
     sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
     common AS (
@@ -1676,8 +1681,10 @@ _INCR_NEW_MOD = 8
     JOIN sizes so ON doc_old = so.doc_id
     JOIN sizes sn ON doc_new = sn.doc_id
     WHERE c::DOUBLE / (so.n + sn.n - c)::DOUBLE >= 0.5
-    """,
-)
+    """
+
+
+@register("x_llm_dedup_incremental", oracle=_INCR_ORACLE)
 def x_llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup: near-dup pairs (exact n-gram Jaccard >= 0.5)
     between a NEW batch (doc_id % 10 >= 8 stands in for today's crawl)
@@ -1722,6 +1729,73 @@ def x_llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             sizes.select(F.col("doc_id").alias("doc_new"), F.col("n").alias("n_new")),
             "doc_new",
         )
+        .filter(j >= 0.5)
+        .select("doc_old", "doc_new", F.round(j, 6).alias("jaccard"))
+    )
+
+
+#: Bucket count for the maintained incremental-dedup shingle index.  On a
+#: cluster this is sized to corpus shingles / ~128 MB; 16 keeps the local
+#: fixture honest without 1000 tiny files.
+_INCR_INDEX_BUCKETS = 16
+
+
+@register("x_llm_dedup_incremental_indexed", oracle=_INCR_ORACLE)
+def x_llm_dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``x_llm_dedup_incremental`` in its PRODUCTION shape: the corpus
+    shingle index is a MAINTAINED bucketed table (bucketed+sorted by the
+    64-bit shingle hash ``h``), and the per-batch run shingles ONLY the
+    new batch — the corpus text is never re-read and the corpus index is
+    never re-shuffled (its side of the join is co-located by the bucketed
+    layout; only the batch side exchanges, into the index's bucketing).
+
+    Index lifecycle here: built once per (scale-factor, session-catalog)
+    from the corpus partition of ``documents`` and admitted batches would
+    be appended on acceptance (bucketBy supports append with identical
+    bucketing).  At 100 TB the index build is the one-time cost the
+    incremental shape amortizes: every nightly batch then pays
+    O(batch shingles × per-shingle df), independent of corpus size.
+    Same exact-J semantics and oracle as ``x_llm_dedup_incremental``
+    (sizes count full shingle sets on both sides)."""
+    import os
+
+    docs = table(spark, sf_dir, "documents")
+    is_new = F.pmod("doc_id", F.lit(10)) >= _INCR_NEW_MOD
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    tbl = f"incr_shingle_idx_{tag}"
+    base = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".tmp",
+        "incr_index",
+    )
+    if not spark.catalog.tableExists(tbl):
+        (
+            _shingle_rows_of(docs.filter(~is_new))
+            .select("doc_id", "h")
+            .write.mode("overwrite")
+            .option("path", os.path.join(base, tbl))
+            .bucketBy(_INCR_INDEX_BUCKETS, "h")
+            .sortBy("h")
+            .format("parquet")
+            .saveAsTable(tbl)
+        )
+    index = spark.table(tbl).select(F.col("doc_id").alias("doc_old"), "h")
+
+    new_sh = _shingle_rows_of(docs.filter(is_new)).select(
+        F.col("doc_id").alias("doc_new"), "h"
+    )
+    common = (
+        index.join(new_sh, "h")
+        .groupBy("doc_old", "doc_new")
+        .agg(F.count("*").alias("c"))
+    )
+    old_sizes = index.groupBy("doc_old").agg(F.count("*").alias("n_old"))
+    new_sizes = new_sh.groupBy("doc_new").agg(F.count("*").alias("n_new"))
+    j = F.col("c") / (F.col("n_old") + F.col("n_new") - F.col("c"))
+    return (
+        common.join(old_sizes, "doc_old")
+        .join(new_sizes, "doc_new")
         .filter(j >= 0.5)
         .select("doc_old", "doc_new", F.round(j, 6).alias("jaccard"))
     )

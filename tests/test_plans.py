@@ -128,3 +128,10 @@ def test_source_mix_broadcasts_totals(spark, sf_dir):
     plan = _physical(DEFS["x_llm_source_mix"].fn(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_incremental_index_scan_is_bucketed(spark, sf_dir):
+    plan = _physical(DEFS["x_llm_dedup_incremental_indexed"].fn(spark, sf_dir))
+    # the maintained corpus index must be read through its bucketed layout
+    # (its side of the h-join never re-shuffles)
+    assert "Bucketed: true" in plan
