@@ -1801,6 +1801,110 @@ def x_llm_dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+#: SemDeDup geometry: 16 deterministic seed centroids, in-cluster cosine
+#: >= 0.3 marks a semantic duplicate (fixture embeddings are
+#: near-orthogonal, max pairwise cosine ≈ 0.49).
+SEMDEDUP_K = 16
+SEMDEDUP_THRESHOLD = 0.3
+
+
+@register(
+    "x_llm_semdedup",
+    oracle=f"""
+    WITH {_SQL_NORMED},
+    cent AS (SELECT vec_id AS cid, e AS ce FROM normed
+             WHERE vec_id < {SEMDEDUP_K}),
+    scored AS (
+        SELECT n.vec_id, c.cid,
+               round(list_sum(list_transform(generate_series(1, 64),
+                     i -> n.e[i] * c.ce[i])), 6) AS cos
+        FROM normed n CROSS JOIN cent c
+    ),
+    asg AS (
+        SELECT vec_id, cid FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                      ORDER BY cos DESC, cid) AS rn
+            FROM scored)
+        WHERE rn = 1
+    ),
+    dup AS (
+        SELECT DISTINCT a.vec_id AS dup_id
+        FROM asg a JOIN asg b ON a.cid = b.cid AND b.vec_id < a.vec_id
+        JOIN normed na ON na.vec_id = a.vec_id
+        JOIN normed nb ON nb.vec_id = b.vec_id
+        WHERE round(list_sum(list_transform(generate_series(1, 64),
+              i -> na.e[i] * nb.e[i])), 6) >= {SEMDEDUP_THRESHOLD}
+    )
+    SELECT vec_id, cid AS cluster_id,
+           vec_id IN (SELECT dup_id FROM dup) AS is_dup
+    FROM asg
+    """,
+)
+def x_llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication by clustering
+    the embedding space and pruning near-identical vectors WITHIN each
+    cluster — the pair generation never crosses cluster boundaries, which
+    is what makes embedding dedup tractable at corpus scale (in-cluster
+    pairs ≈ n²/K, and K grows with n).
+
+    Deterministic fixture formulation so a SQL oracle can replay it:
+    centroids are the first SEMDEDUP_K normalized vectors (production
+    runs k-means; the assignment/prune shape is identical), each vector
+    joins its argmax-cosine centroid (rounded to 6 before the argmax,
+    ties to the lowest centroid id — both engines agree), and a vector is
+    a duplicate iff a LOWER-vec_id vector in the same cluster has rounded
+    cosine >= SEMDEDUP_THRESHOLD (the greedy keep-first rule).
+
+    Plan: the centroid matrix is a driver-held model (K × 64 doubles)
+    closed over by ONE narrow ``mapInPandas`` assignment pass (argmax of
+    E·Cᵀ per Arrow batch — corpus scanned once, no join, no shuffle);
+    the prune is ONE shuffle on cluster_id + per-cluster ``applyInPandas``
+    pairwise GEMM (cluster-local, upper-triangle).  Oversized clusters at
+    100 TB get the blocked-GEMM treatment of ``x_llm_dedup_embed`` inside
+    the cell — same math, bounded task memory."""
+    normed = _normalized(spark, sf_dir)
+    crows = sorted(
+        normed.filter(F.col("vec_id") < SEMDEDUP_K).collect(),
+        key=lambda r: r.vec_id,
+    )
+    cmat = np.array([r.e for r in crows])  # K × dim — the model
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            scores = np.round(np.vstack(pdf["e"].to_numpy()) @ cmat.T, 6)
+            # first max = lowest centroid id on ties (cmat is vec_id-sorted)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "cluster_id": scores.argmax(1),
+                    "e": pdf["e"],
+                }
+            )
+
+    asg = normed.mapInPandas(
+        assign, "vec_id long, cluster_id long, e array<double>"
+    )
+
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id")
+        mat = np.vstack(pdf["e"].to_numpy())
+        cos = np.round(mat @ mat.T, 6)
+        dup = (np.tril(cos >= SEMDEDUP_THRESHOLD, k=-1)).any(axis=1)
+        return pd.DataFrame(
+            {
+                "vec_id": pdf["vec_id"],
+                "cluster_id": pdf["cluster_id"],
+                "is_dup": dup,
+            }
+        )
+
+    return asg.groupBy("cluster_id").applyInPandas(
+        prune, "vec_id long, cluster_id long, is_dup boolean"
+    )
+
+
 #: Vocabulary size the tokenizer-training count reports.
 VOCAB_TOP_K = 1000
 
