@@ -45,8 +45,14 @@ def main() -> None:
     if only:
         qs = {k: v for k, v in qs.items() if k in only}
 
-    # Warm the JVM + parquet footers so q1 doesn't pay session startup.
+    # Warm the JVM + parquet footers so q1 doesn't pay session startup,
+    # and spawn the Arrow/pandas Python workers so the first Pandas-UDF or
+    # Python-DataSource query isn't charged the interpreter+import cost
+    # (measured ~1-5 s of pure attribution noise on the first such query).
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    spark.createDataFrame([(1,)], "a int").mapInPandas(
+        lambda it: it, "a int"
+    ).count()
 
     # Per-query fault isolation: one raising operator must never null the
     # whole artifact — record the error, keep timing the rest, exit nonzero
