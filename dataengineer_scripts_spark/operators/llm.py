@@ -1711,24 +1711,28 @@ def x_llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     same as the batch operator."""
     sh = _shingle_rows(spark, sf_dir)
     is_new = F.pmod("doc_id", F.lit(10)) >= _INCR_NEW_MOD
-    old_sh = sh.filter(~is_new).select(F.col("doc_id").alias("doc_old"), "h")
-    new_sh = sh.filter(is_new).select(F.col("doc_id").alias("doc_new"), "h")
+    return _bipartite_jaccard(
+        sh.filter(~is_new).select(F.col("doc_id").alias("doc_old"), "h"),
+        sh.filter(is_new).select(F.col("doc_id").alias("doc_new"), "h"),
+    )
+
+
+def _bipartite_jaccard(old_sh: DataFrame, new_sh: DataFrame) -> DataFrame:
+    """Exact-Jaccard (>= 0.5) pairs between two shingle-row sides joined on
+    the 64-bit hash — the shared assembly of ``x_llm_dedup_incremental``
+    and ``x_llm_dedup_incremental_indexed`` (both sides' sizes count their
+    FULL shingle sets, so reported J is exact)."""
     common = (
         old_sh.join(new_sh, "h")
         .groupBy("doc_old", "doc_new")
         .agg(F.count("*").alias("c"))
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    old_sizes = old_sh.groupBy("doc_old").agg(F.count("*").alias("n_old"))
+    new_sizes = new_sh.groupBy("doc_new").agg(F.count("*").alias("n_new"))
     j = F.col("c") / (F.col("n_old") + F.col("n_new") - F.col("c"))
     return (
-        common.join(
-            sizes.select(F.col("doc_id").alias("doc_old"), F.col("n").alias("n_old")),
-            "doc_old",
-        )
-        .join(
-            sizes.select(F.col("doc_id").alias("doc_new"), F.col("n").alias("n_new")),
-            "doc_new",
-        )
+        common.join(old_sizes, "doc_old")
+        .join(new_sizes, "doc_new")
         .filter(j >= 0.5)
         .select("doc_old", "doc_new", F.round(j, 6).alias("jaccard"))
     )
@@ -1757,13 +1761,24 @@ def x_llm_dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFra
     O(batch shingles × per-shingle df), independent of corpus size.
     Same exact-J semantics and oracle as ``x_llm_dedup_incremental``
     (sizes count full shingle sets on both sides)."""
+    import hashlib
     import os
 
     docs = table(spark, sf_dir, "documents")
     is_new = F.pmod("doc_id", F.lit(10)) >= _INCR_NEW_MOD
 
+    # Index identity = corpus identity: tag the table with a fingerprint of
+    # the source file (full path + mtime + size), so a regenerated fixture
+    # or a same-basename sibling directory NEVER serves a stale index
+    # within a long-lived session.  Production analog: the maintained
+    # index is versioned with the corpus snapshot it was built from.
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    fp = hashlib.sha1(
+        f"{os.path.abspath(src)}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:10]
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    tbl = f"incr_shingle_idx_{tag}"
+    tbl = f"incr_shingle_idx_{tag}_{fp}"
     base = os.path.join(
         os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
         ".tmp",
@@ -1785,20 +1800,7 @@ def x_llm_dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFra
     new_sh = _shingle_rows_of(docs.filter(is_new)).select(
         F.col("doc_id").alias("doc_new"), "h"
     )
-    common = (
-        index.join(new_sh, "h")
-        .groupBy("doc_old", "doc_new")
-        .agg(F.count("*").alias("c"))
-    )
-    old_sizes = index.groupBy("doc_old").agg(F.count("*").alias("n_old"))
-    new_sizes = new_sh.groupBy("doc_new").agg(F.count("*").alias("n_new"))
-    j = F.col("c") / (F.col("n_old") + F.col("n_new") - F.col("c"))
-    return (
-        common.join(old_sizes, "doc_old")
-        .join(new_sizes, "doc_new")
-        .filter(j >= 0.5)
-        .select("doc_old", "doc_new", F.round(j, 6).alias("jaccard"))
-    )
+    return _bipartite_jaccard(index, new_sh)
 
 
 #: SemDeDup geometry: 16 deterministic seed centroids, in-cluster cosine
@@ -1868,6 +1870,10 @@ def x_llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         key=lambda r: r.vec_id,
     )
     cmat = np.array([r.e for r in crows])  # K × dim — the model
+    # cluster ids are the centroids' vec_ids (the oracle's cid), NOT matrix
+    # positions — identical only while vec_ids 0..K-1 all exist, so map
+    # explicitly to stay correct on gapped/re-keyed fixtures.
+    cids = np.array([r.vec_id for r in crows])
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1878,7 +1884,7 @@ def x_llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"],
-                    "cluster_id": scores.argmax(1),
+                    "cluster_id": cids[scores.argmax(1)],
                     "e": pdf["e"],
                 }
             )
@@ -2340,6 +2346,9 @@ def x_llm_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "h"
             ),
         )
+        # three consumers (support count, semi-join probe, per-doc totals)
+        # — materialize so the split+slice+hash explode runs once
+        .localCheckpoint(eager=False)
     )
     multi = (
         sp.groupBy("h")
@@ -2377,7 +2386,9 @@ def x_llm_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT sum(n_tokens) AS t, count(*) AS k FROM s)
     SELECT source, n_docs, n_tokens,
            round(n_tokens::DOUBLE / t, 6) AS token_share,
-           round((t::DOUBLE / k) / n_tokens::DOUBLE, 6) AS uniform_weight
+           CASE WHEN n_tokens = 0 THEN NULL
+                ELSE round((t::DOUBLE / k) / n_tokens::DOUBLE, 6)
+           END AS uniform_weight
     FROM s, tot
     """,
 )
@@ -2402,8 +2413,11 @@ def x_llm_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tot = s.agg(F.sum("n_tokens").alias("t"), F.count("*").alias("k"))
     share = F.col("n_tokens").cast("double") / F.col("t")
-    weight = (F.col("t").cast("double") / F.col("k")) / F.col("n_tokens").cast(
-        "double"
+    # NULL (not Spark's silent divide-by-zero NULL vs DuckDB's inf) for a
+    # zero-token source — made explicit in BOTH engines so they agree.
+    weight = F.when(
+        F.col("n_tokens") > 0,
+        (F.col("t").cast("double") / F.col("k")) / F.col("n_tokens").cast("double"),
     )
     return s.crossJoin(F.broadcast(tot)).select(
         "source",

@@ -135,6 +135,11 @@ class RestDataSourceReader(DataSourceReader):
         #: pages are fresh.  "refetch": every partition (page 0 included)
         #: fetches at read time — one extra request, uniform read point.
         self.probe_payload = options.get("probe_payload", "reuse")
+        if self.probe_payload not in ("reuse", "refetch"):
+            raise ValueError(
+                f"probe_payload must be 'reuse' or 'refetch', got "
+                f"{self.probe_payload!r}"
+            )
 
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
         """Translate supported predicates to API query params; yield back
@@ -237,13 +242,17 @@ def rest_read(
     limit: int | None = None,
     path: str | None = None,
     schema: str | None = None,
+    probe_payload: str | None = None,
 ):
     """The blessed read path for the ``rest`` format.  ``limit`` is pushed
     to the source as a reader option (bounding pages fetched to
     ``ceil(limit/page_size)``, the reference's bounded-fetch behavior at
     ``app.py:126``) AND applied as a plan-level ``df.limit`` — the plan
     limit guarantees the row count regardless of what the source honors,
-    the option keeps the bytes moved proportional to the limit."""
+    the option keeps the bytes moved proportional to the limit.
+    ``probe_payload``: "reuse" (default) serves page 0 from the planning
+    probe's snapshot (fewest requests); "refetch" re-reads page 0 at
+    execution for a uniform read point (see RestDataSourceReader)."""
     register_rest_source(spark)
     reader = (
         spark.read.format("rest")
@@ -257,5 +266,7 @@ def rest_read(
         reader = reader.option("path", path)
     if schema is not None:
         reader = reader.option("schema", schema)
+    if probe_payload is not None:
+        reader = reader.option("probe_payload", probe_payload)
     df = reader.load()
     return df.limit(limit) if limit is not None else df

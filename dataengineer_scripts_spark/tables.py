@@ -12,6 +12,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .session import apply_runtime_confs
+
 TABLE_NAMES = (
     "region",
     "nation",
@@ -29,6 +31,11 @@ TABLE_NAMES = (
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    # Pin the engine confs HERE, not only in the registry wrapper: the NTZ
+    # normalization below is value-correct only under the UTC session
+    # timezone, and a driver-owned session may call this loader directly
+    # (before any registered query re-pinned the confs).
+    apply_runtime_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         ts_type = df.schema["ts"].dataType

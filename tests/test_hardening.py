@@ -159,3 +159,54 @@ def test_stream_events_ts_is_plain_timestamp(spark, sf_dir):
     from dataengineer_scripts_spark.streaming.runtime import stream_events
 
     assert dict(stream_events(spark, sf_dir).dtypes)["ts"] == "timestamp"
+
+
+def test_rest_probe_payload_refetch_leaves_page0_unseeded(monkeypatch):
+    """probe_payload=refetch must not embed the planning probe's snapshot
+    into partition 0 (uniform read point across pages)."""
+    import dataengineer_scripts_spark.sources.rest as rest
+
+    head = {"total": 20, "data": [{"id": "n1", "type": "job"}]}
+    monkeypatch.setattr(rest, "_get_json", lambda url, token: head)
+
+    parts = _mk_reader(probe_payload="refetch").partitions()
+    assert all(p.rows is None for p in parts)  # page 0 NOT seeded
+
+    parts2 = _mk_reader().partitions()  # default: reuse
+    assert parts2[0].rows == head["data"] and parts2[1].rows is None
+
+    with pytest.raises(ValueError):
+        _mk_reader(probe_payload="refresh")  # typo must fail loudly
+
+
+def test_ntz_parquet_normalized_under_hostile_timezone(spark, tmp_path):
+    """A driver-owned session pinned to a non-UTC timezone (and NTZ
+    inference on) must still get UTC-instant TimestampType back —
+    tables.table re-pins the engine confs itself."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+
+    from dataengineer_scripts_spark.tables import table
+
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1], pa.int64()),
+            "ts": pa.array([1_700_000_000_000_000], pa.timestamp("us")),
+            "user_id": pa.array([10], pa.int64()),
+            "event_type": pa.array(["a"]),
+            "value": pa.array([1.0]),
+            "props": pa.array(["{}"]),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+    try:
+        df = table(spark, str(tmp_path), "events")
+        assert isinstance(df.schema["ts"].dataType, T.TimestampType)
+        [r] = df.select("ts").collect()
+        assert r.ts.isoformat() == "2023-11-14T22:13:20"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
