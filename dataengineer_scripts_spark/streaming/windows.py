@@ -296,3 +296,66 @@ def x_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "events"),
         table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment"),
     )
+
+
+def clickstream_attribution(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
+    """Stream-stream join body shared by batch and streaming: every click
+    paired with the same user's purchases landing within [click, click+1d).
+    Expects (user_id, click_id, click_ts) × (user_id, purchase_id,
+    purchase_ts)."""
+    lag = (
+        F.unix_micros("purchase_ts") - F.unix_micros("click_ts")
+    ) / F.lit(1_000_000)
+    return (
+        clicks.join(
+            purchases,
+            [
+                clicks.user_id == purchases.user_id,
+                F.col("purchase_ts") >= F.col("click_ts"),
+                F.col("purchase_ts") < F.col("click_ts") + F.expr("INTERVAL 1 DAY"),
+            ],
+        )
+        .select(
+            clicks.user_id,
+            "click_id",
+            "purchase_id",
+            F.round(lag, 0).alias("lag_sec"),
+        )
+    )
+
+
+@register(
+    "x_stream_stream_join",
+    oracle="""
+    SELECT a.user_id, a.event_id AS click_id, b.event_id AS purchase_id,
+           round(epoch(b.ts::TIMESTAMP - a.ts::TIMESTAMP), 0) AS lag_sec
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'click' AND b.event_type = 'purchase'
+     AND b.ts::TIMESTAMP >= a.ts::TIMESTAMP
+     AND b.ts::TIMESTAMP < a.ts::TIMESTAMP + INTERVAL 1 DAY
+    """,
+)
+def x_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM join (clickstream attribution): each click joined to
+    the same user's purchases within the following day — the capability
+    stream-static enrichment can't express, because BOTH sides arrive
+    unbounded.  In streaming mode both sides carry watermarks and the
+    event-time range condition bounds the join state: Spark buffers each
+    side only until the other side's watermark passes the interval, so
+    state is O(rate × interval) per key, not unbounded (the condition is
+    WHY production stream-stream joins must be interval joins).  The
+    equi-key (user_id) makes it a hash-partitioned join — one shuffle per
+    side, co-partitioned on the key, at any scale.  Batch twin below;
+    the real dual-``readStream`` twin with both watermarks runs in
+    tests/test_streaming.py."""
+    e = table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return clickstream_attribution(clicks, purchases)

@@ -218,3 +218,41 @@ def test_stream_static_join_equals_batch(spark, sf_dir):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_stream_join_equals_batch(spark, sf_dir):
+    """Real stream-stream interval join: BOTH sides are readStreams with
+    watermarks; the inner-join results must equal the batch twin's."""
+    from pyspark.sql import functions as F
+
+    from dataengineer_scripts_spark.streaming.windows import (
+        clickstream_attribution,
+        x_stream_stream_join,
+    )
+
+    def side(event_type, id_alias, ts_alias):
+        return (
+            stream_events(spark, sf_dir)
+            .filter(F.col("event_type") == event_type)
+            .select(
+                "user_id",
+                F.col("event_id").alias(id_alias),
+                F.col("ts").alias(ts_alias),
+            )
+            .withWatermark(ts_alias, "1 hour")
+        )
+
+    joined = clickstream_attribution(
+        side("click", "click_id", "click_ts"),
+        side("purchase", "purchase_id", "purchase_ts"),
+    )
+    run_to_memory(joined, "ssjoin_out", "append")
+    got = {
+        (r.user_id, r.click_id, r.purchase_id, r.lag_sec)
+        for r in spark.sql("SELECT * FROM ssjoin_out").collect()
+    }
+    want = {
+        (r.user_id, r.click_id, r.purchase_id, r.lag_sec)
+        for r in x_stream_stream_join(spark, sf_dir).collect()
+    }
+    assert got == want and len(got) > 0
