@@ -99,3 +99,120 @@ def test_asof_running_max_matches_reference(spark, events):
         if ty == "error"
     }
     assert got == want
+
+
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["tok", "a", "xy", "q1"]), min_size=0, max_size=90
+        ).map(" ".join),
+        min_size=1,
+        max_size=6,
+    )
+)
+@SET
+def test_chunk_windows_cover_and_tile(spark, texts):
+    """Chunking invariants against a direct Python reference: chunk starts
+    tile the token range at CHUNK_STRIDE, every chunk re-joins to the
+    exact token slice, and n_tokens matches the slice length."""
+    from dataengineer_scripts_spark.operators.llm import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    toks = F.split(F.col("text"), " ")
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(CHUNK_STRIDE)
+    )
+    got = (
+        df.select("doc_id", toks.alias("t"), F.explode(starts).alias("i"))
+        .select(
+            "doc_id",
+            F.expr(f"(i - 1) div {CHUNK_STRIDE}").alias("chunk_id"),
+            F.array_join(F.slice("t", F.col("i"), CHUNK_TOKENS), " ").alias("chunk"),
+            F.least(F.lit(CHUNK_TOKENS), F.size("t") - F.col("i") + F.lit(1))
+            .cast("long")
+            .alias("n_tokens"),
+        )
+        .collect()
+    )
+    by_doc: dict[int, list] = {}
+    for r in got:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for i, text in enumerate(texts):
+        words = text.split(" ")
+        rows = sorted(by_doc[i], key=lambda r: r.chunk_id)
+        want_starts = list(range(0, max(len(words), 1), CHUNK_STRIDE))
+        assert [r.chunk_id for r in rows] == list(range(len(want_starts)))
+        for r, s in zip(rows, want_starts):
+            piece = words[s : s + CHUNK_TOKENS]
+            assert r.chunk == " ".join(piece)
+            assert r.n_tokens == len(piece)
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(list("abcd")), min_size=0, max_size=24).map(
+            " ".join
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+@SET
+def test_dup_spans_matches_python_reference(spark, docs):
+    """n_spans / n_dup_spans must equal a direct Python computation of
+    8-token spans shared across >= 2 docs (string identity; the engine's
+    xxhash64 keys are collision-free at this scale)."""
+    from collections import Counter
+
+    from dataengineer_scripts_spark.operators import llm
+
+    K = llm.SPAN_K
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    starts = F.when(
+        n >= K, F.sequence(F.lit(1), n - F.lit(K - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    sp = (
+        df.select("doc_id", toks.alias("t"), F.explode(starts).alias("i"))
+        .select(
+            "doc_id",
+            F.xxhash64(F.array_join(F.slice("t", F.col("i"), K), " ")).alias("h"),
+        )
+    )
+    multi = (
+        sp.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    dup = sp.join(multi, "h", "semi").groupBy("doc_id").agg(
+        F.count("*").alias("n_dup")
+    )
+    tot = sp.groupBy("doc_id").agg(F.count("*").alias("n_spans"))
+    got = {
+        r.doc_id: (r.n_spans, r.n_dup or 0)
+        for r in tot.join(dup, "doc_id", "left").collect()
+    }
+
+    spans_by_doc = {}
+    owner: dict[str, set] = {}
+    for i, text in enumerate(docs):
+        w = text.split(" ")
+        spans = [" ".join(w[j : j + K]) for j in range(len(w) - K + 1)]
+        if spans:
+            spans_by_doc[i] = spans
+            for s in spans:
+                owner.setdefault(s, set()).add(i)
+    want = {
+        i: (len(spans), sum(1 for s in spans if len(owner[s]) >= 2))
+        for i, spans in spans_by_doc.items()
+    }
+    assert got == want
