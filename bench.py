@@ -53,6 +53,17 @@ def main() -> None:
     spark.createDataFrame([(1,)], "a int").mapInPandas(
         lambda it: it, "a int"
     ).count()
+    # Warm the stub HTTP server + REST Python DataSource the same way:
+    # whichever server-touching query sorts first otherwise absorbs the
+    # one-time server boot + datasource planning (~4-5 s) as its "cost".
+    try:
+        from dataengineer_scripts_spark.operators.etl import _server
+        from dataengineer_scripts_spark.sources.rest import login, rest_read
+
+        api = _server(spark, sf_dir)
+        rest_read(spark, api.base_url, login(api.base_url), limit=1).count()
+    except Exception as ex:  # pragma: no cover - warmup must never fail the run
+        print(f"# warmup(rest): skipped ({type(ex).__name__})", file=sys.stderr)
 
     # Per-query fault isolation: one raising operator must never null the
     # whole artifact — record the error, keep timing the rest, exit nonzero
