@@ -194,3 +194,126 @@ def x_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
 
     return docs.mapInPandas(sample, "doc_id long, n_frames int, n_sampled int")
+
+
+#: Resize target (the ubiquitous vision-model input square).
+RESIZE_TARGET = 224
+
+#: Audio chunking: 32-byte windows advancing 16 bytes (50% overlap).
+AUDIO_CHUNK = 32
+AUDIO_STRIDE = 16
+
+
+@register(
+    "x_mm_image_resize",
+    oracle=f"""
+    WITH dims AS (
+        SELECT doc_id,
+               octet_length(encode(text)) % 640 AS width,
+               (octet_length(encode(text)) * 7) % 480 AS height
+        FROM documents
+    )
+    SELECT doc_id, width, height,
+           CAST(floor(width * least({RESIZE_TARGET}.0 / width,
+                                    {RESIZE_TARGET}.0 / height)) AS INT) AS out_w,
+           CAST(floor(height * least({RESIZE_TARGET}.0 / width,
+                                     {RESIZE_TARGET}.0 / height)) AS INT) AS out_h
+    FROM dims WHERE width > 0 AND height > 0
+    """,
+)
+def x_mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving resize planning (fit-within-224×224, the standard
+    vision-model preprocessing step): decode dims from the buffer, scale =
+    min(T/w, T/h), output dims = floor(dim × scale).  The batch function
+    is where a real resampler (PIL/torchvision) would run per buffer —
+    the fake computes only the geometry, but the plumbing (binary in
+    Arrow batches → vectorized numpy → typed out-schema, narrow plan, no
+    shuffle) is exactly the production shape.  Double math is identical
+    IEEE ops in numpy and the oracle, so floor() agrees bit-for-bit."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("img")
+    )
+
+    def plan_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        t = float(RESIZE_TARGET)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            n = pdf["img"].map(len).to_numpy(dtype="int64")
+            w = (n % 640).astype("int64")
+            h = ((n * 7) % 480).astype("int64")
+            keep = (w > 0) & (h > 0)
+            w, h, ids = w[keep], h[keep], pdf["doc_id"].to_numpy()[keep]
+            if not len(ids):
+                continue
+            scale = np.minimum(t / w, t / h)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "width": w.astype("int32"),
+                    "height": h.astype("int32"),
+                    "out_w": np.floor(w * scale).astype("int32"),
+                    "out_h": np.floor(h * scale).astype("int32"),
+                }
+            )
+
+    return docs.mapInPandas(
+        plan_resize, "doc_id long, width int, height int, out_w int, out_h int"
+    )
+
+
+@register(
+    "x_mm_audio_chunk",
+    oracle=f"""
+    WITH b AS (
+        SELECT doc_id,
+               list_transform(string_split(text, ''), c -> ascii(c)::DOUBLE) AS v
+        FROM documents
+    ),
+    starts AS (
+        SELECT doc_id, v, i
+        FROM b, unnest(generate_series(1, len(v) - {AUDIO_CHUNK - 1},
+                                       {AUDIO_STRIDE})) AS r(i)
+        WHERE len(v) >= {AUDIO_CHUNK}
+    )
+    SELECT doc_id, (i - 1) // {AUDIO_STRIDE} AS chunk_id,
+           round(sqrt(list_sum(list_transform(v[i:i+{AUDIO_CHUNK - 1}],
+                 x -> x * x)) / {AUDIO_CHUNK}), 4) AS rms
+    FROM starts
+    """,
+)
+def x_mm_audio_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-modality chunking: overlapping fixed-size windows over the
+    sample stream (32-byte windows, 16-byte stride) with per-window RMS —
+    the feature-extraction shape of every audio pipeline (VAD, loudness
+    normalization, spectrogram framing).  One ``mapInPandas`` pass:
+    buffers cross into Python per Arrow batch, ``sliding_window_view``
+    frames them without copying, and the RMS is exact on both engines
+    (byte squares and their 32-term sums are integers < 2^53, so the
+    double math has no rounding freedom before the final sqrt)."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("audio")
+    )
+
+    def chunk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out_ids, out_chunks, out_rms = [], [], []
+            for doc_id, buf in zip(pdf["doc_id"], pdf["audio"]):
+                if len(buf) < AUDIO_CHUNK:
+                    continue
+                v = np.frombuffer(buf, np.uint8).astype("float64")
+                wins = sliding_window_view(v, AUDIO_CHUNK)[::AUDIO_STRIDE]
+                rms = np.round(np.sqrt((wins**2).sum(axis=1) / AUDIO_CHUNK), 4)
+                out_ids.extend([doc_id] * len(rms))
+                out_chunks.extend(range(len(rms)))
+                out_rms.extend(rms)
+            if out_ids:
+                yield pd.DataFrame(
+                    {"doc_id": out_ids, "chunk_id": out_chunks, "rms": out_rms}
+                )
+
+    return docs.mapInPandas(chunk, "doc_id long, chunk_id long, rms double")
