@@ -108,14 +108,14 @@ def _tri_shingle_array(text_col):
 
 
 def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct (doc_id, h, h1, h2) shingle rows — h is the shingle's
-    64-bit xxhash64 identity, h1/h2 the masked minhash family bases.  The
-    shingle STRING never enters a shuffle: hashing at explode time shrinks
-    every downstream distinct/join key from a ~24-byte string to a long
-    (64-bit identity collision over 10^7 distinct shingles: ~3e-6 — below
-    the minhash design error).  The ``distinct`` is BOTH the set semantics
-    and a materialization barrier: everything downstream joins on plain
-    attributes, never re-evaluating the shingle expression."""
+    """Distinct (doc_id, h) shingle rows — h is the shingle's 64-bit
+    xxhash64 identity.  The shingle STRING never enters a shuffle: hashing
+    at explode time shrinks every downstream distinct/join key from a
+    ~24-byte string to a long (64-bit identity collision over 10^7
+    distinct shingles: ~3e-6 — below the minhash design error).  The
+    ``distinct`` is BOTH the set semantics and a materialization barrier:
+    everything downstream joins on plain attributes, never re-evaluating
+    the shingle expression."""
     return _shingle_rows_of(table(spark, sf_dir, "documents"))
 
 
@@ -123,7 +123,6 @@ def _shingle_rows_of(docs: DataFrame) -> DataFrame:
     """:func:`_shingle_rows` over a caller-supplied (possibly filtered)
     documents frame — the batch side of the incremental-index operators
     shingles ONLY the batch, never the corpus."""
-    m32 = F.lit((1 << 32) - 1)
     s = F.col("s")
     return (
         docs
@@ -131,18 +130,6 @@ def _shingle_rows_of(docs: DataFrame) -> DataFrame:
         .filter(s.isNotNull())
         .select("doc_id", F.xxhash64("s").alias("h"))
         .distinct()
-        # h1/h2 derive from h ABOVE the distinct: the corpus-wide explode
-        # hashes the shingle string once (not three times) and the distinct
-        # shuffles 2 longs (not 4); the long→long rehashes below are
-        # whole-stage-codegen mul-shift work on the already-deduplicated
-        # rows.  Hash-of-hash keeps the K–M family members uniform and
-        # pairwise independent exactly as string-seeded hashes did.
-        .select(
-            "doc_id",
-            "h",
-            F.xxhash64("h", F.lit(1)).bitwiseAND(m32).alias("h1"),
-            F.xxhash64("h", F.lit(2)).bitwiseAND(m32).bitwiseOR(F.lit(1)).alias("h2"),
-        )
     )
 
 
@@ -375,17 +362,21 @@ def x_llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     miss probability at J >= 0.8 is ~5e-8, and verification removes every
     false positive, so LSH output ≡ exact output.
 
-    Hash family by double hashing (Kirsch–Mitzenmacher): the shingle string
-    is hashed exactly TWICE (xxhash64 with two seeds, masked to 32 bits —
-    the h1/h2 columns of ``_shingle_rows``); family member i is
-    ``h1 + i*h2`` — 128 string hashes per shingle row collapse to 2 string
-    hashes + 128 long mul-adds (all whole-stage codegen), measured ~5×
-    faster signature build on the fixture.  Masked operands keep every
-    intermediate < 2^39: ANSI-overflow-safe."""
+    Hash family: member i is ``xxhash64(h, i)`` — the shingle STRING is
+    hashed once at explode time (``_shingle_rows``), and the 128 family
+    members are long-input rehashes of that 64-bit identity, all
+    whole-stage codegen inside the aggregate.  The members must be
+    INDEPENDENT hashes, not a Kirsch–Mitzenmacher linear family
+    ``h1 + i*h2``: under a linear family the argmin of a small shingle set
+    follows the lower envelope of n lines across i — adjacent family
+    members become highly correlated, entire bands agree/disagree
+    together, and measured recall at sf0.1 dropped to ~99% (3 of 256 true
+    J>=0.8 pairs missed) vs the ~5e-8 theoretical miss rate that
+    independent members (this formulation) restore."""
     sh = _shingle_rows(spark, sf_dir)
     sig = sh.groupBy("doc_id").agg(
         *[
-            F.min(F.col("h1") + F.lit(i) * F.col("h2")).alias(f"h{i}")
+            F.min(F.xxhash64("h", F.lit(i))).alias(f"h{i}")
             for i in range(MINHASH_HASHES)
         ]
     )

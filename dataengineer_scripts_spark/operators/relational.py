@@ -833,8 +833,8 @@ def x_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey, c_nationkey,
            ntile(4) OVER w AS quartile,
-           round(percent_rank() OVER w, 6) AS pct_rank,
-           round(cume_dist() OVER w, 6) AS cume
+           floor(percent_rank() OVER w * 1000000 + 0.5) / 1000000 AS pct_rank,
+           floor(cume_dist() OVER w * 1000000 + 0.5) / 1000000 AS cume
     FROM customer
     WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
     """,
@@ -843,15 +843,25 @@ def x_win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution window functions (ntile / percent_rank / cume_dist)
     per nation — one shuffle by the partition key, one sort; the unique
     c_custkey tiebreak makes the ordering (and therefore every
-    distribution value) total and cross-engine deterministic."""
+    distribution value) total and cross-engine deterministic.
+
+    Rounding is the explicit half-up ``floor(x*1e6 + 0.5)/1e6`` spelled
+    identically in BOTH engines: (rank-1)/(n-1) lands exactly on decimal
+    .5 ulp boundaries for round group sizes (0.0640625 at sf0.1), where
+    Spark's round() (half-up on the decimal expansion) and DuckDB's
+    (half-even) disagree — the shared IEEE mul/add/floor sequence cannot."""
     c = table(spark, sf_dir, "customer")
     w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+
+    def half_up6(col):
+        return F.floor(col * F.lit(1_000_000.0) + F.lit(0.5)) / F.lit(1_000_000.0)
+
     return c.select(
         "c_custkey",
         "c_nationkey",
         F.ntile(4).over(w).alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        half_up6(F.percent_rank().over(w)).alias("pct_rank"),
+        half_up6(F.cume_dist().over(w)).alias("cume"),
     )
 
 
