@@ -6,7 +6,13 @@ Runs every operator in ``dataengineer_scripts_spark.registry`` against
 ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line::
 
     {"metric": "total_query_wall_clock", "value": <sum sec>, "unit": "sec",
-     "queries": {"<id>": sec, ...}, "sf": 0.1}
+     "sf": 0.1, "n_queries": 127, "detail": "bench_detail.json"}
+
+The driver captures only the LAST 2000 characters of stdout, so the final
+line must stay compact: the per-query timing map is written to
+``$SPARK_GRAFT_BENCH_DETAIL`` (default ``bench_detail.json`` next to this
+file) and echoed per-query on stderr.  Solo runs (``python bench.py <id>
+...``) inline the small ``queries`` map on stdout for convenience.
 
 The timed action is ``df.count()`` — forces the full plan (scans, shuffles,
 joins, windows, Python stages) without driver-side materialization cost.
@@ -41,7 +47,10 @@ def main() -> None:
     only = set(sys.argv[1:])  # optional: bench just the named queries
     spark = get_spark("bench")
 
-    qs = registry.queries()
+    # Bench iterates alphabetically regardless of the registry's
+    # driver-facing priority order, so per-query timings stay comparable
+    # with earlier rounds' shared-session runs.
+    qs = dict(sorted(registry.queries().items()))
     if only:
         qs = {k: v for k, v in qs.items() if k in only}
 
@@ -95,7 +104,11 @@ def main() -> None:
                 spark.catalog.clearCache()
                 spark.sparkContext._jvm.System.gc()
 
-    out = {
+    detail_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_DETAIL",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"),
+    )
+    detail = {
         "metric": "total_query_wall_clock",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
@@ -103,8 +116,29 @@ def main() -> None:
         "sf": _sf_of(sf_dir),
     }
     if errors:
-        out["errors"] = errors
-    print(json.dumps(out))
+        detail["errors"] = errors
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1)
+
+    # The driver parses only the tail of stdout (last ~2000 chars): keep the
+    # final line compact — summary stats only, never the 127-entry map.
+    out = {
+        "metric": "total_query_wall_clock",
+        "value": detail["value"],
+        "unit": "sec",
+        "sf": detail["sf"],
+        "n_queries": len(timings),
+        "detail": os.path.basename(detail_path),
+    }
+    if errors:
+        out["n_errors"] = len(errors)
+    if only:  # solo runs: few queries, map usually fits under the cap
+        with_map = dict(out, queries=timings)
+        if len(json.dumps(with_map)) < 1500:
+            out = with_map
+    line = json.dumps(out)
+    assert len(line) < 1800, f"final bench line too long ({len(line)} chars)"
+    print(line)
     spark.stop()
     if errors:
         sys.exit(1)

@@ -26,7 +26,9 @@ PKG = "dataengineer_scripts_spark"
 
 def rows() -> list[str]:
     out = []
-    for name, d in registry.definitions().items():
+    # alphabetical for stable docs (the registry's driver-facing iteration
+    # order is priority-rotated; see registry._driver_order)
+    for name, d in sorted(registry.definitions().items()):
         fn = inspect.unwrap(d.fn)
         path = os.path.relpath(inspect.getsourcefile(fn), os.path.join(REPO, PKG))
         src, line = inspect.getsourcelines(fn)
