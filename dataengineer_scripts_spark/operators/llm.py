@@ -536,10 +536,10 @@ EMBED_GRID = 8
     oracle=f"""
     WITH {_SQL_NORMED}
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           round(list_sum(list_transform(generate_series(1, 64),
+           round(list_sum(list_transform(generate_series(1, len(a.e)),
                  i -> a.e[i] * b.e[i])), 6) AS cosine
     FROM normed a JOIN normed b ON a.vec_id < b.vec_id
-    WHERE round(list_sum(list_transform(generate_series(1, 64),
+    WHERE round(list_sum(list_transform(generate_series(1, len(a.e)),
           i -> a.e[i] * b.e[i])), 6) >= {EMBED_DUP_THRESHOLD}
     """,
 )
@@ -623,7 +623,7 @@ KNN_N_QUERIES = 10
     WITH {_SQL_NORMED},
     scored AS (
         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-               round(list_sum(list_transform(generate_series(1, 64),
+               round(list_sum(list_transform(generate_series(1, len(q.e)),
                      i -> q.e[i] * c.e[i])), 6) AS cosine
         FROM normed q JOIN normed c ON c.vec_id <> q.vec_id
         WHERE q.vec_id < {KNN_N_QUERIES}
@@ -697,7 +697,7 @@ _SQL_KNN_BATCH = f"""
     WITH {{normed}},
     scored AS (
         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-               round(list_sum(list_transform(generate_series(1, 64),
+               round(list_sum(list_transform(generate_series(1, len(q.e)),
                      i -> q.e[i] * c.e[i])), 6) AS cosine
         FROM normed q JOIN normed c ON c.vec_id <> q.vec_id
         WHERE q.vec_id % {KNN_BATCH_MOD} = 0
@@ -991,10 +991,17 @@ def x_llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "x_llm_nearest_class",
     oracle="""
-    WITH comp AS (
-        SELECT label, t.i AS i, round(avg(embedding[t.i]::DOUBLE), 6) AS c
-        FROM embeddings, generate_series(1, 64) AS t(i)
-        GROUP BY label, t.i
+    WITH ex AS (
+        -- dimension from the fixture itself (generate_series as a table
+        -- function only takes constants, so unnest in the select list)
+        SELECT label, embedding,
+               unnest(generate_series(1, len(embedding))) AS i
+        FROM embeddings
+    ),
+    comp AS (
+        SELECT label, i, round(avg(embedding[i]::DOUBLE), 6) AS c
+        FROM ex
+        GROUP BY label, i
     ),
     cents AS (
         SELECT label AS clabel, list(c ORDER BY i) AS cent FROM comp
@@ -1002,7 +1009,7 @@ def x_llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     scored AS (
         SELECT e.vec_id, e.label, c.clabel,
-               round(list_sum(list_transform(generate_series(1, 64),
+               round(list_sum(list_transform(generate_series(1, len(c.cent)),
                      i -> e.embedding[i]::DOUBLE * c.cent[i])), 4) AS score
         FROM embeddings e CROSS JOIN cents c
     )
@@ -1775,12 +1782,28 @@ def x_llm_dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFra
         ".tmp",
         "incr_index",
     )
+    loc = os.path.join(base, tbl)
+    # A registered table whose backing dir was cleaned (e.g. `.tmp` wiped
+    # mid-session) must rebuild, not fail on read.
+    if spark.catalog.tableExists(tbl) and not os.path.isdir(loc):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
     if not spark.catalog.tableExists(tbl):
+        # Fixture regeneration changes the fingerprint: prune superseded
+        # sibling indexes for the same sf tag so .tmp doesn't accumulate
+        # one orphaned bucketed dir per regeneration.
+        import shutil
+
+        stale_prefix = f"incr_shingle_idx_{tag}_"
+        if os.path.isdir(base):
+            for d in os.listdir(base):
+                if d.startswith(stale_prefix) and d != tbl:
+                    spark.sql(f"DROP TABLE IF EXISTS {d}")
+                    shutil.rmtree(os.path.join(base, d), ignore_errors=True)
         (
             _shingle_rows_of(docs.filter(~is_new))
             .select("doc_id", "h")
             .write.mode("overwrite")
-            .option("path", os.path.join(base, tbl))
+            .option("path", loc)
             .bucketBy(_INCR_INDEX_BUCKETS, "h")
             .sortBy("h")
             .format("parquet")
@@ -1809,7 +1832,7 @@ SEMDEDUP_THRESHOLD = 0.3
              WHERE vec_id < {SEMDEDUP_K}),
     scored AS (
         SELECT n.vec_id, c.cid,
-               round(list_sum(list_transform(generate_series(1, 64),
+               round(list_sum(list_transform(generate_series(1, len(n.e)),
                      i -> n.e[i] * c.ce[i])), 6) AS cos
         FROM normed n CROSS JOIN cent c
     ),
@@ -1825,7 +1848,7 @@ SEMDEDUP_THRESHOLD = 0.3
         FROM asg a JOIN asg b ON a.cid = b.cid AND b.vec_id < a.vec_id
         JOIN normed na ON na.vec_id = a.vec_id
         JOIN normed nb ON nb.vec_id = b.vec_id
-        WHERE round(list_sum(list_transform(generate_series(1, 64),
+        WHERE round(list_sum(list_transform(generate_series(1, len(na.e)),
               i -> na.e[i] * nb.e[i])), 6) >= {SEMDEDUP_THRESHOLD}
     )
     SELECT vec_id, cid AS cluster_id,

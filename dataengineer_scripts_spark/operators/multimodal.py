@@ -265,10 +265,19 @@ def x_mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "x_mm_audio_chunk",
     oracle=f"""
-    WITH b AS (
-        SELECT doc_id,
-               list_transform(string_split(text, ''), c -> ascii(c)::DOUBLE) AS v
+    WITH hx AS (
+        -- UTF-8 BYTES, not characters: the engine frames np.frombuffer
+        -- over encode(text), so a non-ASCII fixture char must contribute
+        -- its multi-byte encoding here too (hex-pair parse of the blob).
+        SELECT doc_id, hex(encode(text)) AS hs, octet_length(encode(text)) AS n
         FROM documents
+    ),
+    b AS (
+        SELECT doc_id,
+               list_transform(generate_series(1, n),
+                   i -> ((strpos('0123456789ABCDEF', substr(hs, 2*i-1, 1)) - 1) * 16
+                        + strpos('0123456789ABCDEF', substr(hs, 2*i, 1)) - 1)::DOUBLE) AS v
+        FROM hx
     ),
     starts AS (
         SELECT doc_id, v, i
