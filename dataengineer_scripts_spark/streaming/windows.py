@@ -359,3 +359,44 @@ def x_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("purchase_ts"),
     )
     return clickstream_attribution(clicks, purchases)
+
+
+# --- streaming REST poll (§2.1's source surface, streaming twin) -----------
+
+
+@register(
+    "x_stream_rest_poll",
+    oracle="""
+    SELECT n_nationkey AS id, n_name AS name,
+           CASE WHEN n_nationkey % 5 = 4 THEN 'next' ELSE 'job' END AS type,
+           CASE WHEN n_nationkey % 7 = 3 THEN 'FAILED' ELSE 'SUCCESS'
+                END AS status,
+           CASE WHEN n_nationkey % 11 = 5 THEN NULL ELSE 'SUCCESS'
+                END AS export_status
+    FROM nation
+    """,
+)
+def x_stream_rest_poll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REST source consumed as a STREAM: ``readStream.format("rest")``
+    polls the paginated listing per microbatch and emits only rows appended
+    since the last offset (offset = absolute row position; see
+    ``sources.rest.RestStreamReader``).  This is the structured-streaming
+    shape of the reference's timer poll loop (``Job Cek Script/
+    app.py:161-165``) — checkpointable offsets instead of a sleep loop.
+
+    Driven to completion through the memory sink (every queries() entry
+    returns a batch-readable DataFrame); with a fresh checkpoint the first
+    microbatch drains the whole deterministic node listing, so the result
+    carries a full DuckDB oracle — the streaming runtime itself is under
+    oracle check here, not just the poll plumbing."""
+    from ..operators.etl import _server
+    from ..sources.rest import login, rest_read_stream
+    from .runtime import run_to_memory
+
+    api = _server(spark, sf_dir)
+    stream = rest_read_stream(spark, api.base_url, login(api.base_url))
+    name = "stream_rest_poll_" + "".join(
+        ch for ch in sf_dir.rsplit("/", 1)[-1] if ch.isalnum()
+    )
+    run_to_memory(stream, name, "append")
+    return spark.table(name)

@@ -256,3 +256,65 @@ def test_stream_stream_join_equals_batch(spark, sf_dir):
         for r in x_stream_stream_join(spark, sf_dir).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_rest_poll_incremental_offsets(spark):
+    """The REST stream reader must emit ONLY rows appended since the last
+    offset: grow the server's receipts feed between microbatches and
+    assert each batch picks up exactly the delta (no replays, no gaps)."""
+    import urllib.request
+
+    from dataengineer_scripts_spark.sources.rest import login, rest_read_stream
+    from dataengineer_scripts_spark.sources.stub_api import (
+        RECEIPTS_LIST_PATH,
+        TOKEN,
+        StubApi,
+    )
+
+    nodes = [
+        {"id": i, "name": f"n{i}", "type": "job", "status": "SUCCESS",
+         "export_status": "SUCCESS"}
+        for i in range(6)
+    ]
+
+    def sync(api, node_id):
+        req = urllib.request.Request(
+            f"{api.base_url}/analytic/nodes/{node_id}/sync",
+            data=b"{}",
+            headers={"Authorization": TOKEN},
+            method="POST",
+        )
+        urllib.request.urlopen(req, timeout=10).read()
+
+    with StubApi(nodes) as api:
+        stream = rest_read_stream(
+            spark,
+            api.base_url,
+            login(api.base_url),
+            page_size=2,  # force multi-page fetches within one batch
+            path=RECEIPTS_LIST_PATH,
+            schema="node_id int, attempts int",
+        )
+        q = (
+            stream.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("rest_poll_out")
+            .start()
+        )
+        try:
+            rows = lambda: sorted(  # noqa: E731
+                r.node_id for r in spark.sql("SELECT * FROM rest_poll_out").collect()
+            )
+            q.processAllAvailable()
+            assert rows() == []  # nothing synced yet → empty first batch
+            sync(api, 0)
+            q.processAllAvailable()
+            assert rows() == [0]
+            # receipts are served in node_id order; sync in increasing id
+            # order (the reader's append-ordered-listing contract)
+            for i in (1, 2, 3, 4):
+                sync(api, i)
+            q.processAllAvailable()
+            assert rows() == [0, 1, 2, 3, 4]  # delta only — 0 not replayed
+        finally:
+            q.stop()
