@@ -1373,9 +1373,17 @@ def x_llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: Near-dup edges for clustering: same threshold the pair operator reports.
 CLUSTER_J_THRESHOLD = 0.5
-#: Safety valve for the label-propagation loop (components from near-dup
-#: pair graphs are near-cliques — measured convergence is 2-3 sweeps).
-CLUSTER_MAX_ITERS = 25
+#: Min-label sweeps before switching to the O(log n) star alternation.
+#: Components of a near-dup pair graph are near-cliques (a dup class
+#: shares most shingles pairwise) — measured convergence is 2-3 sweeps;
+#: anything still moving after 5 is chain-shaped and belongs to the
+#: diameter-independent algorithm, not more sweeps.
+LABEL_SWEEP_SWITCH = 5
+#: Round valve for the large-star/small-star alternation itself: rounds
+#: grow O(log^2 n) worst-case (Kiveris et al. 2014), so 40 covers any
+#: component that fits in a cluster; exceeding it means a logic error,
+#: not a big graph — raise rather than return split components.
+TWO_PHASE_MAX_ROUNDS = 40
 
 
 @register(
@@ -1413,11 +1421,13 @@ def x_llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-side graph, no collect.  Labels are ``localCheckpoint``-ed each
     sweep so lineage stays O(1) instead of O(iterations).  Sweeps needed =
     graph diameter; near-dup components are near-cliques (a dup class
-    shares most shingles pairwise), so 2-3 sweeps in practice, 25-sweep
-    valve.  At 100 TB with adversarial chain-shaped components, swap the
-    sweep body for the large-star/small-star alternation (Kiveris et al.,
-    "Connected Components in MapReduce") — same join primitives, O(log n)
-    rounds; not needed at dedup's observed diameters.
+    shares most shingles pairwise), so 2-3 sweeps in practice.  A
+    component whose diameter beats the 5-sweep budget (adversarial
+    chain-of-near-dups) AUTO-SWITCHES to the large-star/small-star
+    alternation (Kiveris et al., "Connected Components in MapReduce and
+    Beyond") — same join/aggregate primitives, rounds logarithmic in
+    component size instead of linear in diameter (see
+    ``_two_phase_components``).
 
     The DuckDB oracle is the same fixpoint computed declaratively: a
     recursive CTE closing (node, root) over the edge relation, then
@@ -1450,7 +1460,7 @@ def _min_label_components(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
         "doc_id", F.col("doc_id").alias("cluster_id")
     ).localCheckpoint()
     changed = -1
-    for _ in range(CLUSTER_MAX_ITERS):
+    for _ in range(LABEL_SWEEP_SWITCH):
         nbr_min = (
             edges.join(labels, edges.src == labels.doc_id)
             .groupBy(F.col("dst").alias("doc_id"))
@@ -1476,14 +1486,92 @@ def _min_label_components(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
         if changed == 0:
             break
     if changed != 0:
-        # returning partial labels would silently split components (and
-        # mismatch the recursive-CTE oracle); a graph whose diameter beats
-        # the valve needs the O(log n) large-star/small-star variant.
-        raise RuntimeError(
-            f"label propagation did not converge in {CLUSTER_MAX_ITERS} sweeps"
-            " (component diameter exceeds the valve)"
-        )
+        # Still moving after the sweep budget: the component is deeper
+        # than any near-clique dup class — finish with the
+        # diameter-independent alternation instead of more sweeps
+        # (returning partial labels would silently split components).
+        return _two_phase_components(nodes, edges)
     return labels
+
+
+def _two_phase_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """Connected components by the large-star/small-star alternation
+    (Kiveris et al. 2014, "Connected Components in MapReduce and Beyond",
+    Alternating Algorithm): per round, LARGE-STAR hangs every node's
+    strictly-larger neighbors off the minimum of its closed neighborhood,
+    then SMALL-STAR re-hangs each node's not-larger neighbors (and itself)
+    off their minimum.  Both steps preserve connectivity and never merge
+    distinct components; the fixpoint is one star per component centered
+    at the component minimum — reached in rounds logarithmic in component
+    size, INDEPENDENT of diameter (a 1M-node chain converges in ~20
+    rounds where label propagation needs 1M sweeps).  Each step is one
+    hash aggregate + one equi-join on node keys — the same shuffle shapes
+    as the sweep loop, so the 100 TB posture is unchanged.
+
+    ``edges``: symmetric directed (src, dst) pairs (both orientations
+    present).  Returns (doc_id, cluster_id = component minimum), with
+    singleton nodes labeled by themselves."""
+    e = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    converged = e.isEmpty()  # no edges at all: nothing to alternate
+    for _ in range(TWO_PHASE_MAX_ROUNDS):
+        if converged:
+            break
+        # Large-star: for each u, m = min(N(u) ∪ {u}); emit (v, m) for
+        # every neighbor v > u.  (Edges to not-larger neighbors re-appear
+        # from the other endpoint's neighborhood.)
+        sym = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+            e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("u", "mn").alias("m"))
+        )
+        ls = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("s"), F.col("m").alias("t"))
+        )
+        e1 = (
+            ls.filter(F.col("s") != F.col("t"))
+            .select(F.least("s", "t").alias("a"), F.greatest("s", "t").alias("b"))
+            .distinct()
+        )
+        # Small-star: orient every edge to its larger endpoint (u > v);
+        # per u, m = min of its smaller neighbors; emit (v, m) for those
+        # neighbors plus (u, m) itself.
+        big = e1.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        mins2 = big.groupBy("u").agg(F.min("v").alias("m"))
+        ss = (
+            big.join(mins2, "u")
+            .select(F.col("v").alias("s"), F.col("m").alias("t"))
+            .unionAll(mins2.select(F.col("u").alias("s"), F.col("m").alias("t")))
+        )
+        e_new = (
+            ss.filter(F.col("s") != F.col("t"))
+            .select(F.least("s", "t").alias("a"), F.greatest("s", "t").alias("b"))
+            .distinct()
+            .localCheckpoint()
+        )
+        converged = e_new.exceptAll(e).isEmpty() and e.exceptAll(e_new).isEmpty()
+        e = e_new
+    if not converged:
+        raise RuntimeError(
+            f"star alternation did not reach a fixpoint in "
+            f"{TWO_PHASE_MAX_ROUNDS} rounds"
+        )
+    # Fixpoint = stars centered at component minima: every non-center node
+    # has exactly its (center, node) edge; centers and singletons label
+    # themselves via the left join.
+    parents = e.groupBy(F.col("b").alias("doc_id")).agg(F.min("a").alias("p"))
+    return nodes.join(parents, "doc_id", "left").select(
+        "doc_id", F.coalesce("p", F.col("doc_id")).alias("cluster_id")
+    )
 
 
 #: Per-stratum keep rates in per-mille: down-sample dominant English, keep

@@ -70,19 +70,6 @@ def test_merge_ref_beyond_26_columns():
     assert model["header"]["merge"] == "A1:AB1"
 
 
-def test_label_propagation_raises_on_nonconvergence(spark, monkeypatch):
-    import dataengineer_scripts_spark.operators.llm as llm
-
-    monkeypatch.setattr(llm, "CLUSTER_MAX_ITERS", 3)
-    n = 8  # chain 0-1-...-7 needs 7 sweeps for label 0 to reach the end
-    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
-    pairs = spark.createDataFrame(
-        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
-    )
-    with pytest.raises(RuntimeError, match="did not converge"):
-        llm._min_label_components(nodes, pairs)
-
-
 def test_label_propagation_converges_on_chain_within_valve(spark):
     from dataengineer_scripts_spark.operators.llm import _min_label_components
 
@@ -92,6 +79,75 @@ def test_label_propagation_converges_on_chain_within_valve(spark):
     )
     got = {r.doc_id: r.cluster_id for r in _min_label_components(nodes, pairs).collect()}
     assert got == {i: 0 for i in range(5)}
+
+
+def test_components_auto_switch_on_adversarial_chain(spark):
+    """A 64-node chain needs 63 min-label sweeps; the sweep loop must hand
+    off to the large-star/small-star alternation after its 5-sweep budget
+    and still produce exact components (plus a disjoint triangle and a
+    singleton to prove no cross-component merging)."""
+    from dataengineer_scripts_spark.operators.llm import _min_label_components
+
+    n = 64
+    chain = [(i, i + 1) for i in range(n - 1)]
+    triangle = [(100, 101), (101, 102), (100, 102)]
+    node_ids = list(range(n)) + [100, 101, 102, 999]
+    nodes = spark.createDataFrame([(i,) for i in node_ids], "doc_id long")
+    pairs = spark.createDataFrame(chain + triangle, "doc_a long, doc_b long")
+    got = {r.doc_id: r.cluster_id for r in _min_label_components(nodes, pairs).collect()}
+    want = {i: 0 for i in range(n)} | {100: 100, 101: 100, 102: 100, 999: 999}
+    assert got == want
+
+
+def test_two_phase_components_random_graph_matches_union_find(spark):
+    """Property check: star alternation == plain union-find on a seeded
+    random graph (dense enough for multi-node components, sparse enough
+    for many singletons)."""
+    import random
+
+    from dataengineer_scripts_spark.operators.llm import _two_phase_components
+
+    rng = random.Random(42)
+    n, m = 60, 45
+    edge_list = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edge_list:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {i: find(i) for i in range(n)}
+    # canonicalize union-find roots to component minima
+    comp_min: dict[int, int] = {}
+    for i in range(n):
+        r = find(i)
+        comp_min[r] = min(comp_min.get(r, i), i)
+    want = {i: comp_min[find(i)] for i in range(n)}
+
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in edge_list] + [(b, a) for a, b in edge_list],
+        "src long, dst long",
+    )
+    got = {r.doc_id: r.cluster_id for r in _two_phase_components(nodes, edges).collect()}
+    assert got == want
+
+
+def test_two_phase_raises_when_rounds_exhausted(spark, monkeypatch):
+    import dataengineer_scripts_spark.operators.llm as llm
+
+    monkeypatch.setattr(llm, "TWO_PHASE_MAX_ROUNDS", 0)
+    nodes = spark.createDataFrame([(0,), (1,)], "doc_id long")
+    edges = spark.createDataFrame([(0, 1), (1, 0)], "src long, dst long")
+    with pytest.raises(RuntimeError, match="did not reach a fixpoint"):
+        llm._two_phase_components(nodes, edges)
 
 
 def test_knn_query_broadcast_is_cached_and_superseded(spark):
