@@ -1905,24 +1905,74 @@ def x_llm_dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFra
     return _bipartite_jaccard(index, new_sh)
 
 
-#: SemDeDup geometry: 16 deterministic seed centroids, in-cluster cosine
-#: >= 0.3 marks a semantic duplicate (fixture embeddings are
-#: near-orthogonal, max pairwise cosine ≈ 0.49).
+#: SemDeDup geometry: 16 deterministic seed centroids refined by ONE
+#: spherical-k-means (Lloyd) iteration, in-cluster cosine >= 0.3 marks a
+#: semantic duplicate (fixture embeddings are near-orthogonal, max
+#: pairwise cosine ≈ 0.49).  The iteration count is part of the fixed
+#: geometry — the oracle unrolls exactly this many update steps.
 SEMDEDUP_K = 16
 SEMDEDUP_THRESHOLD = 0.3
+SEMDEDUP_LLOYD_ITERS = 1
+
+#: One unrolled Lloyd step in SQL: assign to argmax-cosine centroid
+#: (rounded 6, ties to lowest cid), per-dimension mean of the assigned
+#: normalized vectors (rounded 6 — the one cross-engine-sensitive
+#: reduction, so rounding happens BEFORE the norm), re-normalize, round 6.
+#: Empty or degenerate (zero-norm) clusters keep their previous centroid.
+_SQL_LLOYD_STEP = """
+    s{t} AS (
+        SELECT n.vec_id, c.cid,
+               round(list_sum(list_transform(generate_series(1, len(n.e)),
+                     i -> n.e[i] * c.ce[i])), 6) AS cos
+        FROM normed n CROSS JOIN cent{t} c
+    ),
+    a{t} AS (
+        SELECT vec_id, cid FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                      ORDER BY cos DESC, cid) AS rn
+            FROM s{t})
+        WHERE rn = 1
+    ),
+    ex{t} AS (
+        SELECT a.cid, n.e, unnest(generate_series(1, len(n.e))) AS i
+        FROM a{t} a JOIN normed n ON n.vec_id = a.vec_id
+    ),
+    ml{t} AS (
+        SELECT cid, list(m ORDER BY i) AS mv FROM (
+            SELECT cid, i, round(avg(e[i]), 6) AS m
+            FROM ex{t} GROUP BY cid, i)
+        GROUP BY cid
+    ),
+    cent{t1} AS (
+        SELECT c.cid,
+               CASE WHEN ml.mv IS NULL
+                      OR sqrt(list_sum(list_transform(ml.mv, x -> x * x))) = 0
+                    THEN c.ce
+                    ELSE list_transform(ml.mv, x -> round(x /
+                         sqrt(list_sum(list_transform(ml.mv, y -> y * y))), 6))
+               END AS ce
+        FROM cent{t} c LEFT JOIN ml{t} ml ON ml.cid = c.cid
+    )
+"""
+
+_SEMDEDUP_STEPS = ",".join(
+    _SQL_LLOYD_STEP.format(t=t, t1=t + 1) for t in range(SEMDEDUP_LLOYD_ITERS)
+)
+_T = SEMDEDUP_LLOYD_ITERS  # final centroid generation
 
 
 @register(
     "x_llm_semdedup",
     oracle=f"""
     WITH {_SQL_NORMED},
-    cent AS (SELECT vec_id AS cid, e AS ce FROM normed
-             WHERE vec_id < {SEMDEDUP_K}),
+    cent0 AS (SELECT vec_id AS cid, e AS ce FROM normed
+              WHERE vec_id < {SEMDEDUP_K}),
+    {_SEMDEDUP_STEPS},
     scored AS (
         SELECT n.vec_id, c.cid,
                round(list_sum(list_transform(generate_series(1, len(n.e)),
                      i -> n.e[i] * c.ce[i])), 6) AS cos
-        FROM normed n CROSS JOIN cent c
+        FROM normed n CROSS JOIN cent{_T} c
     ),
     asg AS (
         SELECT vec_id, cid FROM (
@@ -1952,20 +2002,29 @@ def x_llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs ≈ n²/K, and K grows with n).
 
     Deterministic fixture formulation so a SQL oracle can replay it:
-    centroids are the first SEMDEDUP_K normalized vectors (production
-    runs k-means; the assignment/prune shape is identical), each vector
-    joins its argmax-cosine centroid (rounded to 6 before the argmax,
-    ties to the lowest centroid id — both engines agree), and a vector is
-    a duplicate iff a LOWER-vec_id vector in the same cluster has rounded
-    cosine >= SEMDEDUP_THRESHOLD (the greedy keep-first rule).
+    centroids start as the first SEMDEDUP_K normalized vectors and are
+    refined by SEMDEDUP_LLOYD_ITERS spherical-k-means (Lloyd) steps —
+    assign to argmax-cosine centroid, recompute each centroid as the
+    per-dimension mean of its members (rounded to 6 BEFORE the norm, the
+    one reduction whose summation order differs across engines), then
+    re-normalize; empty/zero-norm clusters keep their previous centroid.
+    Each vector joins its argmax-cosine centroid (rounded to 6 before the
+    argmax, ties to the lowest centroid id — both engines agree), and a
+    vector is a duplicate iff a LOWER-vec_id vector in the same cluster
+    has rounded cosine >= SEMDEDUP_THRESHOLD (the greedy keep-first
+    rule).  The oracle unrolls the identical update steps as CTEs.
 
     Plan: the centroid matrix is a driver-held model (K × 64 doubles)
-    closed over by ONE narrow ``mapInPandas`` assignment pass (argmax of
-    E·Cᵀ per Arrow batch — corpus scanned once, no join, no shuffle);
-    the prune is ONE shuffle on cluster_id + per-cluster ``applyInPandas``
-    pairwise GEMM (cluster-local, upper-triangle).  Oversized clusters at
-    100 TB get the blocked-GEMM treatment of ``x_llm_dedup_embed`` inside
-    the cell — same math, bounded task memory."""
+    closed over by narrow ``mapInPandas`` assignment passes (argmax of
+    E·Cᵀ per Arrow batch — corpus scanned once per Lloyd step, no join,
+    no shuffle); each centroid update is ONE hash aggregate (per-dim
+    ``F.avg`` with map-side partial aggregation) collecting only K × dim
+    doubles to the driver — the k-means shape that scales to any corpus
+    size; the prune is ONE shuffle on cluster_id + per-cluster
+    ``applyInPandas`` pairwise GEMM (cluster-local, upper-triangle).
+    Oversized clusters at 100 TB get the blocked-GEMM treatment of
+    ``x_llm_dedup_embed`` inside the cell — same math, bounded task
+    memory."""
     normed = _normalized(spark, sf_dir)
     crows = sorted(
         normed.filter(F.col("vec_id") < SEMDEDUP_K).collect(),
@@ -1976,24 +2035,48 @@ def x_llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # positions — identical only while vec_ids 0..K-1 all exist, so map
     # explicitly to stay correct on gapped/re-keyed fixtures.
     cids = np.array([r.vec_id for r in crows])
+    dim = cmat.shape[1]
 
-    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            scores = np.round(np.vstack(pdf["e"].to_numpy()) @ cmat.T, 6)
-            # first max = lowest centroid id on ties (cmat is vec_id-sorted)
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"],
-                    "cluster_id": cids[scores.argmax(1)],
-                    "e": pdf["e"],
-                }
-            )
+    def assigner(cm: np.ndarray):
+        def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                scores = np.round(np.vstack(pdf["e"].to_numpy()) @ cm.T, 6)
+                # first max = lowest centroid id on ties (cm is cid-sorted)
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"],
+                        "cluster_id": cids[scores.argmax(1)],
+                        "e": pdf["e"],
+                    }
+                )
 
-    asg = normed.mapInPandas(
-        assign, "vec_id long, cluster_id long, e array<double>"
-    )
+        return assign
+
+    asg_schema = "vec_id long, cluster_id long, e array<double>"
+    for _ in range(SEMDEDUP_LLOYD_ITERS):
+        members = normed.mapInPandas(assigner(cmat), asg_schema)
+        mean_rows = (
+            members.groupBy("cluster_id")
+            .agg(*[
+                F.round(F.avg(F.col("e")[i]), 6).alias(f"m{i}")
+                for i in range(dim)
+            ])
+            .collect()
+        )
+        means = {
+            r["cluster_id"]: np.array([r[f"m{i}"] for i in range(dim)])
+            for r in mean_rows
+        }
+        nxt = []
+        for k, cid in enumerate(cids):
+            m = means.get(int(cid))
+            nrm = float(np.sqrt((m * m).sum())) if m is not None else 0.0
+            nxt.append(cmat[k] if nrm == 0.0 else np.round(m / nrm, 6))
+        cmat = np.vstack(nxt)
+
+    asg = normed.mapInPandas(assigner(cmat), asg_schema)
 
     def prune(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("vec_id")
