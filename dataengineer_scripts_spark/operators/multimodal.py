@@ -14,11 +14,14 @@ an exact DuckDB twin).  What is REAL and tested at the Spark layer is the
   never a row-at-a-time UDF;
 - typed metadata traveling beside the payload (struct of modality fields).
 
-A real codec (PIL/libav) is absent from this container; the entry point
-that would host it is ``decode_image_real`` below — a clearly-marked stub
-raising ``NotImplementedError``.  The fake decode used by the operators
-parses the actual bytes it is handed, so swapping in a real codec changes
-only the body of the batch function, not the plan, schema or partitioning.
+The real codec is PLUGGABLE: ``decode_image_real`` try-imports PIL at
+module load and decodes with it when installed (this container ships no
+codec, so it raises ``NotImplementedError`` here); ``_decode_geometry``
+dispatches real-decode-first with the deterministic byte-fake as the
+fallback for undecodable payloads.  Since the synthetic fixture's
+"images" are UTF-8 text, operator results — and their DuckDB oracles —
+are identical with either backend; the plan, schema and partitioning
+never change.
 """
 
 from __future__ import annotations
@@ -37,15 +40,45 @@ from ..tables import table
 FRAME_BYTES = 16  # fake "video": fixed-size frames over the byte stream
 FRAME_STRIDE = 4  # sample every 4th frame
 
+try:  # pluggable real codec: engaged the moment the container ships PIL
+    from PIL import Image as _PILImage  # type: ignore
+except ImportError:  # no codec installed — byte-fake decode path only
+    _PILImage = None
+
 
 def decode_image_real(data: bytes) -> dict:
-    """Placeholder for a real image decode (PIL/turbojpeg).  The container
-    ships no image codec, so this is an explicit stub — the operators below
-    use the deterministic byte-level fake instead."""
-    raise NotImplementedError(
-        "real image codecs are not available in this container; "
-        "use the deterministic byte-level decode in x_mm_binary_decode"
-    )
+    """Real image decode (PIL when installed).  Raises NotImplementedError
+    while no codec ships in the container; with PIL present it returns the
+    decoded geometry and becomes the live half of the ``_decode_geometry``
+    dispatch under ``x_mm_image_resize``."""
+    if _PILImage is None:
+        raise NotImplementedError(
+            "real image codecs are not available in this container; "
+            "use the deterministic byte-level decode in x_mm_binary_decode"
+        )
+    import io
+
+    with _PILImage.open(io.BytesIO(data)) as im:
+        return {"width": int(im.width), "height": int(im.height), "mode": im.mode}
+
+
+def _decode_geometry(data: bytes) -> tuple[int, int]:
+    """Decode dispatch seam: real codec when one is installed AND the
+    payload actually decodes; the deterministic byte-fake otherwise
+    (w = n % 640, h = n*7 % 480).  The synthetic fixture's payloads are
+    UTF-8 text — not decodable images — so the operators' oracle rows are
+    identical with or without PIL installed, while real image bytes get a
+    real decode the moment a codec is present."""
+    if _PILImage is not None:
+        try:
+            d = decode_image_real(data)
+            return d["width"], d["height"]
+        except NotImplementedError:  # pragma: no cover - PIL present here
+            raise
+        except Exception:
+            pass  # not a decodable image: fall through to the byte-fake
+    n = len(data)
+    return n % 640, (n * 7) % 480
 
 
 @register(
@@ -239,9 +272,19 @@ def x_mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             if pdf.empty:
                 continue
-            n = pdf["img"].map(len).to_numpy(dtype="int64")
-            w = (n % 640).astype("int64")
-            h = ((n * 7) % 480).astype("int64")
+            if _PILImage is None:
+                # no codec: byte-fake geometry, fully vectorized
+                n = pdf["img"].map(len).to_numpy(dtype="int64")
+                w = (n % 640).astype("int64")
+                h = ((n * 7) % 480).astype("int64")
+            else:
+                # codec installed: per-payload decode through the dispatch
+                # seam (a codec is inherently per-image; ingress is still
+                # one Arrow batch, not a row-at-a-time UDF)
+                wh = np.array(
+                    [_decode_geometry(b) for b in pdf["img"]], dtype="int64"
+                ).reshape(-1, 2)
+                w, h = wh[:, 0], wh[:, 1]
             keep = (w > 0) & (h > 0)
             w, h, ids = w[keep], h[keep], pdf["doc_id"].to_numpy()[keep]
             if not len(ids):
