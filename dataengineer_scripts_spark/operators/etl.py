@@ -47,6 +47,7 @@ from ..sources.files import (
     DERBY_DRIVER,
     derby_url,
     jdbc_reader,
+    pushdown_query,
     read_json_file,
     write_jdbc_table,
 )
@@ -247,9 +248,13 @@ def src_jdbc_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_name").alias("name"), F.col("n_nationkey").alias("id")
     )
     write_jdbc_table(seed, url, "daily_job_check")
-    q = (
-        'SELECT "name", "id", "name" AS "init_name", '
-        "'Delman' AS \"loc\" FROM daily_job_check"
+    # Same builder the MSSQL target would use — only the dialect differs
+    # (bracket quoting + TOP over there; see tests/test_etl.py).
+    q = pushdown_query(
+        "daily_job_check",
+        ["name", "id", ("name", "init_name")],
+        literals={"loc": "Delman"},
+        dialect="derby",
     )
     return jdbc_reader(spark, url, q, driver=DERBY_DRIVER).load()
 

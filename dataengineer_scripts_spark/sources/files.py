@@ -24,6 +24,77 @@ from pyspark.sql import DataFrame, SparkSession
 DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
 
 
+class SqlDialect:
+    """Identifier-quoting and limit rules for building JDBC pushdown
+    queries per target database.  The reference's actual target is MSSQL
+    (bracket identifiers, ``SELECT TOP n`` — ``Job Cek Script/
+    app.py:67-79``); the sandbox exercises the same JDBC path on embedded
+    Derby (ANSI double-quote identifiers, ``FETCH FIRST``).  Only the URL,
+    driver and this dialect differ between the two."""
+
+    def __init__(self, name: str, q_open: str, q_close: str, limit_style: str):
+        self.name = name
+        self.q_open = q_open
+        self.q_close = q_close
+        self.limit_style = limit_style  # "top" (MSSQL) | "fetch" (ANSI)
+
+    def quote(self, identifier: str) -> str:
+        # escape the closing quote char by doubling (]] / "")
+        return (
+            self.q_open
+            + identifier.replace(self.q_close, self.q_close * 2)
+            + self.q_close
+        )
+
+
+DIALECTS = {
+    "ansi": SqlDialect("ansi", '"', '"', "fetch"),
+    "derby": SqlDialect("derby", '"', '"', "fetch"),
+    "mssql": SqlDialect("mssql", "[", "]", "top"),
+}
+
+
+def _sql_literal(value) -> str:
+    if isinstance(value, str):
+        return "'" + value.replace("'", "''") + "'"
+    if isinstance(value, bool):
+        return "1" if value else "0"
+    return str(value)
+
+
+def pushdown_query(
+    table: str,
+    columns: list,
+    literals: dict | None = None,
+    dialect: str = "ansi",
+    limit: int | None = None,
+) -> str:
+    """Build the database-side projection query for a JDBC read — the
+    shape the reference pushes to MSSQL (``app.py:72``: ``SELECT [name],
+    [id], [name] as init_name, 'Delman' AS [loc] FROM DailyJobCheck``).
+    ``columns``: names or ``(name, alias)`` pairs; ``literals``: constant
+    columns as ``{alias: value}``; ``limit`` renders per-dialect (``TOP n``
+    on MSSQL, ``FETCH FIRST n ROWS ONLY`` on ANSI/Derby).  The table
+    identifier is passed through verbatim, as the reference writes it."""
+    d = DIALECTS[dialect]
+    items = []
+    for c in columns:
+        name, alias = c if isinstance(c, tuple) else (c, None)
+        s = d.quote(name)
+        if alias:
+            s += f" AS {d.quote(alias)}"
+        items.append(s)
+    for alias, value in (literals or {}).items():
+        items.append(f"{_sql_literal(value)} AS {d.quote(alias)}")
+    head = "SELECT "
+    if limit is not None and d.limit_style == "top":
+        head += f"TOP {int(limit)} "
+    q = head + ", ".join(items) + f" FROM {table}"
+    if limit is not None and d.limit_style == "fetch":
+        q += f" FETCH FIRST {int(limit)} ROWS ONLY"
+    return q
+
+
 def read_json_file(spark: SparkSession, path: str, schema: str) -> DataFrame:
     """JSON-file source with the reference's existence check
     (``app.py:103-108``) surfaced as a clear error instead of a deep

@@ -227,3 +227,37 @@ def test_memo_cache_computes_once_per_key(spark, sf_dir):
     tags = df.select("o_custkey", "tag").distinct()
     assert tags.count() == df.select("o_custkey").distinct().count()
     assert "InMemoryTableScan" in df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pushdown_query_mssql_dialect_matches_reference_shape():
+    """The MSSQL dialect must render the reference's exact pull shape
+    (bracket identifiers, inline literal — app.py:72) and TOP for limits;
+    no server needed to lock the dialect contract."""
+    from dataengineer_scripts_spark.sources.files import pushdown_query
+
+    q = pushdown_query(
+        "DailyJobCheck",
+        ["name", "id", ("name", "init_name")],
+        literals={"loc": "Delman"},
+        dialect="mssql",
+    )
+    assert q == (
+        "SELECT [name], [id], [name] AS [init_name], 'Delman' AS [loc] "
+        "FROM DailyJobCheck"
+    )
+    assert pushdown_query("t", ["a"], dialect="mssql", limit=8) == (
+        "SELECT TOP 8 [a] FROM t"
+    )
+
+
+def test_pushdown_query_ansi_dialect_and_escaping():
+    from dataengineer_scripts_spark.sources.files import pushdown_query
+
+    assert pushdown_query("t", ["a", ("b", "c")], dialect="derby", limit=5) == (
+        'SELECT "a", "b" AS "c" FROM t FETCH FIRST 5 ROWS ONLY'
+    )
+    # closing-quote chars in identifiers double; quotes in literals double
+    assert pushdown_query(
+        "t", ['we"ird'], literals={"lit": "O'Brien"}, dialect="ansi"
+    ) == 'SELECT "we""ird", \'O\'\'Brien\' AS "lit" FROM t'
+    assert pushdown_query("t", ["a]b"], dialect="mssql") == "SELECT [a]]b] FROM t"
