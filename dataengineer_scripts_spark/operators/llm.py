@@ -2611,3 +2611,157 @@ def x_llm_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(share, 6).alias("token_share"),
         F.round(weight, 6).alias("uniform_weight"),
     )
+
+
+#: Merge-candidate count the BPE pair-count pass reports.
+BPE_PAIR_TOP_K = 200
+
+
+@register(
+    "x_llm_bpe_pair_counts",
+    oracle=f"""
+    WITH tok AS (
+        SELECT lower(t.tok) AS t
+        FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+        WHERE length(t.tok) >= 2
+    ),
+    pr AS (
+        SELECT unnest(list_transform(generate_series(1, length(t) - 1),
+                      i -> substr(t, i, 2))) AS pair
+        FROM tok
+    )
+    SELECT pair, count(*) AS freq
+    FROM pr GROUP BY pair
+    ORDER BY freq DESC, pair
+    LIMIT {BPE_PAIR_TOP_K}
+    """,
+)
+def x_llm_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inner loop of BPE tokenizer training: frequency of every
+    ADJACENT symbol pair within whitespace tokens — the statistic each
+    merge round maximizes (Sennrich et al. 2016).  This is the seed-round
+    count over character symbols; subsequent rounds re-run the same shape
+    over re-segmented tokens.
+
+    Plan: explode tokens → explode each token's length-2 substrings
+    (``transform(sequence(...))`` — all codegen, no Python) → hash
+    aggregate.  Pair cardinality is bounded (≤ alphabet², ~1-4 K real
+    pairs), so map-side combine collapses the Zipf mass before the
+    shuffle and the top-K is a ``TakeOrderedAndProject`` heap, never a
+    global sort — the identical heavy-hitters posture as
+    ``x_llm_vocab_topk`` and exactly what 100 TB of corpus needs."""
+    tok = (
+        table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("raw"))
+        .filter(F.length("raw") >= 2)
+        .select(F.lower("raw").alias("t"))
+    )
+    pairs = tok.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(t) - 1), i -> substring(t, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("pair"))
+        .limit(BPE_PAIR_TOP_K)
+    )
+
+
+@register(
+    "x_llm_embed_quantize",
+    oracle="""
+    WITH mx AS (
+        SELECT vec_id,
+               list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS amax
+        FROM embeddings
+    )
+    SELECT e.vec_id,
+           CASE WHEN m.amax = 0 THEN 0
+                ELSE list_sum(list_transform(e.embedding,
+                     x -> floor(x::DOUBLE / (m.amax / 127.0) + 0.5)))::BIGINT
+           END AS q_sum,
+           CASE WHEN m.amax = 0 THEN 0
+                ELSE list_sum(list_transform(e.embedding,
+                     x -> abs(floor(x::DOUBLE / (m.amax / 127.0) + 0.5))))::BIGINT
+           END AS q_l1,
+           floor(m.amax / 127.0 * 1000000 + 0.5)::BIGINT AS scale_micro
+    FROM embeddings e JOIN mx m USING (vec_id)
+    """,
+)
+def x_llm_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization of the embedding column — the
+    compression step production vector stores apply before ANN (4× less
+    memory and bandwidth; recall cost ~0 at int8).  Per vector: scale =
+    max|x|/127, q_i = floor(x_i/scale + 0.5) ∈ [-127, 127]; emitted as
+    exact INTEGER summaries (component sum, L1 mass, scale in micros) so
+    the cross-engine check has zero float-compare freedom — the shared
+    explicit half-up floor(v + 0.5) sidesteps the engines' disagreeing
+    round() tie rules, the same lesson as x_win_distribution.
+
+    Plan: one narrow projection — array max, two array aggregates, no
+    shuffle, no Python; scan-speed at any corpus size, and the int8
+    payload column (``transform(...)`` cast to tinyint) drops in beside
+    the stats when a sink wants the actual codes."""
+    amax = F.array_max(F.transform("embedding", lambda c: F.abs(c.cast("double"))))
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", amax.alias("amax")
+    )
+    scale = F.col("amax") / F.lit(127.0)
+    q = F.transform(
+        "embedding",
+        lambda c: F.floor(c.cast("double") / scale + F.lit(0.5)).cast("long"),
+    )
+    zero = F.col("amax") == 0
+    q_sum = F.aggregate(q, F.lit(0).cast("long"), lambda a, v: a + v)
+    q_l1 = F.aggregate(q, F.lit(0).cast("long"), lambda a, v: a + F.abs(v))
+    return e.select(
+        "vec_id",
+        F.when(zero, F.lit(0)).otherwise(q_sum).cast("long").alias("q_sum"),
+        F.when(zero, F.lit(0)).otherwise(q_l1).cast("long").alias("q_l1"),
+        F.floor(scale * F.lit(1000000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("scale_micro"),
+    )
+
+
+@register(
+    "x_llm_text_normalize",
+    oracle="""
+    WITH n AS (
+        SELECT doc_id,
+               trim(regexp_replace(regexp_replace(lower(text),
+                    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text
+        FROM documents
+    )
+    SELECT doc_id, norm_text,
+           CASE WHEN norm_text = '' THEN 0
+                ELSE len(string_split(norm_text, ' ')) END AS n_tokens
+    FROM n
+    """,
+)
+def x_llm_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization ahead of exact/near dedup: lowercase,
+    non-alphanumerics to spaces, whitespace collapsed, trimmed — so
+    "Foo,  bar!" and "foo bar" hash identically downstream (the step
+    every exact-dedup pipeline runs before ``x_llm_dedup_exact``; CCNet/
+    RefinedWeb call it the dedup normalizer).  Pure codegen expressions
+    (lower/regexp_replace/trim) — narrow, scan-speed, no shuffle; the
+    normalized string feeds straight into xxhash64 grouping at scale."""
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", " "), " +", " "
+        )
+    )
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", norm.alias("norm_text")
+    )
+    return d.select(
+        "doc_id",
+        "norm_text",
+        F.when(F.col("norm_text") == "", F.lit(0))
+        .otherwise(F.size(F.split("norm_text", " ")))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )

@@ -318,3 +318,71 @@ def test_stream_rest_poll_incremental_offsets(spark):
             assert rows() == [0, 1, 2, 3, 4]  # delta only — 0 not replayed
         finally:
             q.stop()
+
+
+def test_stream_rest_poll_checkpoint_recovery(spark, tmp_path):
+    """Exactly-once across a restart: offsets recovered from the
+    checkpoint must resume the poll where the stopped query left off —
+    rows synced while the query was DOWN appear exactly once, rows from
+    before the restart are not replayed into the (fault-tolerant) file
+    sink."""
+    import urllib.request
+
+    from dataengineer_scripts_spark.sources.rest import login, rest_read_stream
+    from dataengineer_scripts_spark.sources.stub_api import (
+        RECEIPTS_LIST_PATH,
+        TOKEN,
+        StubApi,
+    )
+
+    nodes = [
+        {"id": i, "name": f"n{i}", "type": "job", "status": "SUCCESS",
+         "export_status": "SUCCESS"}
+        for i in range(8)
+    ]
+
+    def sync(api, node_id):
+        req = urllib.request.Request(
+            f"{api.base_url}/analytic/nodes/{node_id}/sync",
+            data=b"{}",
+            headers={"Authorization": TOKEN},
+            method="POST",
+        )
+        urllib.request.urlopen(req, timeout=10).read()
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    with StubApi(nodes) as api:
+        def start():
+            return (
+                rest_read_stream(
+                    spark,
+                    api.base_url,
+                    login(api.base_url),
+                    page_size=2,
+                    path=RECEIPTS_LIST_PATH,
+                    schema="node_id int, attempts int",
+                )
+                .writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+
+        q = start()
+        try:
+            sync(api, 0)
+            sync(api, 1)
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        # rows appended while the query is down must be picked up on resume
+        sync(api, 2)
+        sync(api, 3)
+        q2 = start()
+        try:
+            q2.processAllAvailable()
+        finally:
+            q2.stop()
+    got = [r.node_id for r in spark.read.parquet(out).collect()]
+    assert sorted(got) == [0, 1, 2, 3]  # each exactly once: no replay, no gap
