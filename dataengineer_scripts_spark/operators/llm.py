@@ -2765,3 +2765,89 @@ def x_llm_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_tokens"),
     )
+
+
+#: Bigram-table cut the count-based-LM pass reports.
+NGRAM_LM_TOP_K = 500
+
+
+@register(
+    "x_llm_ngram_lm_counts",
+    oracle=f"""
+    WITH words AS (
+        SELECT list_filter(string_split(lower(text), ' '), w -> w <> '') AS ws
+        FROM documents
+    ),
+    pairs AS (
+        SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
+                      i -> ws[i] || ' ' || ws[i + 1])) AS p
+        FROM words WHERE len(ws) >= 2
+    ),
+    cb AS (SELECT p, count(*) AS c_bigram FROM pairs GROUP BY p)
+    SELECT split_part(p, ' ', 1) AS w1,
+           split_part(p, ' ', 2) AS w2,
+           c_bigram,
+           sum(c_bigram) OVER (PARTITION BY split_part(p, ' ', 1))::BIGINT
+             AS c_left,
+           floor(c_bigram * 1000000.0 /
+                 sum(c_bigram) OVER (PARTITION BY split_part(p, ' ', 1))
+                 + 0.5)::BIGINT AS cond_micro
+    FROM cb
+    ORDER BY c_bigram DESC, w1, w2
+    LIMIT {NGRAM_LM_TOP_K}
+    """,
+)
+def x_llm_ngram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-based bigram language model over the corpus — the statistic
+    behind CCNet-style perplexity filtering and every KenLM build: for the
+    top-K word bigrams, the joint count, the left-context mass, and the
+    conditional probability P(w2|w1) in integer micros (shared explicit
+    half-up floor — no float-compare freedom, the x_win_distribution
+    lesson).
+
+    Plan: lower+split+filter is codegen'd scan-side; the pair explode is
+    narrow; ONE hash aggregate on the bigram key (map-side combine eats
+    the Zipf head exactly as in ``x_llm_vocab_topk``) and the context
+    mass is a window SUM over the already-aggregated bigram table
+    partitioned by w1 — vocabulary-sized, NOT corpus-sized, so the second
+    shuffle moves |vocab²| rows however big the corpus is.  Words carry
+    no spaces by construction, so the bigram key is a single delimited
+    string (one shuffle column, split back only at output)."""
+    ws = F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
+    pairs = (
+        table(spark, sf_dir, "documents")
+        .select(ws.alias("ws"))
+        .filter(F.size("ws") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ws) - 1), "
+                    "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"
+                )
+            ).alias("p")
+        )
+    )
+    cb = pairs.groupBy("p").agg(F.count("*").alias("c_bigram"))
+    w1 = F.substring_index("p", " ", 1)
+    win = Window.partitionBy("w1")
+    c_left = F.sum("c_bigram").over(win)
+    return (
+        cb.select(
+            w1.alias("w1"),
+            F.substring_index("p", " ", -1).alias("w2"),
+            "c_bigram",
+        )
+        .select(
+            "w1",
+            "w2",
+            "c_bigram",
+            c_left.cast("bigint").alias("c_left"),
+            F.floor(
+                F.col("c_bigram") * F.lit(1000000.0) / c_left + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("cond_micro"),
+        )
+        .orderBy(F.desc("c_bigram"), F.asc("w1"), F.asc("w2"))
+        .limit(NGRAM_LM_TOP_K)
+    )

@@ -135,3 +135,27 @@ def test_incremental_index_scan_is_bucketed(spark, sf_dir):
     # the maintained corpus index must be read through its bucketed layout
     # (its side of the h-join never re-shuffles)
     assert "Bucketed: true" in plan
+
+
+def test_quantize_and_normalize_are_narrow(spark, sf_dir):
+    # int8 quantization and dedup-prep normalization are per-row
+    # projections: zero Exchange, zero Python.
+    for name in ("x_llm_embed_quantize", "x_llm_text_normalize"):
+        plan = _physical(DEFS[name].fn(spark, sf_dir))
+        assert "Exchange" not in plan, name
+        assert "MapInPandas" not in plan, name
+
+
+def test_bpe_pair_counts_is_heap_topk(spark, sf_dir):
+    plan = _physical(DEFS["x_llm_bpe_pair_counts"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan  # never a global sort
+    assert plan.count("Exchange") == 1  # one pair-count hash aggregate
+
+
+def test_ngram_lm_window_runs_on_aggregated_vocab(spark, sf_dir):
+    # the context-mass window must consume the AGGREGATED bigram table
+    # (vocab-sized), never the exploded corpus pairs: exactly two
+    # exchanges (pair-count agg + w1 window), heap top-K on top.
+    plan = _physical(DEFS["x_llm_ngram_lm_counts"].fn(spark, sf_dir))
+    assert plan.count("Exchange") == 2
+    assert "TakeOrderedAndProject" in plan
