@@ -2851,3 +2851,97 @@ def x_llm_ngram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("c_bigram"), F.asc("w1"), F.asc("w2"))
         .limit(NGRAM_LM_TOP_K)
     )
+
+
+@register(
+    "x_llm_lm_doc_score",
+    oracle=f"""
+    WITH words AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), w -> w <> '') AS ws
+        FROM documents
+    ),
+    pairs AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(ws) - 1),
+                      i -> ws[i] || ' ' || ws[i + 1])) AS p
+        FROM words WHERE len(ws) >= 2
+    ),
+    cb AS (SELECT p, count(*) AS c FROM pairs GROUP BY p),
+    topk AS (SELECT p FROM cb ORDER BY c DESC, p LIMIT {NGRAM_LM_TOP_K}),
+    scored AS (
+        SELECT d.doc_id,
+               count(*) AS n_bigrams,
+               count(t.p) AS n_hits
+        FROM pairs d LEFT JOIN topk t USING (p)
+        GROUP BY d.doc_id
+    )
+    SELECT w.doc_id,
+           coalesce(s.n_bigrams, 0)::BIGINT AS n_bigrams,
+           coalesce(s.n_hits, 0)::BIGINT AS n_hits,
+           CASE WHEN coalesce(s.n_bigrams, 0) = 0 THEN 0
+                ELSE floor(s.n_hits * 1000000.0 / s.n_bigrams + 0.5)
+           END::BIGINT AS hit_micro
+    FROM words w LEFT JOIN scored s USING (doc_id)
+    """,
+)
+def x_llm_lm_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document language-model coverage score — the filtering half of
+    the CCNet recipe that ``x_llm_ngram_lm_counts`` trains for: score
+    each document by the fraction of its word bigrams that land in the
+    corpus's top-K bigram table (in integer micros).  Documents far from
+    the corpus head (boilerplate, lists, wrong-language text) score low
+    and get cut; this is the count-based stand-in for a KenLM perplexity
+    gate, with the same dataflow shape.
+
+    Plan: the model side collapses to {NGRAM_LM_TOP_K} rows (hash agg +
+    TakeOrderedAndProject with a total ``(count desc, p)`` order so the
+    boundary of the top-K is deterministic on both engines) and is
+    explicitly ``F.broadcast`` — at 100 TB the corpus-sized probe side
+    streams through a broadcast hash join with ZERO shuffle of the
+    documents; the per-doc rollup then aggregates map-side.  Short docs
+    (< 2 words) keep a row via the empty-array ``explode_outer`` guard —
+    ``sequence(1, size-1)`` alone would count DOWN for 1-word docs and
+    fabricate pairs."""
+    ws = F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", ws.alias("ws")
+    )
+    pair_arr = F.when(
+        F.size("ws") >= 2,
+        F.expr(
+            "transform(sequence(1, size(ws) - 1), "
+            "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pairs = docs.select("doc_id", F.explode_outer(pair_arr).alias("p"))
+    topk = (
+        pairs.filter(F.col("p").isNotNull())
+        .groupBy("p")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), F.asc("p"))
+        .limit(NGRAM_LM_TOP_K)
+        .select(F.col("p").alias("tp"))
+    )
+    scored = (
+        pairs.join(F.broadcast(topk), pairs["p"] == F.col("tp"), "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("p").cast("bigint").alias("n_bigrams"),
+            F.count("tp").cast("bigint").alias("n_hits"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        "n_hits",
+        F.when(F.col("n_bigrams") == 0, F.lit(0))
+        .otherwise(
+            F.floor(
+                F.col("n_hits") * F.lit(1000000.0) / F.col("n_bigrams")
+                + F.lit(0.5)
+            )
+        )
+        .cast("bigint")
+        .alias("hit_micro"),
+    )

@@ -1233,3 +1233,129 @@ def x_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.9 additions: batch sessionization + explicit-values pivot
+# ---------------------------------------------------------------------------
+
+#: Gap that closes a session (classic 30-minute web-analytics cut).
+SESSION_GAP_US = 1_800 * 1_000_000
+
+
+@register(
+    "x_win_sessionize",
+    oracle=f"""
+    WITH o AS (
+        SELECT user_id, ts, event_id,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS prev
+        FROM events
+    ),
+    s AS (
+        SELECT user_id, ts,
+               sum(CASE WHEN prev IS NULL
+                        OR epoch_us(ts) - epoch_us(prev) > {SESSION_GAP_US}
+                        THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id)::BIGINT
+                 AS session_seq
+        FROM o
+    )
+    SELECT user_id, session_seq,
+           min(ts) AS session_start,
+           max(ts) AS session_end,
+           count(*)::BIGINT AS n_events,
+           (epoch_us(max(ts)) - epoch_us(min(ts)))::BIGINT AS duration_us
+    FROM s
+    GROUP BY user_id, session_seq
+    """,
+)
+def x_win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization of the event stream: per user, a new session
+    starts when the gap to the previous event exceeds 30 minutes; emit
+    one summary row per session (bounds, event count, duration).  The
+    batch twin of ``x_stream_session`` — backfills use exactly this
+    query over the historical table.
+
+    Gap and duration compare in integer MICROSECONDS on both engines
+    (``unix_micros`` / ``epoch_us``) — second-truncating ``unix_timestamp``
+    could flip a boundary event across the cut on one engine only.
+
+    Plan: ONE wide shuffle total — hash on user_id for the lag/cumsum
+    window (the irreducible cost of per-user ordering), and the session
+    rollup REUSES that partitioning (hashpartitioning(user_id) satisfies
+    the clustered distribution on the finer (user_id, session_seq)
+    grouping keys), so the aggregate runs in place with no second
+    exchange.  Tie-break on event_id keeps the lag ordering total under
+    duplicate timestamps."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    is_new = F.when(
+        prev.isNull()
+        | (F.unix_micros("ts") - F.unix_micros(prev) > SESSION_GAP_US),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    sess = (
+        table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id")
+        .select(
+            "user_id",
+            "ts",
+            F.sum(is_new).over(w).cast("bigint").alias("session_seq"),
+        )
+    )
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").cast("bigint").alias("n_events"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+        .cast("bigint")
+        .alias("duration_us"),
+    )
+
+
+#: Pivot spread values, pinned so the plan needs no distinct-values pre-pass.
+PIVOT_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "x_agg_pivot",
+    oracle="""
+    SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'click')::BIGINT AS n_click,
+           count(*) FILTER (WHERE event_type = 'error')::BIGINT AS n_error,
+           count(*) FILTER (WHERE event_type = 'purchase')::BIGINT
+             AS n_purchase,
+           count(*) FILTER (WHERE event_type = 'signup')::BIGINT AS n_signup,
+           count(*) FILTER (WHERE event_type = 'view')::BIGINT AS n_view
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def x_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide): per-user event counts spread into one column
+    per event type — the feature-matrix shape every activity model and
+    BI export wants.  The spread values are PINNED (a data-dependent
+    value set would need a whole extra distinct-scan job over 100 TB
+    just to learn the column names, and one skewed/typo'd row would add
+    a column), and absent combinations surface as 0, not null.
+
+    Lowered MANUALLY to conditional counts rather than the DataFrame
+    ``pivot()`` DSL: even with an explicit value list, ``pivot`` compiles
+    to TWO stacked aggregates (count per (key, value), then a
+    ``pivotfirst`` re-aggregate per key) with TWO exchanges; the
+    conditional-count form is the plan you actually want — ONE hash
+    aggregate on user_id, map-side partials, one exchange, same shape as
+    a plain groupBy/count however many spread columns there are."""
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            *[
+                F.count(F.when(F.col("event_type") == t, F.lit(1)))
+                .cast("bigint")
+                .alias(f"n_{t}")
+                for t in PIVOT_EVENT_TYPES
+            ]
+        )
+    )

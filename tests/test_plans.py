@@ -159,3 +159,29 @@ def test_ngram_lm_window_runs_on_aggregated_vocab(spark, sf_dir):
     plan = _physical(DEFS["x_llm_ngram_lm_counts"].fn(spark, sf_dir))
     assert plan.count("Exchange") == 2
     assert "TakeOrderedAndProject" in plan
+
+
+def test_sessionize_single_wide_shuffle_plus_rollup(spark, sf_dir):
+    # per-user ordering costs exactly one hash exchange — and the session
+    # rollup REUSES it (hashpartitioning(user_id) satisfies the clustered
+    # distribution on the finer (user_id, session_seq) keys), so the whole
+    # sessionize is a single-shuffle plan.
+    plan = _physical(DEFS["x_win_sessionize"].fn(spark, sf_dir))
+    assert plan.count("Exchange") == 1
+    assert "Window" in plan
+
+
+def test_pivot_with_explicit_values_is_one_aggregate(spark, sf_dir):
+    # explicit pivot values: no distinct-scan pre-pass, one exchange,
+    # same shape as a plain groupBy/count.
+    plan = _physical(DEFS["x_agg_pivot"].fn(spark, sf_dir))
+    assert plan.count("Exchange") == 1
+    assert "pivotfirst" not in plan.lower()  # compiled to flat aggregate
+
+
+def test_lm_doc_score_probes_via_broadcast(spark, sf_dir):
+    # the 500-row bigram model must broadcast; the corpus probe side
+    # must never sort-merge or shuffle for the join.
+    plan = _physical(DEFS["x_llm_lm_doc_score"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
