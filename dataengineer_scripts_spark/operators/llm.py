@@ -1887,16 +1887,29 @@ def x_llm_dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFra
                 if d.startswith(stale_prefix) and d != tbl:
                     spark.sql(f"DROP TABLE IF EXISTS {d}")
                     shutil.rmtree(os.path.join(base, d), ignore_errors=True)
-        (
-            _shingle_rows_of(docs.filter(~is_new))
-            .select("doc_id", "h")
-            .write.mode("overwrite")
-            .option("path", loc)
-            .bucketBy(_INCR_INDEX_BUCKETS, "h")
-            .sortBy("h")
-            .format("parquet")
-            .saveAsTable(tbl)
-        )
+        if os.path.isfile(os.path.join(loc, "_SUCCESS")):
+            # The catalog is session-scoped (in-memory) but the bucketed
+            # files persist: a COMPLETE index dir for this exact corpus
+            # fingerprint re-registers as an external bucketed table
+            # instead of re-shingling the corpus — this is the whole
+            # point of a maintained index (cross-run amortization), and
+            # it's what every fresh driver/bench session hits.
+            spark.sql(
+                f"CREATE TABLE {tbl} (doc_id BIGINT, h BIGINT)"
+                f" USING parquet CLUSTERED BY (h) SORTED BY (h)"
+                f" INTO {_INCR_INDEX_BUCKETS} BUCKETS LOCATION '{loc}'"
+            )
+        else:
+            (
+                _shingle_rows_of(docs.filter(~is_new))
+                .select("doc_id", "h")
+                .write.mode("overwrite")
+                .option("path", loc)
+                .bucketBy(_INCR_INDEX_BUCKETS, "h")
+                .sortBy("h")
+                .format("parquet")
+                .saveAsTable(tbl)
+            )
     index = spark.table(tbl).select(F.col("doc_id").alias("doc_old"), "h")
 
     new_sh = _shingle_rows_of(docs.filter(is_new)).select(
