@@ -1184,7 +1184,7 @@ def x_llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT lang,
            count(*) AS n_docs,
-           sum(len(string_split(text, ' '))) AS total_tokens,
+           sum(len(string_split(text, ' ')))::BIGINT AS total_tokens,
            round(avg(n_chars), 4) AS avg_chars,
            count(DISTINCT source) AS n_sources
     FROM documents GROUP BY lang
@@ -2578,7 +2578,7 @@ def x_llm_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x_llm_source_mix",
     oracle="""
     WITH s AS (
-        SELECT source, count(*) AS n_docs, sum(n_chars // 4) AS n_tokens
+        SELECT source, count(*) AS n_docs, sum(n_chars // 4)::BIGINT AS n_tokens
         FROM documents GROUP BY source
     ),
     tot AS (SELECT sum(n_tokens) AS t, count(*) AS k FROM s)

@@ -4,6 +4,15 @@ The driver compares row count + schema (column names) + an
 order-insensitive value hash.  We reproduce that comparison here (with a
 small float tolerance expressed through rounding) so oracle mismatches are
 caught locally before a round is graded.
+
+Round-6 hardening: the driver hashes *typed* values, so a DuckDB column
+that surfaces through Arrow as ``decimal128(38,0)`` (integer ``sum()`` →
+HUGEINT) hash-diverges from a Spark ``bigint`` even when every Python-level
+value is equal — exactly how ``x_llm_text_stats`` / ``x_llm_source_mix``
+passed locally but failed the r06 driver.  ``assert_matches_oracle`` now
+also compares canonical *type kinds* between the Spark schema and DuckDB's
+``fetch_arrow_table()`` schema, so an uncast integer aggregate fails the
+local sweep the same way it fails the driver.
 """
 
 from __future__ import annotations
@@ -41,6 +50,91 @@ def _norm(v: Any) -> Any:
     return v
 
 
+def _canon_spark_type(t) -> Any:
+    """Collapse a Spark SQL type to a comparison kind shared with Arrow."""
+    import pyspark.sql.types as T
+
+    if isinstance(t, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "int"
+    if isinstance(t, (T.FloatType, T.DoubleType)):
+        return "float"
+    if isinstance(t, T.DecimalType):
+        return "decimal"
+    if isinstance(t, (T.StringType, T.VarcharType, T.CharType)):
+        return "str"
+    if isinstance(t, T.BooleanType):
+        return "bool"
+    if isinstance(t, T.DateType):
+        return "date"
+    if isinstance(t, (T.TimestampType, T.TimestampNTZType)):
+        return "ts"
+    if isinstance(t, T.BinaryType):
+        return "bin"
+    if isinstance(t, T.ArrayType):
+        return ("list", _canon_spark_type(t.elementType))
+    if isinstance(t, T.MapType):
+        return ("map", _canon_spark_type(t.keyType), _canon_spark_type(t.valueType))
+    if isinstance(t, T.StructType):
+        return ("struct",) + tuple(
+            (f.name, _canon_spark_type(f.dataType)) for f in t.fields
+        )
+    return ("other", t.simpleString())
+
+
+def _canon_arrow_type(t) -> Any:
+    """Collapse an Arrow type (from DuckDB) to the same comparison kind."""
+    import pyarrow as pa
+
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_decimal(t):
+        return "decimal"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "str"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_timestamp(t):
+        return "ts"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "bin"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return ("list", _canon_arrow_type(t.value_type))
+    if pa.types.is_map(t):
+        return ("map", _canon_arrow_type(t.key_type), _canon_arrow_type(t.item_type))
+    if pa.types.is_struct(t):
+        return ("struct",) + tuple(
+            (f.name, _canon_arrow_type(f.type)) for f in t
+        )
+    return ("other", str(t))
+
+
+def spark_types(df) -> dict[str, Any]:
+    return {f.name: _canon_spark_type(f.dataType) for f in df.schema.fields}
+
+
+def duck_arrow_types(con, sql: str) -> dict[str, Any]:
+    schema = con.execute(sql).fetch_arrow_table().schema
+    return {f.name: _canon_arrow_type(f.type) for f in schema}
+
+
+def assert_types_match(df, con, sql: str, name: str = "") -> None:
+    """Fail if any output column's canonical type kind differs between the
+    Spark plan and the DuckDB oracle — the class of driver hash mismatch
+    (e.g. HUGEINT sum() → decimal128 vs Spark bigint) that value-level
+    comparison cannot see."""
+    s_types, d_types = spark_types(df), duck_arrow_types(con, sql)
+    diffs = {
+        c: (s_types.get(c), d_types.get(c))
+        for c in set(s_types) | set(d_types)
+        if s_types.get(c) != d_types.get(c)
+    }
+    assert not diffs, f"{name}: type-kind mismatch (spark, duck): {diffs}"
+
+
 def spark_rows(df) -> tuple[list[str], list[tuple]]:
     cols = sorted(df.columns)
     rows = [tuple(_norm(r[c]) for c in cols) for r in df.collect()]
@@ -57,6 +151,7 @@ def duck_rows(con, sql: str) -> tuple[list[str], list[tuple]]:
 
 
 def assert_matches_oracle(df, con, sql: str, name: str = "") -> None:
+    assert_types_match(df, con, sql, name)
     s_cols, s_rows = spark_rows(df)
     d_cols, d_rows = duck_rows(con, sql)
     assert s_cols == d_cols, f"{name}: column mismatch {s_cols} vs {d_cols}"

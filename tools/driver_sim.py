@@ -37,7 +37,12 @@ def main() -> int:
 
     import __spark_entry__ as e
     from tests.conftest import make_duck
-    from tests.oracle_utils import duck_rows, spark_rows
+    from tests.oracle_utils import (
+        duck_arrow_types,
+        duck_rows,
+        spark_rows,
+        spark_types,
+    )
 
     t0 = time.time()
     n = e.entry(spark).count()
@@ -68,12 +73,18 @@ def main() -> int:
             failed.append(name)
             print(f"  {name}: ORACLE ERROR {type(ex).__name__}: {str(ex)[:200]}")
             continue
-        ok = s_cols == d_cols and len(s_rows) == len(d_rows) and sorted(
-            s_rows, key=repr) == sorted(d_rows, key=repr)
+        s_ty, d_ty = spark_types(df), duck_arrow_types(con, osql[name])
+        ty_diffs = {
+            c: (s_ty.get(c), d_ty.get(c))
+            for c in set(s_ty) | set(d_ty)
+            if s_ty.get(c) != d_ty.get(c)
+        }
+        ok = not ty_diffs and s_cols == d_cols and len(s_rows) == len(
+            d_rows) and sorted(s_rows, key=repr) == sorted(d_rows, key=repr)
         if not ok:
             failed.append(name)
             print(f"  {name}: MISMATCH cols {s_cols == d_cols} "
-                  f"count {len(s_rows)}/{len(d_rows)}")
+                  f"count {len(s_rows)}/{len(d_rows)} types {ty_diffs or 'ok'}")
             if s_cols == d_cols:
                 for a, b_ in zip(sorted(s_rows, key=repr), sorted(d_rows, key=repr)):
                     if a != b_:
