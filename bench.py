@@ -34,6 +34,34 @@ from dataengineer_scripts_spark import registry  # noqa: E402
 from dataengineer_scripts_spark.session import get_spark  # noqa: E402
 
 
+def _machine_state() -> dict:
+    """Uptime / load-average / CPU snapshot recorded alongside the timings.
+
+    Per BASELINE.md's noise methodology, uniform per-query shifts track the
+    box (VM restarts, co-tenant load), not the code; embedding the machine
+    state in the artifact lets a later reader attribute a shift without
+    re-deriving the environment story from committed side files."""
+    state: dict = {"cpus": os.cpu_count()}
+    try:
+        state["loadavg"] = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        pass
+    try:
+        with open("/proc/uptime") as fh:
+            state["uptime_sec"] = round(float(fh.read().split()[0]), 1)
+    except (OSError, ValueError):
+        pass
+    try:
+        with open("/proc/meminfo") as fh:
+            for ln in fh:
+                if ln.startswith("MemAvailable:"):
+                    state["mem_available_kb"] = int(ln.split()[1])
+                    break
+    except (OSError, ValueError):
+        pass
+    return state
+
+
 def _sf_of(sf_dir: str) -> float:
     base = os.path.basename(sf_dir.rstrip("/"))
     try:
@@ -45,6 +73,7 @@ def _sf_of(sf_dir: str) -> float:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     only = set(sys.argv[1:])  # optional: bench just the named queries
+    machine_start = _machine_state()
     spark = get_spark("bench")
 
     # Bench iterates alphabetically regardless of the registry's
@@ -114,6 +143,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": _sf_of(sf_dir),
+        "machine": {"start": machine_start, "end": _machine_state()},
     }
     if errors:
         detail["errors"] = errors
