@@ -1695,9 +1695,7 @@ def x_llm_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 PACK_CAPACITY_TOKENS = 2048
 
 
-@register(
-    "x_llm_pack_sequences",
-    oracle=f"""
+_PACK_ORACLE = f"""
     WITH toks AS (
         SELECT doc_id, lang, n_chars // 4 AS n_tokens FROM documents
     )
@@ -1707,8 +1705,10 @@ PACK_CAPACITY_TOKENS = 2048
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
            ), 0)::BIGINT // {PACK_CAPACITY_TOKENS} AS pack_id
     FROM toks
-    """,
-)
+    """
+
+
+@register("x_llm_pack_sequences", oracle=_PACK_ORACLE)
 def x_llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing for training shards: assign each document to a
     fixed-token-budget pack (context window = PACK_CAPACITY_TOKENS = 2048
@@ -1722,10 +1722,12 @@ def x_llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the window sorts per lang, so one language = one task's sort.
     At 100 TB, pre-shard the partition key to (lang, doc_id div S) and
-    offset pack ids by shard — packing quality is unchanged (packs never
-    span shards by construction) and the sort becomes embarrassingly
-    parallel.  Fixture langs are ~100 docs each, so the plain key is the
-    right plan here."""
+    recover the global prefix sum from broadcast per-shard totals — the
+    sort becomes embarrassingly parallel and the assignment is BIT-
+    IDENTICAL (``x_llm_pack_sequences_sharded`` below is that plan,
+    registered against this same oracle; ``tests/test_curation.py``
+    asserts sharded ≡ unsharded on the fixture).  Fixture langs are ~100
+    docs each, so the plain key is the right plan here."""
     toks = table(spark, sf_dir, "documents").select(
         "doc_id", "lang", F.expr("n_chars div 4").alias("n_tokens")
     )
@@ -1744,6 +1746,71 @@ def x_llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.expr(f"_fill div {PACK_CAPACITY_TOKENS}").alias("pack_id"),
     )
+
+
+#: Shard width (docs per shard) for the scaled packing plan.  Small on
+#: purpose for the fixtures so every lang spans multiple shards and the
+#: equivalence below is exercised across many shard boundaries.
+PACK_SHARD_DOCS = 64
+
+
+def pack_sequences_sharded(
+    spark: SparkSession, sf_dir: str, shard_docs: int = PACK_SHARD_DOCS
+) -> DataFrame:
+    """The 100 TB plan for ``x_llm_pack_sequences``, same answer exactly.
+
+    The plain operator's window sorts one whole language in one task.
+    Here the sort key is pre-sharded to ``(lang, doc_id div shard_docs)``
+    so each task sorts only one shard, and the global cumulative fill is
+    recovered as ``shard_start_fill + local_fill`` where the per-shard
+    start fills come from a second, TINY prefix sum over per-shard totals
+    (one row per shard — thousands of rows at 100 TB, broadcast back).
+    ``doc_id div shard_docs`` is monotone in ``doc_id``, so shard-major
+    order equals global order and the recovered prefix sum is bit-equal
+    to the single-window one: identical pack ids, embarrassingly parallel
+    sort.  Same distributed-prefix-sum shape as
+    ``x_etl_global_row_number`` (operators/etl.py)."""
+    toks = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.expr("n_chars div 4").alias("n_tokens"),
+        F.expr(f"doc_id div {shard_docs}").alias("_shard"),
+    )
+    local = Window.partitionBy("lang", "_shard").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    local_fill = F.coalesce(F.sum("n_tokens").over(local), F.lit(0))
+    shard_totals = toks.groupBy("lang", "_shard").agg(
+        F.sum("n_tokens").alias("_tot")
+    )
+    over_shards = Window.partitionBy("lang").orderBy("_shard").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    starts = shard_totals.select(
+        "lang",
+        "_shard",
+        F.coalesce(F.sum("_tot").over(over_shards), F.lit(0)).alias("_start"),
+    )
+    return (
+        toks.withColumn("_local", local_fill)
+        .join(F.broadcast(starts), ["lang", "_shard"])
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            F.expr(f"(_start + _local) div {PACK_CAPACITY_TOKENS}").alias(
+                "pack_id"
+            ),
+        )
+    )
+
+
+# Registered against the SAME oracle as x_llm_pack_sequences: the driver's
+# hash comparison is itself the proof that the sharded plan reproduces the
+# single-window assignment exactly.
+register("x_llm_pack_sequences_sharded", oracle=_PACK_ORACLE)(
+    pack_sequences_sharded
+)
 
 
 #: Incremental split: doc_id % 10 >= 8 plays the "newly arrived batch"

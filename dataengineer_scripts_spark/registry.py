@@ -96,6 +96,9 @@ _PRIORITY_NAMES = (
     # oracle casts fixed in r07 — re-attest
     "x_llm_text_stats",
     "x_llm_source_mix",
+    # new in r07: the scaled packing plan, registered against the SAME
+    # oracle as x_llm_pack_sequences — a driver row IS the equivalence proof
+    "x_llm_pack_sequences_sharded",
 )
 _PRIORITY_RANK = {n: i for i, n in enumerate(_PRIORITY_NAMES)}
 
