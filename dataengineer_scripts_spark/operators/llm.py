@@ -1896,6 +1896,17 @@ def _bipartite_jaccard(old_sh: DataFrame, new_sh: DataFrame) -> DataFrame:
 #: fixture honest without 1000 tiny files.
 _INCR_INDEX_BUCKETS = 16
 
+#: On-disk index format version.  The persisted bucketed index survives
+#: across sessions, so its identity must cover not just the corpus files
+#: but HOW they were indexed: bump this whenever the shingle definition
+#: (`_shingle_rows_of` / `_tri_shingle_array` / `SHINGLE_N` / the hash
+#: function) or the bucket layout changes, or a fresh session would
+#: silently re-register a stale dir built under the old rules.  The
+#: fingerprint below also folds in SHINGLE_N and _INCR_INDEX_BUCKETS
+#: directly so the common parameter tweaks invalidate without a manual
+#: bump.
+_INCR_INDEX_FORMAT_V = 1
+
 
 @register("x_llm_dedup_incremental_indexed", oracle=_INCR_ORACLE)
 def x_llm_dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1920,15 +1931,20 @@ def x_llm_dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFra
     docs = table(spark, sf_dir, "documents")
     is_new = F.pmod("doc_id", F.lit(10)) >= _INCR_NEW_MOD
 
-    # Index identity = corpus identity: tag the table with a fingerprint of
-    # the source file (full path + mtime + size), so a regenerated fixture
-    # or a same-basename sibling directory NEVER serves a stale index
-    # within a long-lived session.  Production analog: the maintained
-    # index is versioned with the corpus snapshot it was built from.
+    # Index identity = corpus identity + index FORMAT: the fingerprint
+    # covers the source file (full path + mtime + size) so a regenerated
+    # fixture or same-basename sibling never serves a stale index, AND the
+    # indexing recipe (format version, shingle width, bucket count) so a
+    # code change to the shingle/bucket logic misses the cross-session
+    # _SUCCESS re-register check and rebuilds instead of silently reusing
+    # a dir built under the old rules.  Production analog: the maintained
+    # index is versioned with both the corpus snapshot and the indexer
+    # release that built it.
     src = os.path.join(sf_dir, "documents.parquet")
     st = os.stat(src)
     fp = hashlib.sha1(
-        f"{os.path.abspath(src)}:{st.st_mtime_ns}:{st.st_size}".encode()
+        f"{os.path.abspath(src)}:{st.st_mtime_ns}:{st.st_size}"
+        f":v{_INCR_INDEX_FORMAT_V}:n{SHINGLE_N}:b{_INCR_INDEX_BUCKETS}".encode()
     ).hexdigest()[:10]
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     tbl = f"incr_shingle_idx_{tag}_{fp}"
@@ -1961,10 +1977,14 @@ def x_llm_dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFra
             # instead of re-shingling the corpus — this is the whole
             # point of a maintained index (cross-run amortization), and
             # it's what every fresh driver/bench session hits.
+            # LOCATION is a SQL string literal: escape single quotes so a
+            # checkout path containing one can't break the statement (the
+            # write branch uses .option("path") and is unaffected).
+            loc_sql = loc.replace("'", "''")
             spark.sql(
                 f"CREATE TABLE {tbl} (doc_id BIGINT, h BIGINT)"
                 f" USING parquet CLUSTERED BY (h) SORTED BY (h)"
-                f" INTO {_INCR_INDEX_BUCKETS} BUCKETS LOCATION '{loc}'"
+                f" INTO {_INCR_INDEX_BUCKETS} BUCKETS LOCATION '{loc_sql}'"
             )
         else:
             (

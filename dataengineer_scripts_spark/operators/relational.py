@@ -1287,7 +1287,9 @@ def x_win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     the clustered distribution on the finer (user_id, session_seq)
     grouping keys), so the aggregate runs in place with no second
     exchange.  Tie-break on event_id keeps the lag ordering total under
-    duplicate timestamps."""
+    duplicate timestamps — which assumes (user_id, ts, event_id) is a key
+    of events (table contract; asserted by
+    ``tests/test_properties.py::test_events_tiebreak_key_is_unique``)."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev = F.lag("ts").over(w)
     is_new = F.when(

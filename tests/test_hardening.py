@@ -282,6 +282,41 @@ def test_incremental_index_rebuilds_when_location_cleaned(spark, sf_dir):
     assert not os.path.isdir(stale)  # pruned
 
 
+def test_incremental_index_format_version_invalidates(spark, sf_dir, monkeypatch):
+    """The persisted index survives across sessions, so its fingerprint
+    must cover the indexing RECIPE, not just the corpus files: bumping
+    _INCR_INDEX_FORMAT_V must miss the _SUCCESS re-register check, build a
+    fresh dir under a new fingerprint, prune the old sibling, and return
+    the same answer."""
+    import dataengineer_scripts_spark.operators.llm as llm_mod
+    from dataengineer_scripts_spark.operators.llm import (
+        x_llm_dedup_incremental_indexed,
+    )
+
+    n0 = x_llm_dedup_incremental_indexed(spark, sf_dir).count()
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    [tbl0] = [
+        t.name
+        for t in spark.catalog.listTables()
+        if t.name.startswith(f"incr_shingle_idx_{tag}_")
+    ]
+    monkeypatch.setattr(llm_mod, "_INCR_INDEX_FORMAT_V", 999)
+    n1 = x_llm_dedup_incremental_indexed(spark, sf_dir).count()
+    [tbl1] = [
+        t.name
+        for t in spark.catalog.listTables()
+        if t.name.startswith(f"incr_shingle_idx_{tag}_")
+    ]
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(llm_mod.__file__)))
+    )
+    idx_base = os.path.join(repo_root, ".tmp", "incr_index")
+    assert tbl1 != tbl0  # recipe change → new identity
+    assert n1 == n0  # same semantics
+    assert os.path.isdir(os.path.join(idx_base, tbl1))
+    assert not os.path.isdir(os.path.join(idx_base, tbl0))  # old dir pruned
+
+
 def test_stream_events_ts_is_plain_timestamp(spark, sf_dir):
     from dataengineer_scripts_spark.streaming.runtime import stream_events
 

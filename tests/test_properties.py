@@ -216,3 +216,23 @@ def test_dup_spans_matches_python_reference(spark, docs):
         for i, spans in spans_by_doc.items()
     }
     assert got == want
+
+
+def test_events_tiebreak_key_is_unique(spark, sf_dir):
+    """x_win_sessionize (and every events window ordered by (ts, event_id))
+    is deterministic only because (user_id, ts, event_id) is a key of
+    events — duplicate tuples would make the lag/cumsum peer order
+    engine-dependent.  Assert the assumption the table contract relies on;
+    event_id alone is in fact unique in the fixtures, which implies it."""
+    from pyspark.sql import functions as F
+
+    from dataengineer_scripts_spark.tables import table
+
+    ev = table(spark, sf_dir, "events")
+    dupes = (
+        ev.groupBy("user_id", "ts", "event_id")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert dupes == 0, f"{dupes} duplicate (user_id, ts, event_id) tuples"
