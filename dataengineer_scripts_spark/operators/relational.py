@@ -1361,3 +1361,180 @@ def x_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Correlated subqueries, rewritten to join plans
+# ---------------------------------------------------------------------------
+# SQL users write EXISTS / NOT EXISTS / scalar correlated subqueries; the
+# scalable execution of every one of them is a join.  These operators state
+# the rewrite explicitly in DataFrame form (semi join, anti join,
+# aggregate-then-rejoin) while each oracle keeps the subquery spelling, so
+# the driver's comparison is itself the proof that the rewrite preserves
+# the correlated semantics.
+
+
+@register(
+    "x_sub_exists_semi",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+def x_sub_exists_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS (TPC-H Q4 shape: orders with at least one line
+    shipped after the order date), rewritten as a LEFT SEMI join on the
+    correlation key with the non-equi date comparison as a join residual.
+
+    Scale: the semi join hashes on l_orderkey — the equi part of the
+    correlation — so each order meets only its own lines; the date
+    predicate evaluates per matched pair, never as a filter-after-
+    cartesian.  Semi join also stops probing an order at its FIRST
+    qualifying line (no duplicate-match blowup a plain inner join +
+    distinct would pay), which is exactly EXISTS semantics."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    hit = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return hit.groupBy("o_orderpriority").agg(
+        F.count("*").alias("order_count")
+    )
+
+
+#: "High-value order" cut for the NOT EXISTS rewrite — roughly the top
+#: ~20% of o_totalprice in the fixtures, so the anti join keeps a
+#: non-trivial survivor set at every scale factor (a predicate that
+#: filters to zero rows would make the oracle comparison vacuous).
+SUB_HIGH_VALUE_ORDER = 400000.0
+
+
+@register(
+    "x_sub_not_exists_anti",
+    oracle=f"""
+    SELECT c_mktsegment,
+           count(*) AS numcust,
+           round(sum(c_acctbal), 2) AS totacctbal
+    FROM customer c
+    WHERE c_acctbal > 0.0 AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_totalprice > {SUB_HIGH_VALUE_ORDER}
+    )
+    GROUP BY c_mktsegment
+    """,
+)
+def x_sub_not_exists_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated NOT EXISTS (TPC-H Q22 shape: positive-balance customers
+    who never placed a high-value order), rewritten as a LEFT ANTI join.
+
+    Scale: BOTH local filters run before the join — c_acctbal > 0 on the
+    probe side, o_totalprice > cut pushed into the orders scan — so only
+    surviving rows shuffle, and the anti join's build input is the
+    filtered key column, not the fact table.  Anti join is the only
+    correct lowering here: EXCEPT-based rewrites change semantics under
+    duplicate customers, and a left join + IS NULL filter carries the
+    full orders payload through the shuffle for no reason."""
+    c = table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0.0)
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > SUB_HIGH_VALUE_ORDER)
+        .select("o_custkey")
+    )
+    miss = c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+    return miss.groupBy("c_mktsegment").agg(
+        F.count("*").alias("numcust"),
+        F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+    )
+
+
+@register(
+    "x_sub_scalar_avg",
+    oracle="""
+    SELECT l.l_partkey,
+           count(*) AS n_small,
+           round(sum(l.l_extendedprice) / 7.0, 4) AS avg_yearly
+    FROM lineitem l
+    WHERE l.l_quantity < round(0.2 * (
+        SELECT avg(l2.l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = l.l_partkey
+    ), 6)
+    GROUP BY l.l_partkey
+    """,
+)
+def x_sub_scalar_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated SCALAR subquery (TPC-H Q17 shape: lines ordering less
+    than 20% of their part's average quantity), rewritten as aggregate-
+    then-rejoin: compute the per-part threshold once as a hash aggregate,
+    join it back on the part key, filter, re-aggregate.
+
+    Scale: the naive reading re-computes the per-part average PER OUTER
+    ROW (O(n) correlated scans); the rewrite computes each threshold
+    exactly once.  Both the threshold aggregate and the rejoin hash on
+    l_partkey, so under AQE the join reuses the aggregate's partitioning
+    — one wide shuffle of the fact table total.  The threshold is rounded
+    to 6 decimals IN BOTH ENGINES before the comparison: the average's
+    last ulp depends on parallel accumulation order, and an unrounded
+    boundary lets the same row pass on one engine and fail on the other."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    thresh = li.groupBy("l_partkey").agg(
+        F.round(0.2 * F.avg("l_quantity"), 6).alias("_qty_cut")
+    )
+    return (
+        li.join(thresh, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("_qty_cut"))
+        .groupBy("l_partkey")
+        .agg(
+            F.count("*").alias("n_small"),
+            F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"),
+        )
+    )
+
+
+@register(
+    "x_sub_exists_other",
+    oracle="""
+    SELECT l1.l_suppkey, count(*) AS n_shared_order_items
+    FROM lineitem l1
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+    )
+    GROUP BY l1.l_suppkey
+    """,
+)
+def x_sub_exists_other(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-correlated EXISTS with an inequality (TPC-H Q21 core: line
+    items whose order also involves a DIFFERENT supplier), rewritten as a
+    self LEFT SEMI join — equi on the order key, ``suppkey <>`` as the
+    join residual.
+
+    Scale: both sides hash on l_orderkey (bounded lines per order), so
+    the inequality runs inside each order's bucket — never a cartesian.
+    The probe side stops at the first other-supplier match per line
+    (EXISTS short-circuit).  An equivalent window rewrite
+    (count(distinct suppkey) over order > 1) would sort per order; the
+    semi join keeps it pure hash."""
+    li = table(spark, sf_dir, "lineitem")
+    l1 = li.select("l_orderkey", "l_suppkey")
+    l2 = li.select(
+        F.col("l_orderkey").alias("_ok2"), F.col("l_suppkey").alias("_sk2")
+    )
+    hit = l1.join(
+        l2,
+        (l1.l_orderkey == F.col("_ok2")) & (l1.l_suppkey != F.col("_sk2")),
+        "left_semi",
+    )
+    return hit.groupBy("l_suppkey").agg(
+        F.count("*").alias("n_shared_order_items")
+    )

@@ -99,6 +99,11 @@ _PRIORITY_NAMES = (
     # new in r07: the scaled packing plan, registered against the SAME
     # oracle as x_llm_pack_sequences — a driver row IS the equivalence proof
     "x_llm_pack_sequences_sharded",
+    # new in r07: correlated-subquery rewrites (EXISTS/NOT EXISTS/scalar)
+    "x_sub_exists_other",
+    "x_sub_exists_semi",
+    "x_sub_not_exists_anti",
+    "x_sub_scalar_avg",
 )
 _PRIORITY_RANK = {n: i for i, n in enumerate(_PRIORITY_NAMES)}
 

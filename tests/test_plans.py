@@ -185,3 +185,43 @@ def test_lm_doc_score_probes_via_broadcast(spark, sf_dir):
     plan = _physical(DEFS["x_llm_lm_doc_score"].fn(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_sub_exists_lowers_to_semi_join_no_cartesian(spark, sf_dir):
+    plan = _physical(DEFS["x_sub_exists_semi"].fn(spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+    # the non-equi correlation rides the hash join as a residual, so the
+    # date comparison must appear on the join node, not a post-filter
+    assert "l_shipdate" in plan.split("LeftSemi")[0].split("\n")[-1] or (
+        "l_shipdate" in [ln for ln in plan.splitlines() if "LeftSemi" in ln][0]
+    )
+
+
+def test_sub_not_exists_lowers_to_anti_join_after_filter(spark, sf_dir):
+    df = DEFS["x_sub_not_exists_anti"].fn(spark, sf_dir)
+    plan = _physical(df)
+    assert "LeftAnti" in plan
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+    # both local filters are scan-side pushed, not evaluated post-join
+    assert "PushedFilters: [IsNotNull(c_acctbal), GreaterThan(c_acctbal" in _scan_meta(df)
+    assert "GreaterThan(o_totalprice" in _scan_meta(df)
+    # anti-join build reads only the key + its filter column
+    assert "ReadSchema: struct<o_custkey:bigint,o_totalprice:double>" in _scan_meta(df)
+
+
+def test_sub_scalar_avg_computes_threshold_once(spark, sf_dir):
+    plan = _physical(DEFS["x_sub_scalar_avg"].fn(spark, sf_dir))
+    # aggregate-then-rejoin: exactly one avg aggregate feeds a hash join;
+    # no nested-loop re-evaluation per outer row
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+    assert plan.count("partial_avg") == 1
+
+
+def test_sub_exists_other_is_hash_semi_self_join(spark, sf_dir):
+    plan = _physical(DEFS["x_sub_exists_other"].fn(spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+    semi_line = [ln for ln in plan.splitlines() if "LeftSemi" in ln][0]
+    # equi key is the order key; the supplier inequality is the residual
+    assert "l_orderkey" in semi_line and "NOT" in semi_line
