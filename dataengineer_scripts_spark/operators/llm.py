@@ -3045,3 +3045,170 @@ def x_llm_lm_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("hit_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Canonical selection & cross-subset leakage (curation layer, round 7)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_llm_dedup_keep_best",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_SHINGLES},
+    {_SQL_PAIR_JACCARD},
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM jac WHERE j >= {CLUSTER_J_THRESHOLD}
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM jac WHERE j >= {CLUSTER_J_THRESHOLD}
+    ),
+    reach(node, root) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    labels AS (SELECT node AS doc_id, min(root) AS cluster_id FROM reach GROUP BY node),
+    scored AS (
+        SELECT d.doc_id, l.cluster_id,
+               round(least(1.0, len(string_split(d.text, ' '))::DOUBLE / 200.0)
+                     * (1.0 - len(list_filter(string_split(d.text, ' '),
+                                              w -> w IN ('the', 'a')))::DOUBLE
+                           / len(string_split(d.text, ' '))::DOUBLE),
+                     6) AS quality
+        FROM documents d JOIN labels l USING (doc_id)
+    ),
+    best AS (SELECT cluster_id, max(quality) AS qmax FROM scored GROUP BY cluster_id),
+    keep AS (
+        SELECT s.cluster_id, min(s.doc_id) AS keep_doc
+        FROM scored s JOIN best b
+          ON s.cluster_id = b.cluster_id AND s.quality = b.qmax
+        GROUP BY s.cluster_id
+    )
+    SELECT s.doc_id, s.cluster_id, s.quality,
+           s.doc_id = k.keep_doc AS is_kept
+    FROM scored s JOIN keep k ON s.cluster_id = k.cluster_id
+    """,
+)
+def x_llm_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical selection: within each near-dup cluster keep the HIGHEST-
+    QUALITY member (ties to the lowest doc_id), not the arbitrary
+    min-doc_id canonical ``x_llm_dedup_clusters`` flags — the policy real
+    curation pipelines want, since dup classes often pair a clean original
+    with truncated or boilerplate-wrapped copies.
+
+    Plan: cluster labels from the component operator (bounded label-
+    propagation sweeps), the same single-pass quality score as
+    ``x_llm_quality_score`` (deterministic per-row arithmetic, rounded 6
+    BEFORE the argmax so both engines compare identical doubles), then
+    argmax-per-cluster as TWO hash aggregates (max quality, then min
+    doc_id at that quality) joined back on cluster_id — no sort window,
+    and all three shuffles hash the same cluster_id key so AQE reuses the
+    exchange.  Scale follows the clustering step; everything added here
+    is cluster-count-sized."""
+    labels = x_llm_dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks).cast("double")
+    n_stop = F.size(F.filter(toks, _marker_filter(QUALITY_STOPWORDS))).cast("double")
+    quality = F.round(
+        F.least(F.lit(1.0), n_tokens / 200.0) * (1.0 - n_stop / n_tokens), 6
+    )
+    # scored feeds THREE consumers (best, keep, final join); without a
+    # materialization barrier each one re-tokenizes the whole corpus for
+    # the quality score.  localCheckpoint = compute the narrow
+    # (doc_id, cluster_id, quality) frame once, reuse thrice.
+    scored = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", quality.alias("quality"))
+        .join(labels, "doc_id")
+        .localCheckpoint()
+    )
+    best = scored.groupBy("cluster_id").agg(F.max("quality").alias("_qmax"))
+    keep = (
+        scored.join(best, "cluster_id")
+        .filter(F.col("quality") == F.col("_qmax"))
+        .groupBy("cluster_id")
+        .agg(F.min("doc_id").alias("_keep_doc"))
+    )
+    return scored.join(keep, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "quality",
+        (F.col("doc_id") == F.col("_keep_doc")).alias("is_kept"),
+    )
+
+
+@register(
+    "x_llm_source_overlap",
+    oracle=f"""
+    WITH {_SQL_SHINGLES},
+    ssh AS (
+        SELECT DISTINCT d.source, sh.s
+        FROM sh JOIN documents d USING (doc_id)
+    ),
+    tot AS (SELECT source, count(*) AS n FROM ssh GROUP BY source),
+    shared AS (
+        SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+        FROM ssh a JOIN ssh b ON a.s = b.s AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, n_shared,
+           round(n_shared::DOUBLE / least(ta.n, tb.n)::DOUBLE, 6)
+               AS overlap_coef
+    FROM shared
+    JOIN tot ta ON source_a = ta.source
+    JOIN tot tb ON source_b = tb.source
+    """,
+)
+def x_llm_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-subset leakage matrix: for every pair of sources, the count
+    of distinct word-3-gram shingles they share and the overlap
+    coefficient (shared / smaller side) — the audit that catches a "val"
+    source leaking into a "train" source, or two crawls double-counting
+    one site, BEFORE training sees either.
+
+    Plan: shingles collapse to DISTINCT (source, 64-bit hash) first —
+    after that, per-shingle multiplicity is bounded by the number of
+    sources (~tens), so the self-equi-join on the hash generates at most
+    sources² candidates per shingle, never the per-document blowup the
+    pair operators need a hot cap for.  The per-source totals table is
+    sources-sized and broadcast back onto the pair aggregate.  Everything
+    shuffled is (long, short-string): the shingle text never leaves the
+    map side."""
+    docs = table(spark, sf_dir, "documents")
+    ssh = (
+        _shingle_rows(spark, sf_dir)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select("source", "h")
+        .distinct()
+    )
+    tot = ssh.groupBy("source").agg(F.count("*").alias("_n"))
+    a = ssh.select(F.col("source").alias("source_a"), "h")
+    b = ssh.select(F.col("source").alias("source_b"), "h")
+    shared = (
+        a.join(b, "h")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        shared.join(
+            F.broadcast(tot.select(F.col("source").alias("source_a"),
+                                   F.col("_n").alias("_na"))),
+            "source_a",
+        )
+        .join(
+            F.broadcast(tot.select(F.col("source").alias("source_b"),
+                                   F.col("_n").alias("_nb"))),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared").cast("double")
+                / F.least("_na", "_nb").cast("double"),
+                6,
+            ).alias("overlap_coef"),
+        )
+    )

@@ -104,6 +104,9 @@ _PRIORITY_NAMES = (
     "x_sub_exists_semi",
     "x_sub_not_exists_anti",
     "x_sub_scalar_avg",
+    # new in r07: curation-layer canonical selection + leakage matrix
+    "x_llm_dedup_keep_best",
+    "x_llm_source_overlap",
 )
 _PRIORITY_RANK = {n: i for i, n in enumerate(_PRIORITY_NAMES)}
 

@@ -225,3 +225,19 @@ def test_sub_exists_other_is_hash_semi_self_join(spark, sf_dir):
     semi_line = [ln for ln in plan.splitlines() if "LeftSemi" in ln][0]
     # equi key is the order key; the supplier inequality is the residual
     assert "l_orderkey" in semi_line and "NOT" in semi_line
+
+
+def test_source_overlap_broadcasts_totals_no_hot_cap_needed(spark, sf_dir):
+    plan = _physical(DEFS["x_llm_source_overlap"].fn(spark, sf_dir))
+    # sources-sized totals ride broadcast joins; the only wide exchanges
+    # are the distinct and the shingle-hash self-join
+    assert "BroadcastHashJoin" in plan
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_keep_best_argmax_is_aggregates_not_sort_window(spark, sf_dir):
+    df = DEFS["x_llm_dedup_keep_best"].fn(spark, sf_dir)
+    plan = _physical(df)
+    # the argmax-per-cluster tail must be hash aggregates + joins — a
+    # row_number() window would show up as a Window over a Sort
+    assert "Window" not in plan
