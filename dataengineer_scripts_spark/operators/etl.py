@@ -877,3 +877,92 @@ def x_etl_global_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
     return numbered.join(F.broadcast(offsets), "pid").select(
         "event_id", (F.col("offset") + F.col("local_rn")).alias("global_rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout statistics (multi-dimensional data skipping)
+# ---------------------------------------------------------------------------
+
+#: Z-order quantization width (bits per dimension) and file-granule count.
+ZORDER_BITS = 16
+ZORDER_BUCKETS = 64
+
+
+def _zvalue_sql(x: str, y: str, div: str) -> str:
+    """Morton/Z-value of two ``ZORDER_BITS``-bit keys as PORTABLE integer
+    arithmetic (div/mod/multiply only — no engine-specific bit operators),
+    generated once and embedded verbatim in both the Spark expression and
+    the DuckDB oracle so the interleave is bit-identical by construction.
+    ``div`` is the engine's integer-division token (`div` / `//`)."""
+    mask = 1 << ZORDER_BITS
+    xm, ym = f"({x} % {mask})", f"({y} % {mask})"
+    terms = []
+    for i in range(ZORDER_BITS):
+        terms.append(f"((({xm} {div} {1 << i}) % 2) * {1 << (2 * i)})")
+        terms.append(f"((({ym} {div} {1 << i}) % 2) * {1 << (2 * i + 1)})")
+    return " + ".join(terms)
+
+
+@register(
+    "x_etl_zorder_stats",
+    oracle=f"""
+    WITH z AS (
+        SELECT l_partkey, l_suppkey,
+               {_zvalue_sql('l_partkey', 'l_suppkey', '//')} AS zval,
+               l_orderkey, l_linenumber
+        FROM lineitem
+    ),
+    b AS (
+        SELECT l_partkey, l_suppkey,
+               ntile({ZORDER_BUCKETS}) OVER (
+                   ORDER BY zval, l_orderkey, l_linenumber
+               ) AS bucket
+        FROM z
+    )
+    SELECT bucket, count(*) AS n_rows,
+           min(l_partkey) AS min_pk, max(l_partkey) AS max_pk,
+           min(l_suppkey) AS min_sk, max(l_suppkey) AS max_sk
+    FROM b GROUP BY bucket
+    """,
+)
+def x_etl_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) layout statistics: interleave the bits of
+    (l_partkey, l_suppkey), split the z-sorted table into
+    ``ZORDER_BUCKETS`` equal file granules, and emit each granule's
+    per-column min/max — the data-skipping index a lakehouse stores as
+    file-footer stats.  Linear clustering on one key makes predicates on
+    the OTHER key unprunable; the Z-curve bounds both dimensions per
+    granule, so single-dimension range predicates skip most granules
+    whichever column they hit (asserted quantitatively in
+    ``tests/test_etl.py``).
+
+    Scale: ``ntile`` over the z-value total order stands in for what a
+    production writer does with ``repartitionByRange(zval)`` — Spark's
+    range partitioner computes the same equal-frequency split from a
+    sample, distributed; the per-granule min/max aggregate is then one
+    hash aggregate over granule ids.  The z-value itself is pure integer
+    codegen (portable div/mod arithmetic, identical expression text in
+    both engines — see ``_zvalue_sql``), evaluated scan-side."""
+    from pyspark.sql import Window
+
+    z = table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        F.expr(_zvalue_sql("l_partkey", "l_suppkey", "div")).alias("zval"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    bucket = F.ntile(ZORDER_BUCKETS).over(
+        Window.orderBy("zval", "l_orderkey", "l_linenumber")
+    )
+    return (
+        z.select("l_partkey", "l_suppkey", bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("l_partkey").alias("min_pk"),
+            F.max("l_partkey").alias("max_pk"),
+            F.min("l_suppkey").alias("min_sk"),
+            F.max("l_suppkey").alias("max_sk"),
+        )
+    )

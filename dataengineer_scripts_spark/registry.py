@@ -107,6 +107,8 @@ _PRIORITY_NAMES = (
     # new in r07: curation-layer canonical selection + leakage matrix
     "x_llm_dedup_keep_best",
     "x_llm_source_overlap",
+    # new in r07: multi-dimensional data-skipping layout stats
+    "x_etl_zorder_stats",
 )
 _PRIORITY_RANK = {n: i for i, n in enumerate(_PRIORITY_NAMES)}
 

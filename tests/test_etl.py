@@ -261,3 +261,51 @@ def test_pushdown_query_ansi_dialect_and_escaping():
         "t", ['we"ird'], literals={"lit": "O'Brien"}, dialect="ansi"
     ) == 'SELECT "we""ird", \'O\'\'Brien\' AS "lit" FROM t'
     assert pushdown_query("t", ["a]b"], dialect="mssql") == "SELECT [a]]b] FROM t"
+
+
+def test_zorder_skips_on_both_dimensions(spark, sf_dir):
+    """The point of the Z-layout, quantitatively: per-granule min/max from
+    the z-ordered split must prune suppkey-only range queries (where a
+    linear l_partkey clustering prunes NOTHING) while staying within a
+    few granules of the linear layout's partkey prunability."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from dataengineer_scripts_spark.operators.etl import (
+        ZORDER_BUCKETS,
+        x_etl_zorder_stats,
+    )
+    from dataengineer_scripts_spark.tables import table
+
+    zstats = x_etl_zorder_stats(spark, sf_dir).collect()
+    assert len(zstats) == ZORDER_BUCKETS
+    li = table(spark, sf_dir, "lineitem")
+    assert sum(r["n_rows"] for r in zstats) == li.count()  # total coverage
+
+    lin_bucket = F.ntile(ZORDER_BUCKETS).over(
+        Window.orderBy("l_partkey", "l_orderkey", "l_linenumber")
+    )
+    lin = (
+        li.select("l_partkey", "l_suppkey", lin_bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.min("l_suppkey").alias("min_sk"),
+            F.max("l_suppkey").alias("max_sk"),
+            F.min("l_partkey").alias("min_pk"),
+            F.max("l_partkey").alias("max_pk"),
+        )
+        .collect()
+    )
+
+    def skipped(stats, lo, hi, lok, hik):
+        return sum(1 for r in stats if not (r[lok] <= hi and r[hik] >= lo))
+
+    for lo, hi in ((2, 3), (8, 9)):  # suppkey-only predicates
+        z = skipped(zstats, lo, hi, "min_sk", "max_sk")
+        naive = skipped(lin, lo, hi, "min_sk", "max_sk")
+        assert naive == 0, "fixture drifted: linear layout suddenly prunes sk"
+        assert z > 0, f"z-layout failed to prune sk box [{lo},{hi}]"
+    # partkey predicate: z stays within a few granules of the linear layout
+    z_pk = skipped(zstats, 50, 74, "min_pk", "max_pk")
+    lin_pk = skipped(lin, 50, 74, "min_pk", "max_pk")
+    assert z_pk >= lin_pk - 8
