@@ -3212,3 +3212,118 @@ def x_llm_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("overlap_coef"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (ANN toolbox: IVF + LSH + PQ)
+# ---------------------------------------------------------------------------
+
+#: PQ geometry: split each embedding into PQ_M contiguous subspaces and
+#: code each subvector against PQ_K codebook entries.  The codebook is
+#: DETERMINISTIC (the subvectors of the first PQ_K vec_ids), same seeding
+#: convention as SemDeDup's centroids, so a SQL oracle can replay the
+#: encoding exactly — PQ *encoding* is a pure argmin, unlike IVF *search*
+#: whose recall<1 forces a rows-only check.
+PQ_M = 8
+PQ_K = 16
+
+
+@register(
+    "x_llm_embed_pq",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> x::DOUBLE) AS e,
+               len(embedding) // {PQ_M} AS w
+        FROM embeddings
+    ),
+    cb AS (
+        SELECT m.m, s.vec_id AS k,
+               list_slice(s.e, m.m * s.w + 1, m.m * s.w + s.w) AS c
+        FROM (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m) m,
+             (SELECT * FROM v WHERE vec_id < {PQ_K}) s
+    ),
+    d AS (
+        SELECT v.vec_id, cb.m, cb.k,
+               round(list_sum(list_transform(generate_series(1, v.w),
+                     i -> (v.e[cb.m * v.w + i] - cb.c[i])
+                        * (v.e[cb.m * v.w + i] - cb.c[i]))), 6) AS dist
+        FROM v CROSS JOIN cb
+    ),
+    a AS (
+        SELECT vec_id, m, k, dist FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                      ORDER BY dist, k) AS rn
+            FROM d)
+        WHERE rn = 1
+    )
+    SELECT vec_id,
+           list(k ORDER BY m) AS codes,
+           sum(CAST(floor(dist * 1000000.0 + 0.5) AS BIGINT))::BIGINT
+               AS err_micro
+    FROM a GROUP BY vec_id
+    """,
+)
+def x_llm_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding (Jégou et al. 2011): each embedding
+    becomes PQ_M one-byte-ish codes — argmin-distance codebook entry per
+    contiguous subspace — plus the total quantization error.  64-dim
+    float vectors compress 32× (8 codes vs 64 floats); together with
+    ``x_llm_ann_ivf`` (coarse cells) and ``x_llm_ann_lsh`` this completes
+    the standard ANN index toolbox, and the codes table is exactly what
+    an IVF-PQ index stores per posting.
+
+    Determinism for the oracle: subvector distances are computed on
+    doubles and rounded to 6 BEFORE the argmin (summation order inside a
+    dot differs across engines — same mitigation as SemDeDup's cosines),
+    ties break to the lowest code id; the reported error sums per-
+    subspace micro-integers, so the aggregate is exact integer math in
+    both engines.
+
+    Plan: the codebook is a driver-held model (PQ_M × PQ_K × subdim
+    doubles — KBs, the IVF-quantizer pattern); encoding is ONE narrow
+    ``mapInPandas`` pass over the corpus — vectorized (n × K) distance
+    GEMMs per subspace inside each Arrow batch, zero shuffle, zero join.
+    At 100 TB the codes table is appended per-batch; re-encoding never
+    touches old rows because the codebook is frozen by construction."""
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    seeds = sorted(
+        emb.filter(F.col("vec_id") < PQ_K).collect(), key=lambda r: r.vec_id
+    )
+    seed_ids = np.array([r.vec_id for r in seeds], dtype=np.int64)
+    smat = np.array([r.e for r in seeds])  # PQ_K × dim
+    dim = smat.shape[1]
+    w = dim // PQ_M
+    cb = np.stack([smat[:, m * w:(m + 1) * w] for m in range(PQ_M)])
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.vstack(pdf["e"].to_numpy())  # n × dim
+            codes = np.empty((len(pdf), PQ_M), dtype=np.int64)
+            micro = np.zeros(len(pdf), dtype=np.int64)
+            for m in range(PQ_M):
+                sub = mat[:, m * w:(m + 1) * w]
+                dists = np.round(
+                    ((sub[:, None, :] - cb[m][None, :, :]) ** 2).sum(2), 6
+                )
+                idx = dists.argmin(1)  # first min = lowest code id
+                codes[:, m] = seed_ids[idx]
+                micro += np.floor(
+                    dists[np.arange(len(pdf)), idx] * 1e6 + 0.5
+                ).astype(np.int64)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "codes": list(codes),
+                    "err_micro": micro,
+                }
+            )
+
+    return emb.mapInPandas(
+        encode, "vec_id long, codes array<bigint>, err_micro long"
+    )

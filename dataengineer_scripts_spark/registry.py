@@ -109,6 +109,8 @@ _PRIORITY_NAMES = (
     "x_llm_source_overlap",
     # new in r07: multi-dimensional data-skipping layout stats
     "x_etl_zorder_stats",
+    # new in r07: product-quantization encoding (ANN toolbox completion)
+    "x_llm_embed_pq",
 )
 _PRIORITY_RANK = {n: i for i, n in enumerate(_PRIORITY_NAMES)}
 

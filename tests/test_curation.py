@@ -362,3 +362,21 @@ def test_pack_sequences_sharded_sort_is_per_shard(spark, sf_dir):
 
     plan = pack_sequences_sharded(spark, sf_dir)._jdf.queryExecution().toString()
     assert "_shard" in plan
+
+
+def test_pq_seeds_encode_to_themselves_with_zero_error(spark, sf_dir):
+    """PQ sanity invariant: the codebook IS the first PQ_K vectors'
+    subvectors, so each seed must encode to its own id in every subspace
+    with zero quantization error."""
+    from dataengineer_scripts_spark.operators.llm import PQ_K, PQ_M
+
+    rows = (
+        registry.definitions()["x_llm_embed_pq"]
+        .fn(spark, sf_dir)
+        .filter(F.col("vec_id") < PQ_K)
+        .collect()
+    )
+    assert len(rows) == PQ_K
+    for r in rows:
+        assert list(r.codes) == [r.vec_id] * PQ_M
+        assert r.err_micro == 0
