@@ -111,6 +111,8 @@ _PRIORITY_NAMES = (
     "x_etl_zorder_stats",
     # new in r07: product-quantization encoding (ANN toolbox completion)
     "x_llm_embed_pq",
+    # new in r07: foreachBatch CDC upsert through the real streaming runtime
+    "x_stream_upsert_materialize",
 )
 _PRIORITY_RANK = {n: i for i, n in enumerate(_PRIORITY_NAMES)}
 

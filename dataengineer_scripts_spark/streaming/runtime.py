@@ -62,3 +62,40 @@ def run_to_memory(df: DataFrame, name: str, output_mode: str) -> None:
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+def stream_events_split(
+    spark: SparkSession, sf_dir: str, n_files: int = 4
+) -> tuple[DataFrame, int]:
+    """events as a MULTI-micro-batch stream: stage the fixture once as
+    ``n_files`` time-range parquet files (range partition = file index =
+    time order), then read them with ``maxFilesPerTrigger=1`` so the
+    bounded run exercises real batch boundaries instead of one giant
+    batch.  Staging is cached per (source file identity, n_files);
+    consumers must be batch-boundary-independent (e.g. merge by per-key
+    argmax), which is also what makes them replay-safe in production."""
+    from ..tables import table
+
+    path = f"{sf_dir}/events.parquet"
+    st = os.stat(path)
+    tag = hashlib.sha1(
+        f"{os.path.abspath(path)}:{st.st_mtime_ns}:{st.st_size}:{n_files}".encode()
+    ).hexdigest()[:12]
+    d = os.path.join(tempfile.gettempdir(), f"spark_graft_split_{tag}")
+    if not os.path.isfile(os.path.join(d, "_SUCCESS")):
+        (
+            table(spark, sf_dir, "events")
+            .repartitionByRange(n_files, "ts", "event_id")
+            .write.mode("overwrite")
+            .parquet(d)
+        )
+    schema = spark.read.parquet(d).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    ts_dtype = dict(stream.dtypes)["ts"]
+    if ts_dtype == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream, n_files

@@ -400,3 +400,88 @@ def x_stream_rest_poll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run_to_memory(stream, name, "append")
     return spark.table(name)
+
+
+@register(
+    "x_stream_upsert_materialize",
+    oracle="""
+    SELECT user_id, ts AS last_ts, event_id AS last_event_id,
+           event_type AS last_type, value AS last_value
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id
+                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def x_stream_upsert_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style keyed materialization through a REAL streaming run: the
+    event stream is split into multiple micro-batches
+    (``maxFilesPerTrigger=1`` over a time-partitioned staging of the
+    fixture), and a ``foreachBatch`` sink upserts "latest event per user"
+    into a parquet state location — the delta-log shape: each batch
+    APPENDS its per-key winner (idempotent, no read-modify-write race),
+    and the read side compacts with one final per-key argmax.
+
+    The merge key is ``max_by`` over ``(ts, event_id)``, so the
+    materialized state is independent of batch boundaries and arrival
+    order — exactly why the same query has a batch SQL oracle (latest
+    row per user over all events) despite running on the streaming
+    runtime.
+
+    Scale: per-batch winners are one hash aggregate of the micro-batch
+    (keys-sized output); the state location grows by keys-per-batch and
+    compaction is one aggregate over appended snapshots — the pattern a
+    lakehouse MERGE performs, minus the transaction log this sandbox
+    doesn't ship."""
+    import tempfile
+
+    from .runtime import stream_events_split
+
+    stream, n_batches = stream_events_split(spark, sf_dir, n_files=4)
+    state_dir = tempfile.mkdtemp(prefix="spark_graft_upsert_state_")
+    ckpt = tempfile.mkdtemp(prefix="spark_graft_upsert_ckpt_")
+
+    latest = F.max(
+        F.struct("ts", "event_id", "event_type", "value")
+    ).alias("w")
+
+    def upsert(batch: DataFrame, batch_id: int) -> None:
+        (
+            batch.groupBy("user_id")
+            .agg(latest)
+            .select("user_id", "w.ts", "w.event_id", "w.event_type", "w.value")
+            .write.mode("append")
+            .parquet(state_dir)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    out = (
+        spark.read.parquet(state_dir)
+        .groupBy("user_id")
+        .agg(latest)
+        .select(
+            "user_id",
+            F.col("w.ts").alias("last_ts"),
+            F.col("w.event_id").alias("last_event_id"),
+            F.col("w.event_type").alias("last_type"),
+            F.col("w.value").alias("last_value"),
+        )
+        # materialize the keys-sized result so the ephemeral state/ckpt
+        # dirs can be reclaimed before the caller ever acts on the frame
+        .localCheckpoint()
+    )
+    import shutil
+
+    shutil.rmtree(state_dir, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return out
