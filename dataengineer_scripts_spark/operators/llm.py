@@ -3327,3 +3327,89 @@ def x_llm_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.mapInPandas(
         encode, "vec_id long, codes array<bigint>, err_micro long"
     )
+
+
+@register("x_llm_pq_adc_topk")  # approximate by design (recall<1) → rows-only
+def x_llm_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-k search over PQ codes (the query half of an IVF-PQ index):
+    corpus vectors are PQ-encoded in NORMALIZED space (codebook = the
+    first PQ_K normalized vectors' subvectors), and each query scores a
+    candidate as the sum of per-subspace lookup-table entries
+    ``T[m][code] = q_m · c_{m,code}`` — the asymmetric inner-product
+    estimate of the cosine, never touching the original floats at query
+    time.
+
+    Rows-only by design, like ``x_llm_ann_ivf``/``x_llm_ann_lsh``: ADC
+    is an approximation (quantization error shifts ranks), so the gate is
+    the recall floor + exact output shape asserted in
+    ``tests/test_ann_recall.py`` against the exact scan.  The fixture's
+    near-orthogonal random vectors are the worst case for a 16-entry
+    codebook; real clustered embeddings recall far higher.
+
+    Plan: codebook and the Q × PQ_M × PQ_K lookup tables are driver-held
+    KBs closed over by ONE narrow ``mapInPandas`` pass (encode the Arrow
+    batch, gather LUT entries, partition-local top-k); only
+    (partitions × queries × k) partial rows reach the final ranking
+    window.  The corpus is scanned once, never joined or shuffled — at
+    100 TB the codes would be precomputed by ``x_llm_embed_pq`` and this
+    pass reads 8 bytes per vector instead of 256."""
+    e = _normalized(spark, sf_dir)
+    seeds = sorted(
+        e.filter(F.col("vec_id") < PQ_K).collect(), key=lambda r: r.vec_id
+    )
+    smat = np.array([r.e for r in seeds])
+    dim = smat.shape[1]
+    w = dim // PQ_M
+    cb = np.stack([smat[:, m * w:(m + 1) * w] for m in range(PQ_M)])  # M×K×w
+
+    qrows = sorted(
+        e.filter(F.col("vec_id") < KNN_N_QUERIES).collect(),
+        key=lambda r: r.vec_id,
+    )
+    qids = np.array([r.vec_id for r in qrows])
+    qmat = np.array([r.e for r in qrows])  # Q×dim
+    # lut[q, m, k] = q's m-th subvector · codebook entry k of subspace m
+    lut = np.stack(
+        [qmat[:, m * w:(m + 1) * w] @ cb[m].T for m in range(PQ_M)], axis=1
+    )
+
+    def adc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.vstack(pdf["e"].to_numpy())
+            ids = pdf["vec_id"].to_numpy()
+            codes = np.empty((len(pdf), PQ_M), dtype=np.int64)
+            for m in range(PQ_M):
+                sub = mat[:, m * w:(m + 1) * w]
+                d2 = ((sub[:, None, :] - cb[m][None, :, :]) ** 2).sum(2)
+                codes[:, m] = d2.argmin(1)
+            # scores[n, q] = sum_m lut[q, m, codes[n, m]]
+            scores = np.round(
+                sum(lut[:, m, codes[:, m]].T for m in range(PQ_M)), 6
+            )
+            out = []
+            for j, qid in enumerate(qids):
+                mask = ids != qid
+                order = np.lexsort((ids[mask], -scores[mask, j]))[:KNN_K]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "neighbor_id": ids[mask][order],
+                            "adc_score": scores[mask, j][order],
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    partial = e.mapInPandas(
+        adc, "query_id long, neighbor_id long, adc_score double"
+    )
+    rank_w = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_score"), F.asc("neighbor_id")
+    )
+    return (
+        partial.withColumn("rank", F.row_number().over(rank_w))
+        .filter(F.col("rank") <= KNN_K)
+    )

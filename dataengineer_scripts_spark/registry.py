@@ -113,6 +113,8 @@ _PRIORITY_NAMES = (
     "x_llm_embed_pq",
     # new in r07: foreachBatch CDC upsert through the real streaming runtime
     "x_stream_upsert_materialize",
+    # new in r07: ADC search over PQ codes (rows-only: recall<1 by design)
+    "x_llm_pq_adc_topk",
 )
 _PRIORITY_RANK = {n: i for i, n in enumerate(_PRIORITY_NAMES)}
 

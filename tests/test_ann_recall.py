@@ -18,7 +18,12 @@ def _pairs(df):
 
 
 @pytest.mark.parametrize(
-    "name,floor", [("x_llm_ann_ivf", 0.5), ("x_llm_ann_lsh", 0.25)]
+    "name,floor",
+    [("x_llm_ann_ivf", 0.5), ("x_llm_ann_lsh", 0.25),
+     # ADC over a 16-entry codebook on worst-case random vectors: rank
+     # shifts from quantization error dominate; measured 0.18-0.28
+     # across sf0.001-0.1
+     ("x_llm_pq_adc_topk", 0.1)]
 )
 def test_ann_recall_vs_exact(spark, sf_dir, name, floor):
     exact = _pairs(DEFS["x_llm_knn_cosine"].fn(spark, sf_dir))
@@ -28,9 +33,7 @@ def test_ann_recall_vs_exact(spark, sf_dir, name, floor):
     recall = len(exact & approx) / len(exact)
     assert recall >= floor, f"{name} recall {recall:.2f} < {floor}"
     # every reported rank group is a valid 1..k ranking
-    ranks = [
-        (r.query_id, r.rank) for r in approx_df.collect()
-    ]
+    ranks = [(r.query_id, r.rank) for r in approx_df.collect()]
     by_q = {}
     for q, rk in ranks:
         by_q.setdefault(q, []).append(rk)
