@@ -1538,3 +1538,40 @@ def x_sub_exists_other(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hit.groupBy("l_suppkey").agg(
         F.count("*").alias("n_shared_order_items")
     )
+
+
+#: HLL sketch precision (lgConfigK): 12 → ~1.6% relative standard error,
+#: the usual storage/accuracy trade for user-count sketches.
+HLL_LG_K = 12
+
+
+@register("x_agg_hll_merge")  # sketch estimate → rows-only (no DuckDB twin)
+def x_agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count maintenance (DataSketches HLL): build ONE
+    sketch per (day, event_type) — the granularity a warehouse persists —
+    then roll up to per-type totals by UNIONING sketches, never re-reading
+    events.  This is the incremental shape exact count-distinct cannot
+    give you: at 100 TB, per-day sketches are built once as each
+    partition lands (KBs per group), and any rollup window (week, month,
+    all-time, ad-hoc segment union) is an aggregate over sketch bytes.
+
+    Accuracy is gated in ``tests/test_warehouse.py``: the merged estimate
+    must stay within HLL's error envelope of the exact distinct count.
+    Rows-only here because the sketch estimate has no cross-engine twin
+    (same policy as ``x_agg_approx_distinct``)."""
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy(
+            F.date_trunc("day", F.col("ts")).alias("day"), "event_type"
+        )
+        .agg(F.expr(f"hll_sketch_agg(user_id, {HLL_LG_K})").alias("sk"))
+    )
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.expr("hll_sketch_estimate(hll_union_agg(sk, false))")
+            .cast("bigint")
+            .alias("est_users"),
+            F.count("*").cast("bigint").alias("n_daily_sketches"),
+        )
+    )

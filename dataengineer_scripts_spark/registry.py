@@ -115,6 +115,8 @@ _PRIORITY_NAMES = (
     "x_stream_upsert_materialize",
     # new in r07: ADC search over PQ codes (rows-only: recall<1 by design)
     "x_llm_pq_adc_topk",
+    # new in r07: mergeable HLL sketch rollup (rows-only: sketch estimate)
+    "x_agg_hll_merge",
 )
 _PRIORITY_RANK = {n: i for i, n in enumerate(_PRIORITY_NAMES)}
 

@@ -247,3 +247,32 @@ def test_global_row_number_plan_is_range_partitioned(spark, sf_dir):
     # the event-side window runs partitioned by pid; the only
     # SinglePartition exchange feeds the P-row offsets aggregate
     assert plan.count("SinglePartition") <= 2
+
+
+def test_hll_merge_estimate_within_error_envelope(spark, sf_dir):
+    """Unioned per-day sketches must estimate per-type distinct users
+    within HLL's error envelope of the exact answer (lgK=12 → ~1.6% RSE;
+    gate at 5% ≈ 3 sigma), and sketch counts must cover every day."""
+    from pyspark.sql import functions as F
+
+    from dataengineer_scripts_spark import registry
+    from dataengineer_scripts_spark.tables import table
+
+    est = {
+        r.event_type: (r.est_users, r.n_daily_sketches)
+        for r in registry.definitions()["x_agg_hll_merge"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    exact = {
+        r.event_type: r.n
+        for r in table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for t, n in exact.items():
+        e, days = est[t]
+        assert abs(e - n) <= max(2, 0.05 * n), (t, e, n)
+        assert days >= 1
