@@ -966,3 +966,81 @@ def x_etl_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("l_suppkey").alias("max_sk"),
         )
     )
+
+
+@register(
+    "x_etl_resample_ffill",
+    oracle="""
+    WITH daily AS (
+        SELECT user_id, time_bucket(INTERVAL 1 DAY, ts::TIMESTAMP) AS day,
+               count(*) AS n_events,
+               max(struct_pack(ts := ts, event_id := event_id,
+                               value := value)) AS w
+        FROM events GROUP BY 1, 2
+    ),
+    spans AS (
+        SELECT user_id, min(day) AS d0, max(day) AS d1
+        FROM daily GROUP BY user_id
+    ),
+    grid AS (
+        SELECT s.user_id, unnest(generate_series(s.d0, s.d1,
+                                                 INTERVAL 1 DAY)) AS day
+        FROM spans s
+    )
+    SELECT g.user_id, g.day,
+           COALESCE(d.n_events, 0) AS n_events,
+           round(last_value(d.w.value IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ), 6) AS close_value
+    FROM grid g LEFT JOIN daily d
+      ON d.user_id = g.user_id AND d.day = g.day
+    """,
+)
+def x_etl_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling with forward fill: collapse events to one
+    closing row per (user, day) — the value of the day's LATEST event by
+    (ts, event_id) — materialize the dense daily grid between each
+    user's first and last active day, and carry the closing value across
+    gap days (``last(..., ignorenulls)``).  The regularization step
+    every downstream feature/aggregation job wants, which Spark has no
+    built-in for.
+
+    Plan: the daily collapse is one hash aggregate; the grid is
+    ``sequence()`` + ``explode`` off the spans aggregate (rows created
+    map-side, never shuffled as input); the fill is one window over the
+    grid — all keyed on user_id, so AQE chains the exchanges.  Grid size
+    is users × span-days regardless of event count: at 100 TB of events
+    the resampled output is the SMALL side."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.max(F.struct("ts", "event_id", "value")).alias("w"),
+    )
+    spans = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = spans.select(
+        "user_id",
+        F.explode(
+            F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))
+        ).alias("day"),
+    )
+    fill = Window.partitionBy("user_id").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        grid.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.round(
+                F.last(F.col("w.value"), ignorenulls=True).over(fill), 6
+            ).alias("close_value"),
+        )
+    )

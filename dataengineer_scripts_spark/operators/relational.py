@@ -1575,3 +1575,97 @@ def x_agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("bigint").alias("n_daily_sketches"),
         )
     )
+
+
+@register(
+    "x_agg_median",
+    oracle="""
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+           round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,
+           count(*) AS n_orders
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def x_agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT median / p90 per group (linear-interpolated, the
+    quantile_cont definition both engines share) — the accuracy-first
+    complement of ``x_agg_approx_quantile``'s GK sketch.  Exact
+    percentile must buffer each group's values, so this is the operator
+    you reach for on group counts × group sizes that fit a task (here:
+    5 priorities); at whole-corpus cardinalities the approx twin is the
+    scale path, and the pair is the accuracy/scale trade stated as two
+    registry entries."""
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias(
+                "median_price"
+            ),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias(
+                "p90_price"
+            ),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+#: Fuzzy-join parameters: block on the last name token (entity "type"),
+#: accept pairs within this edit distance.
+FUZZY_MAX_DIST = 3
+
+
+@register(
+    "x_join_fuzzy_name",
+    oracle=f"""
+    WITH names AS (
+        SELECT p_name, count(*) AS n,
+               regexp_extract(p_name, '(\\S+)$', 1) AS blk
+        FROM part GROUP BY p_name
+    )
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           levenshtein(a.p_name, b.p_name) AS dist,
+           a.n AS n_a, b.n AS n_b
+    FROM names a JOIN names b
+      ON a.blk = b.blk AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= {FUZZY_MAX_DIST}
+    """,
+)
+def x_join_fuzzy_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy (edit-distance) matching — the entity-resolution
+    primitive: DISTINCT part names within Levenshtein FUZZY_MAX_DIST of
+    each other, with each name's row count carried along so a resolver
+    can merge the entities.  Two scale decisions make this survive
+    100 TB: (1) the match runs over the DISTINCT-name vocabulary (one
+    hash aggregate first), so output and pair work are vocabulary²-
+    bounded, not row² — matching raw rows would emit every duplicate ×
+    duplicate combination and grow quadratically with data size; (2)
+    candidates are generated only within a blocking key (the last name
+    token ≈ the entity type), so the per-block distance computation
+    never goes vocabulary × vocabulary either.  Skewed blocks get the
+    salting treatment of ``x_join_skew_salted``."""
+    names = (
+        table(spark, sf_dir, "part")
+        .groupBy("p_name")
+        .agg(F.count("*").alias("n"))
+        .withColumn("blk", F.regexp_extract("p_name", r"(\S+)$", 1))
+    )
+    a = names.select(
+        F.col("p_name").alias("name_a"), F.col("n").alias("n_a"), "blk"
+    )
+    b = names.select(
+        F.col("p_name").alias("name_b"), F.col("n").alias("n_b"), "blk"
+    )
+    return (
+        a.join(b, "blk")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .filter(F.levenshtein("name_a", "name_b") <= FUZZY_MAX_DIST)
+        .select(
+            "name_a",
+            "name_b",
+            F.levenshtein("name_a", "name_b").cast("bigint").alias("dist"),
+            "n_a",
+            "n_b",
+        )
+    )

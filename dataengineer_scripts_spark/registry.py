@@ -117,6 +117,10 @@ _PRIORITY_NAMES = (
     "x_llm_pq_adc_topk",
     # new in r07: mergeable HLL sketch rollup (rows-only: sketch estimate)
     "x_agg_hll_merge",
+    # new in r07: exact quantiles, blocked fuzzy match, resample+ffill
+    "x_agg_median",
+    "x_join_fuzzy_name",
+    "x_etl_resample_ffill",
 )
 _PRIORITY_RANK = {n: i for i, n in enumerate(_PRIORITY_NAMES)}
 
