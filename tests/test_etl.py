@@ -309,3 +309,27 @@ def test_zorder_skips_on_both_dimensions(spark, sf_dir):
     z_pk = skipped(zstats, 50, 74, "min_pk", "max_pk")
     lin_pk = skipped(lin, 50, 74, "min_pk", "max_pk")
     assert z_pk >= lin_pk - 8
+
+
+def test_resample_grid_is_dense_per_user(spark, sf_dir):
+    """Every user's resampled series must cover every calendar day from
+    first to last activity with no holes and no duplicates, and carry a
+    non-null forward-filled close from day one (the span starts on an
+    active day by construction)."""
+    from pyspark.sql import functions as F
+
+    from dataengineer_scripts_spark import registry
+
+    df = registry.definitions()["x_etl_resample_ffill"].fn(spark, sf_dir)
+    per_user = df.groupBy("user_id").agg(
+        F.count("*").alias("n_days"),
+        F.countDistinct("day").alias("n_distinct"),
+        (F.datediff(F.max("day"), F.min("day")) + 1).alias("span"),
+        F.sum(F.col("close_value").isNull().cast("int")).alias("n_null"),
+    )
+    bad = per_user.filter(
+        (F.col("n_days") != F.col("span"))
+        | (F.col("n_distinct") != F.col("span"))
+        | (F.col("n_null") > 0)
+    ).count()
+    assert bad == 0

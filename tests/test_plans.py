@@ -241,3 +241,30 @@ def test_keep_best_argmax_is_aggregates_not_sort_window(spark, sf_dir):
     # the argmax-per-cluster tail must be hash aggregates + joins — a
     # row_number() window would show up as a Window over a Sort
     assert "Window" not in plan
+
+
+def test_median_is_single_exchange(spark, sf_dir):
+    plan = _physical(DEFS["x_agg_median"].fn(spark, sf_dir))
+    assert plan.count("Exchange") == 1
+
+
+def test_fuzzy_match_runs_on_distinct_names_no_cartesian(spark, sf_dir):
+    plan = _physical(DEFS["x_join_fuzzy_name"].fn(spark, sf_dir))
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+    # vocabulary aggregate feeds the join: the p_name distinct/count
+    # happens BELOW the block join, so pair work is vocab²-bounded
+    join_pos = plan.index("Join")
+    assert "hashpartitioning(p_name" in plan[join_pos:] or "HashAggregate" in plan[join_pos:]
+
+
+def test_resample_grid_is_generated_not_joined_from_facts(spark, sf_dir):
+    plan = _physical(DEFS["x_etl_resample_ffill"].fn(spark, sf_dir))
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+    assert "Generate" in plan  # sequence+explode creates the calendar rows
+    assert "Window" in plan
+
+
+def test_hll_merge_is_two_level_aggregate(spark, sf_dir):
+    plan = _physical(DEFS["x_agg_hll_merge"].fn(spark, sf_dir))
+    # daily sketches then union rollup: exactly the two grouping exchanges
+    assert plan.count("Exchange") == 2
