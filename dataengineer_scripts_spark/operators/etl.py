@@ -1044,3 +1044,48 @@ def x_etl_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("close_value"),
         )
     )
+
+
+#: Output shard count for the deterministic shard planner.
+SHARD_N = 16
+
+
+@register(
+    "x_etl_shard_assign",
+    oracle=f"""
+    WITH s AS (
+        SELECT ('0x' || substr(md5(doc_id::VARCHAR), 1, 6))::BIGINT
+                 % {SHARD_N} AS shard,
+               n_chars
+        FROM documents
+    )
+    SELECT shard, count(*) AS n_docs,
+           sum(n_chars)::BIGINT AS n_chars,
+           sum(n_chars // 4)::BIGINT AS n_tokens
+    FROM s GROUP BY shard
+    """,
+)
+def x_etl_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic output-shard planning: assign every document to one
+    of SHARD_N shards by keyed hash (the same md5-prefix trick as
+    ``x_llm_sample_stratified``, so the decision is a pure row-key
+    function — reproducible across runs, engines, and retries) and
+    report per-shard doc/char/token balance, the numbers a writer checks
+    BEFORE burning a 100 TB write on a skewed layout.  One narrow
+    codegen'd projection + one hash aggregate collapsing to SHARD_N rows
+    map-side; the real write would be
+    ``df.repartition(SHARD_N, key).write`` with this exact key."""
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10)
+        .cast("bigint")
+        % SHARD_N
+    )
+    return (
+        table(spark, sf_dir, "documents")
+        .groupBy(shard.alias("shard"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+            F.sum(F.expr("n_chars div 4")).cast("bigint").alias("n_tokens"),
+        )
+    )

@@ -1669,3 +1669,45 @@ def x_join_fuzzy_name(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_b",
         )
     )
+
+
+#: Histogram geometry: fixed-width bins pinned in code — data-dependent
+#: bin edges would need an extra min/max pre-pass over the corpus.
+HIST_BIN_WIDTH = 60000.0
+HIST_N_BINS = 10
+
+
+@register(
+    "x_agg_histogram",
+    oracle=f"""
+    SELECT least(floor(o_totalprice / {HIST_BIN_WIDTH})::BIGINT,
+                 {HIST_N_BINS - 1}) AS bin,
+           count(*) AS n_orders,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi
+    FROM orders GROUP BY 1
+    """,
+)
+def x_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order value (10 bins, top bin open) —
+    the distribution profile behind every dashboard and skew check.
+    Bin edges are PINNED constants: deriving them from data would cost a
+    min/max pre-pass over the corpus before the real aggregation; with
+    fixed edges this is ONE hash aggregate whose map-side partial
+    collapses each task to at most HIST_N_BINS rows, the cheapest
+    distribution summary that exists at 100 TB.  The exact per-bin
+    min/max double as the evidence a reader needs to refine edges for a
+    second pass."""
+    bin_ = F.least(
+        F.floor(F.col("o_totalprice") / HIST_BIN_WIDTH).cast("bigint"),
+        F.lit(HIST_N_BINS - 1).cast("bigint"),
+    )
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy(bin_.alias("bin"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )

@@ -121,6 +121,9 @@ _PRIORITY_NAMES = (
     "x_agg_median",
     "x_join_fuzzy_name",
     "x_etl_resample_ffill",
+    # new in r07: distribution profile + output-shard planner
+    "x_agg_histogram",
+    "x_etl_shard_assign",
 )
 _PRIORITY_RANK = {n: i for i, n in enumerate(_PRIORITY_NAMES)}
 
