@@ -1466,23 +1466,26 @@ def _min_label_components(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
             .groupBy(F.col("dst").alias("doc_id"))
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
+        # the change flag is computed IN the update (label shrank iff a
+        # neighbor's label beat ours), so convergence detection is a
+        # filter-count over the already-materialized checkpoint instead
+        # of re-joining the full old/new label sets every sweep.
         new_labels = (
             labels.join(nbr_min, "doc_id", "left")
             .select(
                 "doc_id",
                 F.least(
                     "cluster_id", F.coalesce("nbr_min", "cluster_id")
-                ).alias("cluster_id"),
+                ).alias("new_cid"),
+                F.coalesce(
+                    F.col("nbr_min") < F.col("cluster_id"), F.lit(False)
+                ).alias("_chg"),
             )
+            .withColumnRenamed("new_cid", "cluster_id")
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter("_chg").count()
+        labels = new_labels.drop("_chg")
         if changed == 0:
             break
     if changed != 0:
