@@ -859,7 +859,15 @@ def x_etl_global_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
     local_rn = F.row_number().over(
         Window.partitionBy("pid").orderBy("ts", "event_id")
     )
-    numbered = sorted_ev.withColumn("local_rn", local_rn)
+    # MATERIALIZE the numbered frame before fanning out to counts/offsets
+    # and the rank join: repartitionByRange samples its boundaries with a
+    # per-execution seed, so without this barrier the broadcast subtrees
+    # can re-execute the range shuffle under DIFFERENT boundaries than the
+    # join side — pids then disagree between offsets and data and the
+    # recovered ranks gap/collide (caught building the z-order twin of
+    # this pattern; consistency, not boundary placement, is what rank
+    # recovery actually requires).
+    numbered = sorted_ev.withColumn("local_rn", local_rn).localCheckpoint()
     counts = numbered.groupBy("pid").agg(F.count("*").alias("cnt"))
     offsets = counts.select(
         "pid",
@@ -903,9 +911,7 @@ def _zvalue_sql(x: str, y: str, div: str) -> str:
     return " + ".join(terms)
 
 
-@register(
-    "x_etl_zorder_stats",
-    oracle=f"""
+_ZORDER_ORACLE = f"""
     WITH z AS (
         SELECT l_partkey, l_suppkey,
                {_zvalue_sql('l_partkey', 'l_suppkey', '//')} AS zval,
@@ -923,8 +929,10 @@ def _zvalue_sql(x: str, y: str, div: str) -> str:
            min(l_partkey) AS min_pk, max(l_partkey) AS max_pk,
            min(l_suppkey) AS min_sk, max(l_suppkey) AS max_sk
     FROM b GROUP BY bucket
-    """,
-)
+    """
+
+
+@register("x_etl_zorder_stats", oracle=_ZORDER_ORACLE)
 def x_etl_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton-curve) layout statistics: interleave the bits of
     (l_partkey, l_suppkey), split the z-sorted table into
@@ -1089,3 +1097,97 @@ def x_etl_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.expr("n_chars div 4")).cast("bigint").alias("n_tokens"),
         )
     )
+
+
+#: Range-partition count for the scaled z-order plan (distinct from the
+#: GRANULE count: each partition computes local ranks for many granules).
+ZORDER_RANGE_PARTS = 8
+
+
+def zorder_stats_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB plan for ``x_etl_zorder_stats``, same answer exactly.
+
+    The plain operator's ``ntile`` is a single-task global sort.  Here
+    the table is ``repartitionByRange`` on the z-order sort key, ranks
+    are computed per partition, and per-partition counts broadcast back
+    as offsets — the distributed-prefix-sum shape of
+    ``x_etl_global_row_number``.  The granule id is then pure arithmetic
+    on the recovered global rank — the SQL-standard ntile assignment
+    front-loads the larger granules (with q = total div N and
+    r = total mod N, the first r granules hold q+1 rows), i.e.
+    ``rn <= r*(q+1) ? (rn-1) div (q+1) : r + (rn-1-r*(q+1)) div q``
+    (+1) — so the result is bit-identical to the single-window plan,
+    attested by registering against the same oracle, while the sort
+    runs as ZORDER_RANGE_PARTS parallel tasks.  Rank recovery is
+    boundary-placement-independent (any range split of a total order
+    yields the same global ranks), so the range partitioner's sampling
+    cannot perturb the answer."""
+    from pyspark.sql import Window
+
+    z = table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        F.expr(_zvalue_sql("l_partkey", "l_suppkey", "div")).alias("zval"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    parts = z.repartitionByRange(
+        ZORDER_RANGE_PARTS, "zval", "l_orderkey", "l_linenumber"
+    ).withColumn("pid", F.spark_partition_id())
+    local_rn = F.row_number().over(
+        Window.partitionBy("pid").orderBy("zval", "l_orderkey", "l_linenumber")
+    )
+    # Materialization barrier (same reason as x_etl_global_row_number):
+    # the range shuffle's sampled boundaries differ per execution, and
+    # counts/offsets/total/join must all read ONE consistent pid
+    # assignment.  Rank recovery is invariant to WHERE the boundaries
+    # land, but not to two subtrees landing them differently.
+    numbered = parts.withColumn("local_rn", local_rn).localCheckpoint()
+    counts = numbered.groupBy("pid").agg(F.count("*").alias("cnt"))
+    offsets = counts.select(
+        "pid",
+        F.coalesce(
+            F.sum("cnt").over(
+                Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("offset"),
+    )
+    total = counts.agg(F.sum("cnt").alias("total"))
+    return (
+        numbered.join(F.broadcast(offsets), "pid")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "l_partkey",
+            "l_suppkey",
+            F.expr(
+                f"""CASE
+                    WHEN (offset + local_rn - 1)
+                         < (total % {ZORDER_BUCKETS})
+                           * (total div {ZORDER_BUCKETS} + 1)
+                    THEN (offset + local_rn - 1)
+                         div (total div {ZORDER_BUCKETS} + 1) + 1
+                    ELSE (total % {ZORDER_BUCKETS})
+                         + ((offset + local_rn - 1)
+                            - (total % {ZORDER_BUCKETS})
+                              * (total div {ZORDER_BUCKETS} + 1))
+                           div (total div {ZORDER_BUCKETS}) + 1
+                END"""
+            ).alias("bucket"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("l_partkey").alias("min_pk"),
+            F.max("l_partkey").alias("max_pk"),
+            F.min("l_suppkey").alias("min_sk"),
+            F.max("l_suppkey").alias("max_sk"),
+        )
+    )
+
+
+# Same oracle as x_etl_zorder_stats: a driver row IS the proof that the
+# range-partitioned rank recovery reproduces ntile exactly.
+register("x_etl_zorder_stats_sharded", oracle=_ZORDER_ORACLE)(
+    zorder_stats_sharded
+)

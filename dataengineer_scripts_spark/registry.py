@@ -124,6 +124,8 @@ _PRIORITY_NAMES = (
     # new in r07: distribution profile + output-shard planner
     "x_agg_histogram",
     "x_etl_shard_assign",
+    # new in r07: scaled z-order plan proven ntile-identical (shared oracle)
+    "x_etl_zorder_stats_sharded",
 )
 _PRIORITY_RANK = {n: i for i, n in enumerate(_PRIORITY_NAMES)}
 
