@@ -818,6 +818,28 @@ def src_parquet_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ROWNUM_RANGE_PARTS = 16
 
 
+def _rownum_numbered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-barrier stage of ``x_etl_global_row_number``: range-
+    partitioned, partition-sorted events with per-partition ranks.
+    Exposed un-checkpointed so plan tests can assert the sampled range
+    shuffle + pid-partitioned window (the checkpoint in the operator
+    hides this stage from the final plan text)."""
+    from pyspark.sql import Window
+
+    key = [F.col("ts"), F.col("event_id")]
+    sorted_ev = (
+        table(spark, sf_dir, "events")
+        .select("event_id", "ts")
+        .repartitionByRange(_ROWNUM_RANGE_PARTS, *key)
+        .sortWithinPartitions(*key)
+        .withColumn("pid", F.spark_partition_id())
+    )
+    local_rn = F.row_number().over(
+        Window.partitionBy("pid").orderBy("ts", "event_id")
+    )
+    return sorted_ev.withColumn("local_rn", local_rn)
+
+
 @register(
     "x_etl_global_row_number",
     oracle="""
@@ -846,19 +868,6 @@ def x_etl_global_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
     count/boundary sampling because the order key (ts, event_id) is
     total and offsets come from actual counts — asserted against the
     single-partition form in tests."""
-    key = [F.col("ts"), F.col("event_id")]
-    sorted_ev = (
-        table(spark, sf_dir, "events")
-        .select("event_id", "ts")
-        .repartitionByRange(_ROWNUM_RANGE_PARTS, *key)
-        .sortWithinPartitions(*key)
-        .withColumn("pid", F.spark_partition_id())
-    )
-    from pyspark.sql import Window
-
-    local_rn = F.row_number().over(
-        Window.partitionBy("pid").orderBy("ts", "event_id")
-    )
     # MATERIALIZE the numbered frame before fanning out to counts/offsets
     # and the rank join: repartitionByRange samples its boundaries with a
     # per-execution seed, so without this barrier the broadcast subtrees
@@ -867,7 +876,9 @@ def x_etl_global_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
     # recovered ranks gap/collide (caught building the z-order twin of
     # this pattern; consistency, not boundary placement, is what rank
     # recovery actually requires).
-    numbered = sorted_ev.withColumn("local_rn", local_rn).localCheckpoint()
+    from pyspark.sql import Window
+
+    numbered = _rownum_numbered(spark, sf_dir).localCheckpoint()
     counts = numbered.groupBy("pid").agg(F.count("*").alias("cnt"))
     offsets = counts.select(
         "pid",

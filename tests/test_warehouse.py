@@ -242,11 +242,17 @@ def test_global_row_number_equals_single_partition_window(spark, sf_dir):
 
 
 def test_global_row_number_plan_is_range_partitioned(spark, sf_dir):
-    plan = _physical(DEFS["x_etl_global_row_number"].fn(spark, sf_dir))
+    # assert on the PRE-barrier stage: the operator checkpoints it (so
+    # offsets and the rank join read one consistent boundary sampling),
+    # which hides the shuffle from the final plan text
+    from dataengineer_scripts_spark.operators.etl import _rownum_numbered
+
+    plan = _physical(_rownum_numbered(spark, sf_dir))
     assert "rangepartitioning" in plan  # the sampled range shuffle
-    # the event-side window runs partitioned by pid; the only
-    # SinglePartition exchange feeds the P-row offsets aggregate
-    assert plan.count("SinglePartition") <= 2
+    assert "SinglePartition" not in plan  # window is pid-partitioned
+    final = _physical(DEFS["x_etl_global_row_number"].fn(spark, sf_dir))
+    # post-barrier: only the P-row offsets/total aggregates may funnel
+    assert final.count("SinglePartition") <= 2
 
 
 def test_hll_merge_estimate_within_error_envelope(spark, sf_dir):
