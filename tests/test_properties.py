@@ -236,3 +236,89 @@ def test_events_tiebreak_key_is_unique(spark, sf_dir):
         .count()
     )
     assert dupes == 0, f"{dupes} duplicate (user_id, ts, event_id) tuples"
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2**40),
+            st.integers(min_value=0, max_value=2**40),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@SET
+def test_zvalue_interleave_matches_python_reference(spark, pairs):
+    """The portable div/mod Morton interleave must equal a direct Python
+    bit-interleave of the 16-bit-masked keys — including keys far above
+    the mask (the % quantization) and zero."""
+    from dataengineer_scripts_spark.operators.etl import (
+        ZORDER_BITS,
+        _zvalue_sql,
+    )
+
+    def z_ref(x: int, y: int) -> int:
+        x &= (1 << ZORDER_BITS) - 1
+        y &= (1 << ZORDER_BITS) - 1
+        out = 0
+        for i in range(ZORDER_BITS):
+            out |= ((x >> i) & 1) << (2 * i)
+            out |= ((y >> i) & 1) << (2 * i + 1)
+        return out
+
+    df = spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in enumerate(pairs)], "i int, x long, y long"
+    )
+    got = {
+        r.i: r.z
+        for r in df.select(
+            "i", F.expr(_zvalue_sql("x", "y", "div")).alias("z")
+        ).collect()
+    }
+    for i, (x, y) in enumerate(pairs):
+        assert got[i] == z_ref(x, y), (x, y)
+
+
+def test_pq_codes_match_python_argmin_reference(spark, sf_dir):
+    """PQ encoding must equal a direct per-vector Python argmin against
+    the same codebook: round-6 distances, ties to the lowest seed id —
+    verified row-by-row on the whole fixture, independent of the SQL
+    oracle path."""
+    import numpy as np
+
+    from dataengineer_scripts_spark import registry
+    from dataengineer_scripts_spark.operators.llm import PQ_K, PQ_M
+    from dataengineer_scripts_spark.tables import table
+
+    emb = {
+        r.vec_id: np.array(r.e)
+        for r in table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+        )
+        .collect()
+    }
+    seeds = sorted(k for k in emb if k < PQ_K)
+    dim = len(next(iter(emb.values())))
+    w = dim // PQ_M
+    got = {
+        r.vec_id: (list(r.codes), r.err_micro)
+        for r in registry.definitions()["x_llm_embed_pq"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert set(got) == set(emb)
+    for vid, v in emb.items():
+        codes, err = [], 0
+        for m in range(PQ_M):
+            sub = v[m * w:(m + 1) * w]
+            best_k, best_d = None, None
+            for k in seeds:  # ascending seed id → first win on ties
+                d = round(float(((sub - emb[k][m * w:(m + 1) * w]) ** 2).sum()), 6)
+                if best_d is None or d < best_d:
+                    best_k, best_d = k, d
+            codes.append(best_k)
+            err += int(np.floor(best_d * 1e6 + 0.5))
+        assert got[vid] == (codes, err), vid
