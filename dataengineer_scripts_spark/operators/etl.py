@@ -971,8 +971,13 @@ def x_etl_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
     )
-    bucket = F.ntile(ZORDER_BUCKETS).over(
-        Window.orderBy("zval", "l_orderkey", "l_linenumber")
+    # cast: ntile is int32 in Spark but BIGINT in DuckDB (and in the
+    # sharded twin's CASE arithmetic) — pin the exact integer width so a
+    # width-sensitive typed hash can never split the twins
+    bucket = (
+        F.ntile(ZORDER_BUCKETS)
+        .over(Window.orderBy("zval", "l_orderkey", "l_linenumber"))
+        .cast("bigint")
     )
     return (
         z.select("l_partkey", "l_suppkey", bucket.alias("bucket"))

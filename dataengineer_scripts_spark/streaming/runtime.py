@@ -9,8 +9,10 @@ Kafka-fed continuous query on a cluster).
 
 from __future__ import annotations
 
+import atexit
 import hashlib
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -83,12 +85,34 @@ def stream_events_split(
     ).hexdigest()[:12]
     d = os.path.join(tempfile.gettempdir(), f"spark_graft_split_{tag}")
     if not os.path.isfile(os.path.join(d, "_SUCCESS")):
+        # Atomic publish: write to a private temp dir, then rename into
+        # place.  A concurrent session (pytest + bench share the system
+        # tmpdir) either wins the rename or finds the winner's complete
+        # dir — never observes (or clobbers) a half-written one, which
+        # the old unsynchronized check-then-overwrite allowed.
+        tmp = tempfile.mkdtemp(
+            prefix=f"spark_graft_split_{tag}_stage_",
+        )
+        staged = os.path.join(tmp, "data")
         (
             table(spark, sf_dir, "events")
             .repartitionByRange(n_files, "ts", "event_id")
             .write.mode("overwrite")
-            .parquet(d)
+            .parquet(staged)
         )
+        try:
+            os.rename(staged, d)
+        except OSError:
+            if not os.path.isfile(os.path.join(d, "_SUCCESS")):
+                # stale half-written dir from a crashed writer: replace it
+                shutil.rmtree(d, ignore_errors=True)
+                try:
+                    os.rename(staged, d)
+                except OSError:
+                    pass  # lost a concurrent race; winner's dir is complete
+            # else: lost the race cleanly — the winner's dir is complete
+        shutil.rmtree(tmp, ignore_errors=True)
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
     schema = spark.read.parquet(d).schema
     stream = (
         spark.readStream.schema(schema)

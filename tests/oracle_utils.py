@@ -121,12 +121,33 @@ def duck_arrow_types(con, sql: str) -> dict[str, Any]:
     return {f.name: _canon_arrow_type(f.type) for f in schema}
 
 
+def non_scalar_columns(types: dict[str, Any]) -> dict[str, Any]:
+    """Columns whose canonical kind is list/map/struct.  The grading
+    driver canonicalizes oracle-checked results with a pandas sort over
+    all columns; numpy-array cells are unhashable/unsortable there, so an
+    array-typed output column ERRs at grading time even when every value
+    matches (the r07 ``x_llm_embed_pq`` failure).  Oracle-checked
+    operators must therefore emit scalar columns only."""
+    return {
+        c: k
+        for c, k in types.items()
+        if isinstance(k, tuple) and k[0] in ("list", "map", "struct")
+    }
+
+
 def assert_types_match(df, con, sql: str, name: str = "") -> None:
     """Fail if any output column's canonical type kind differs between the
     Spark plan and the DuckDB oracle — the class of driver hash mismatch
     (e.g. HUGEINT sum() → decimal128 vs Spark bigint) that value-level
-    comparison cannot see."""
+    comparison cannot see.  Also fail on any non-scalar column on either
+    side: the driver cannot canonicalize those at all (r07 embed_pq ERR),
+    so the local sweep must reject them even when both engines agree."""
     s_types, d_types = spark_types(df), duck_arrow_types(con, sql)
+    bad = {**non_scalar_columns(s_types), **non_scalar_columns(d_types)}
+    assert not bad, (
+        f"{name}: non-scalar column(s) in oracle-checked output "
+        f"(driver canonicalizer cannot sort/hash them): {bad}"
+    )
     diffs = {
         c: (s_types.get(c), d_types.get(c))
         for c in set(s_types) | set(d_types)

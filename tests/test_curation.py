@@ -378,5 +378,5 @@ def test_pq_seeds_encode_to_themselves_with_zero_error(spark, sf_dir):
     )
     assert len(rows) == PQ_K
     for r in rows:
-        assert list(r.codes) == [r.vec_id] * PQ_M
+        assert r.codes == "-".join([str(r.vec_id)] * PQ_M)
         assert r.err_micro == 0

@@ -304,7 +304,7 @@ def test_pq_codes_match_python_argmin_reference(spark, sf_dir):
     dim = len(next(iter(emb.values())))
     w = dim // PQ_M
     got = {
-        r.vec_id: (list(r.codes), r.err_micro)
+        r.vec_id: ([int(c) for c in r.codes.split("-")], r.err_micro)
         for r in registry.definitions()["x_llm_embed_pq"]
         .fn(spark, sf_dir)
         .collect()

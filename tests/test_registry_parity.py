@@ -45,6 +45,55 @@ def test_type_guard_catches_uncast_integer_sum(spark, duck, sf_dir):
     )
 
 
+def test_non_scalar_guard_rejects_array_output(spark, duck, sf_dir):
+    """The r07 driver-ERR class: the grading driver's pandas canonicalizer
+    cannot sort/hash array-typed cells, so an oracle-checked operator
+    emitting ``array<...>`` (or map/struct) ERRs at grading time even when
+    the values match.  ``assert_matches_oracle`` must reject such outputs
+    — not tuple-coerce them like the pre-r08 ``_norm`` did — so local
+    sweeps predict the driver."""
+    import pyspark.sql.functions as F
+
+    from dataengineer_scripts_spark.tables import table
+
+    df = (
+        table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.sort_array(F.collect_set("lang")).alias("langs"))
+    )
+    sql = "SELECT source, list_sort(list(DISTINCT lang)) AS langs FROM documents GROUP BY source"
+    with pytest.raises(AssertionError, match="non-scalar"):
+        assert_matches_oracle(df, duck, sql, "scratch")
+    # struct output must be rejected too, even one-sided
+    df2 = table(spark, sf_dir, "documents").select(
+        "doc_id", F.struct("source", "lang").alias("meta")
+    )
+    with pytest.raises(AssertionError, match="non-scalar"):
+        assert_matches_oracle(
+            df2, duck, "SELECT doc_id, source AS meta FROM documents", "scratch"
+        )
+
+
+def test_every_oracle_checked_operator_emits_scalar_columns_only():
+    """Static registry-wide restatement of the guard: no oracle SQL may
+    produce a list/map/struct column.  (The dynamic twin runs implicitly:
+    ``test_operator`` routes every oracle-checked op through
+    ``assert_matches_oracle``, which now rejects non-scalar Spark-side
+    columns too.)"""
+    from .conftest import make_duck
+    from .oracle_utils import duck_arrow_types, non_scalar_columns
+
+    con = make_duck("/root/testdata/sf0.001")
+    bad = {}
+    for name, qd in DEFS.items():
+        if qd.oracle is None:
+            continue
+        ns = non_scalar_columns(duck_arrow_types(con, qd.oracle))
+        if ns:
+            bad[name] = ns
+    assert not bad, f"oracle SQL with non-scalar output columns: {bad}"
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 

@@ -40,6 +40,7 @@ def main() -> int:
     from tests.oracle_utils import (
         duck_arrow_types,
         duck_rows,
+        non_scalar_columns,
         spark_rows,
         spark_types,
     )
@@ -74,6 +75,12 @@ def main() -> int:
             print(f"  {name}: ORACLE ERROR {type(ex).__name__}: {str(ex)[:200]}")
             continue
         s_ty, d_ty = spark_types(df), duck_arrow_types(con, osql[name])
+        bad = {**non_scalar_columns(s_ty), **non_scalar_columns(d_ty)}
+        if bad:
+            # the real driver's pandas canonicalizer crashes on array cells
+            failed.append(name)
+            print(f"  {name}: NON-SCALAR oracle-checked column(s) {bad}")
+            continue
         ty_diffs = {
             c: (s_ty.get(c), d_ty.get(c))
             for c in set(s_ty) | set(d_ty)
