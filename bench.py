@@ -159,6 +159,17 @@ def main() -> None:
         "sf": detail["sf"],
         "n_queries": len(timings),
         "detail": os.path.basename(detail_path),
+        # machine snapshot INLINE in the driver-recorded line (not only in
+        # the detail file): a later reader attributing a per-round shift
+        # must see uptime/load without opening committed side artifacts
+        # (the r06 VM-restart false alarm cost a round of analysis).
+        "machine": {
+            "start": {
+                k: machine_start[k]
+                for k in ("uptime_sec", "loadavg")
+                if k in machine_start
+            },
+        },
     }
     if errors:
         out["n_errors"] = len(errors)

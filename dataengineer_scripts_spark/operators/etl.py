@@ -1207,3 +1207,70 @@ def zorder_stats_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
 register("x_etl_zorder_stats_sharded", oracle=_ZORDER_ORACLE)(
     zorder_stats_sharded
 )
+
+
+#: Snapshot-diff cutoffs: two "time-travel" versions of the per-order
+#: shipped-line rollup, a year apart (fixture shipdates span 1995-2001).
+SNAPDIFF_OLD = "1999-01-01 00:00:00"
+SNAPDIFF_NEW = "2000-01-01 00:00:00"
+
+
+@register(
+    "x_etl_snapshot_diff",
+    oracle=f"""
+    WITH old AS (
+        SELECT l_orderkey, count(*) AS n FROM lineitem
+        WHERE l_shipdate < TIMESTAMP '{SNAPDIFF_OLD}' GROUP BY l_orderkey
+    ),
+    new AS (
+        SELECT l_orderkey, count(*) AS n FROM lineitem
+        WHERE l_shipdate < TIMESTAMP '{SNAPDIFF_NEW}' GROUP BY l_orderkey
+    )
+    SELECT new.l_orderkey,
+           COALESCE(old.n, 0)::BIGINT AS n_lines_old,
+           new.n::BIGINT AS n_lines_new,
+           CASE WHEN old.l_orderkey IS NULL THEN 'added'
+                ELSE 'changed' END AS status
+    FROM new LEFT JOIN old USING (l_orderkey)
+    WHERE old.l_orderkey IS NULL OR old.n <> new.n
+    """,
+)
+def x_etl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style diff between two snapshot versions of a keyed rollup
+    (per-order shipped-line counts at two time-travel cutoffs): which
+    orders are NEW in the later snapshot, which CHANGED, and the
+    before/after values — the audit/incremental-refresh primitive behind
+    every `MERGE`-based pipeline.
+
+    Plan: the general two-physical-snapshot shape is a full-outer join on
+    the key (what the oracle spells).  When both snapshots derive from
+    one immutable fact table by predicate — the lakehouse time-travel
+    case — the diff collapses to ONE conditional-aggregate scan:
+    ``sum(when(shipdate < T))`` per cutoff in a single hash aggregate,
+    strictly one shuffle where the join formulation needs three.  Rows
+    with no line before either cutoff never leave the map side; an
+    unchanged key is dropped by a post-aggregate filter.  At 100 TB this
+    is the difference between re-reading the fact table twice + a
+    key-sized join, and one pass."""
+    t_old = F.lit(SNAPDIFF_OLD).cast("timestamp")
+    t_new = F.lit(SNAPDIFF_NEW).cast("timestamp")
+    one_old = F.when(F.col("l_shipdate") < t_old, 1).otherwise(0)
+    one_new = F.when(F.col("l_shipdate") < t_new, 1).otherwise(0)
+    agg = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(one_old).cast("bigint").alias("n_lines_old"),
+            F.sum(one_new).cast("bigint").alias("n_lines_new"),
+        )
+        .filter(F.col("n_lines_new") > 0)
+        .filter(F.col("n_lines_old") != F.col("n_lines_new"))
+    )
+    return agg.select(
+        "l_orderkey",
+        "n_lines_old",
+        "n_lines_new",
+        F.when(F.col("n_lines_old") == 0, F.lit("added"))
+        .otherwise(F.lit("changed"))
+        .alias("status"),
+    )

@@ -530,6 +530,81 @@ def x_llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Companion-signature geometry: 60 bits so the token hash fits a SIGNED
+#: BIGINT in both engines (15 hex chars of md5 < 2^60 — the same md5-prefix
+#: trick as ``x_etl_shard_assign``, widened from 6 to 15 chars).
+SIMHASH_CO_BITS = 60
+
+
+@register(
+    "x_llm_simhash_signature",
+    oracle=f"""
+    WITH th AS (
+        SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM documents)
+    ),
+    bits AS (
+        SELECT doc_id, b.b,
+               CASE WHEN 2 * sum((h >> b.b) & 1) > count(*)
+                    THEN 1::BIGINT ELSE 0::BIGINT END AS bit,
+               count(*) AS n
+        FROM th, (SELECT unnest(generate_series(0, {SIMHASH_CO_BITS - 1}))
+                  AS b) b
+        GROUP BY doc_id, b.b
+    )
+    SELECT doc_id,
+           sum(bit * (1::BIGINT << b))::BIGINT AS sig,
+           min(n)::BIGINT AS n_tokens
+    FROM bits GROUP BY doc_id
+    """,
+)
+def x_llm_simhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked companion of ``x_llm_dedup_simhash``: the SAME
+    signature plan — token explode → ONE hash aggregate of per-bit
+    majority votes → signature assembled in a Project above it — but with
+    a 60-bit md5-prefix token hash both engines can compute bit-for-bit,
+    where the production op's ``xxhash64`` has no DuckDB twin and forces
+    a rows-only driver check.  A hash-matched driver row here attests the
+    family's whole relational shape (explode fan-out, vote aggregate,
+    shift/or assembly); only the hash function differs, and SimHash's
+    guarantees are hash-family-independent.
+
+    Same scale posture as the production op: the explode is map-side, the
+    votes are ONE hash aggregate on doc_id (60 sum columns ride the same
+    shuffle), the signature assembly is pure codegen — per-doc cost is
+    O(tokens × bits) scan-side work, nothing data-sized is ever joined."""
+    th = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .select(
+            "doc_id",
+            F.conv(F.substring(F.md5("w"), 1, 15), 16, 10)
+            .cast("bigint")
+            .alias("h"),
+        )
+    )
+    votes = th.groupBy("doc_id").agg(
+        F.count("*").alias("n"),
+        *[
+            F.sum(F.shiftright("h", k).bitwiseAND(F.lit(1))).alias(f"b{k}")
+            for k in range(SIMHASH_CO_BITS)
+        ],
+    )
+    bit = lambda k: (  # noqa: E731
+        F.when(2 * F.col(f"b{k}") > F.col("n"), F.lit(1).cast("long"))
+        .otherwise(F.lit(0).cast("long"))
+    )
+    sig_expr = bit(0)
+    for k in range(1, SIMHASH_CO_BITS):
+        sig_expr = sig_expr.bitwiseOR(F.shiftleft(bit(k), k))
+    return votes.select(
+        "doc_id",
+        sig_expr.alias("sig"),
+        F.col("n").cast("bigint").alias("n_tokens"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Embedding similarity
 # ---------------------------------------------------------------------------
@@ -3486,4 +3561,366 @@ def x_llm_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         partial.withColumn("rank", F.row_number().over(rank_w))
         .filter(F.col("rank") <= KNN_K)
+    )
+
+
+#: Queries attested by the exact-ADC companion: a subset of the top-k
+#: op's query set, enough to drive every LUT/code path through the oracle.
+ADC_ORACLE_QUERIES = 5
+
+
+@register(
+    "x_llm_pq_adc_scores",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS d
+        FROM embeddings
+    ),
+    nv AS (
+        SELECT vec_id, len(d) // {PQ_M} AS w,
+               list_transform(d, x -> x / n) AS e
+        FROM (SELECT vec_id, d,
+                     sqrt(list_sum(list_transform(d, y -> y * y))) AS n
+              FROM v)
+    ),
+    cb AS (
+        SELECT m.m, s.vec_id AS k,
+               list_slice(s.e, m.m * s.w + 1, m.m * s.w + s.w) AS c
+        FROM (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m) m,
+             (SELECT * FROM nv WHERE vec_id < {PQ_K}) s
+    ),
+    dist AS (
+        SELECT nv.vec_id, cb.m, cb.k,
+               round(list_sum(list_transform(generate_series(1, nv.w),
+                     i -> (nv.e[cb.m * nv.w + i] - cb.c[i])
+                        * (nv.e[cb.m * nv.w + i] - cb.c[i]))), 6) AS d2
+        FROM nv CROSS JOIN cb
+    ),
+    a AS (
+        SELECT vec_id, m, k FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                      ORDER BY d2, k) AS rn
+            FROM dist)
+        WHERE rn = 1
+    ),
+    lut AS (
+        SELECT q.vec_id AS query_id, cb.m, cb.k,
+               list_sum(list_transform(generate_series(1, q.w),
+                     i -> q.e[cb.m * q.w + i] * cb.c[i])) AS t
+        FROM (SELECT * FROM nv WHERE vec_id < {ADC_ORACLE_QUERIES}) q
+        CROSS JOIN cb
+    )
+    SELECT l.query_id, a.vec_id AS neighbor_id,
+           sum(CAST(floor(l.t * 1000000.0 + 0.5) AS BIGINT))::BIGINT
+               AS adc_micro
+    FROM a JOIN lut l ON a.m = l.m AND a.k = l.k
+    WHERE a.vec_id <> l.query_id
+    GROUP BY 1, 2
+    """,
+)
+def x_llm_pq_adc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked companion of ``x_llm_pq_adc_topk``: the full ADC
+    score matrix (every corpus vector against ADC_ORACLE_QUERIES queries,
+    self excluded) in exact integer micro-units, where the top-k op is
+    necessarily rows-only (quantization shifts ranks, so recall < 1 has
+    no SQL twin).  The ADC *arithmetic* is deterministic once the
+    codebook is frozen: codes are the round-6 argmin assignment (ties to
+    the lowest seed id — the ``x_llm_embed_pq`` convention, here in
+    normalized space), and each per-subspace lookup-table entry
+    ``T[m][k] = q_m · c_{m,k}`` is pinned to ``floor(t·1e6 + 0.5)``
+    BEFORE summation, so the reported score is exact BIGINT math in both
+    engines (the err_micro mitigation applied to scores).  A hash-matched
+    driver row here attests the whole IVF-PQ query shape — driver-held
+    codebook + LUTs, ONE narrow ``mapInPandas`` corpus pass, no join, no
+    shuffle below the aggregate — while the top-k op keeps its recall
+    gate in ``tests/test_ann_recall.py``.
+
+    The production top-k op keeps unrounded doubles (rank fidelity beats
+    cross-engine replay there); this companion trades 1e-6 score
+    granularity for value-level attestation."""
+    e = _normalized(spark, sf_dir)
+    seeds = sorted(
+        e.filter(F.col("vec_id") < PQ_K).collect(), key=lambda r: r.vec_id
+    )
+    smat = np.array([r.e for r in seeds])
+    dim = smat.shape[1]
+    w = dim // PQ_M
+    cb = np.stack([smat[:, m * w:(m + 1) * w] for m in range(PQ_M)])
+    qrows = sorted(
+        e.filter(F.col("vec_id") < ADC_ORACLE_QUERIES).collect(),
+        key=lambda r: r.vec_id,
+    )
+    qids = np.array([r.vec_id for r in qrows])
+    qmat = np.array([r.e for r in qrows])
+    lut = np.stack(
+        [qmat[:, m * w:(m + 1) * w] @ cb[m].T for m in range(PQ_M)], axis=1
+    )
+    lut_micro = np.floor(lut * 1e6 + 0.5).astype(np.int64)  # Q × M × K
+
+    def adc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.vstack(pdf["e"].to_numpy())
+            ids = pdf["vec_id"].to_numpy()
+            codes = np.empty((len(pdf), PQ_M), dtype=np.int64)
+            for m in range(PQ_M):
+                sub = mat[:, m * w:(m + 1) * w]
+                d2 = np.round(
+                    ((sub[:, None, :] - cb[m][None, :, :]) ** 2).sum(2), 6
+                )
+                codes[:, m] = d2.argmin(1)  # first min = lowest seed id
+            # scores[n, q] = sum_m lut_micro[q, m, codes[n, m]] — int64
+            scores = sum(lut_micro[:, m, codes[:, m]].T for m in range(PQ_M))
+            out = []
+            for j, qid in enumerate(qids):
+                mask = ids != qid
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "neighbor_id": ids[mask],
+                            "adc_micro": scores[mask, j],
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    return e.mapInPandas(
+        adc, "query_id long, neighbor_id long, adc_micro long"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-8 curation additions: truncation dups, vocab coverage, outliers
+# ---------------------------------------------------------------------------
+
+#: Prefix-dup blocking key length: candidates must agree on their first
+#: PREFIX_BLOCK_CHARS characters.  A proper-prefix pair always does when
+#: the shorter doc is at least this long (fixture minimum is 48 chars);
+#: shorter prefixes are exact-dup territory, handled by x_llm_dedup_exact.
+PREFIX_BLOCK_CHARS = 16
+
+
+@register(
+    "x_llm_dedup_prefix",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, text, len(text) AS n,
+               substr(text, 1, {PREFIX_BLOCK_CHARS}) AS blk
+        FROM documents
+    )
+    SELECT a.doc_id AS doc_short, b.doc_id AS doc_long,
+           a.n::BIGINT AS len_short, b.n::BIGINT AS len_long,
+           round(a.n::DOUBLE / b.n::DOUBLE, 6) AS coverage
+    FROM d a JOIN d b
+      ON a.blk = b.blk AND a.n < b.n AND starts_with(b.text, a.text)
+    """,
+)
+def x_llm_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncation-duplicate detection: pairs where one document is a
+    PROPER PREFIX of another — the dup class shingle-Jaccard underrates
+    (a 10% head of a long doc shares few of its shingles) and exact dedup
+    misses entirely, yet corpora are full of it (cut-off crawls, preview
+    snippets, pagination heads).  Emits the pair with both lengths and
+    the coverage ratio so a keep-policy can drop the truncation.
+
+    Candidate generation is BLOCKED, never n²: docs pair only within
+    equal first-PREFIX_BLOCK_CHARS blocks (a proper-prefix pair always
+    shares that block when the shorter side is ≥ the block length — the
+    fixture minimum is 3×; the oracle encodes the identical blocking, so
+    parity holds at every SF).  The exact ``startswith`` check runs
+    INSIDE the block join as a codegen'd residual.  Block sizes are
+    bounded by template-class sizes once ``x_llm_dedup_exact`` has
+    collapsed identical texts — the same reasoning as the hot-shingle
+    cap, with the cap itself available if a pathological corpus needs it.
+    At 100 TB: one narrow projection, one equi-join on a 16-byte key."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        F.length("text").cast("bigint").alias("n"),
+        F.substring("text", 1, PREFIX_BLOCK_CHARS).alias("blk"),
+    )
+    a = d.select(
+        F.col("doc_id").alias("doc_short"),
+        F.col("text").alias("_ta"),
+        F.col("n").alias("len_short"),
+        "blk",
+    )
+    b = d.select(
+        F.col("doc_id").alias("doc_long"),
+        F.col("text").alias("_tb"),
+        F.col("n").alias("len_long"),
+        "blk",
+    )
+    return (
+        a.join(b, "blk")
+        .filter(
+            (F.col("len_short") < F.col("len_long"))
+            & F.col("_tb").startswith(F.col("_ta"))
+        )
+        .select(
+            "doc_short",
+            "doc_long",
+            "len_short",
+            "len_long",
+            F.round(
+                F.col("len_short").cast("double")
+                / F.col("len_long").cast("double"),
+                6,
+            ).alias("coverage"),
+        )
+    )
+
+
+#: Applied-vocabulary size for the coverage report (top-V corpus words).
+VOCAB_COVERAGE_V = 500
+
+
+@register(
+    "x_llm_vocab_coverage",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    vocab AS (
+        SELECT w FROM (
+            SELECT w, count(*) AS c FROM w GROUP BY w
+            ORDER BY c DESC, w LIMIT {VOCAB_COVERAGE_V})
+    )
+    SELECT doc_id, count(*)::BIGINT AS n_tokens,
+           sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+           round(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*)::DOUBLE, 6) AS oov_ratio
+    FROM w LEFT JOIN vocab v USING (w)
+    GROUP BY doc_id
+    """,
+)
+def x_llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage report: APPLY a fixed top-V corpus vocabulary
+    (ties at the cut broken lexicographically — a pinned total order) to
+    every document and report its token count, out-of-vocabulary token
+    count, and OOV ratio — the coverage analysis run before freezing a
+    tokenizer, and the per-doc signal that flags corrupted/foreign docs
+    (``x_llm_vocab_topk`` BUILDS vocabularies; this measures what one
+    covers).
+
+    Plan: vocab = one word-count hash aggregate + a V-row TakeOrdered
+    (deterministic under the pinned tie-break); the application side is
+    the exploded corpus LEFT-joined against the BROADCAST V-row vocab,
+    re-aggregated per doc_id with map-side combine.  The explode never
+    shuffles — the only data-sized exchange is the per-doc count
+    aggregate, keyed the same as every other per-doc op.  At 100 TB the
+    vocab is KBs; the corpus passes once."""
+    w = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    )
+    vocab = (
+        w.groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), "w")
+        .limit(VOCAB_COVERAGE_V)
+        .select("w", F.lit(1).alias("_in"))
+    )
+    return (
+        w.join(F.broadcast(vocab), "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            F.round(
+                F.col("n_oov").cast("double") / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("oov_ratio"),
+        )
+    )
+
+
+@register(
+    "x_llm_embed_outlier",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> x::DOUBLE) AS e
+        FROM embeddings
+    ),
+    c AS (
+        SELECT label, g.i, round(avg(e[g.i]), 6) AS c
+        FROM v, unnest(generate_series(1, len(e))) AS g(i)
+        GROUP BY label, g.i
+    )
+    SELECT v.vec_id, v.label,
+           sum(CAST(floor((v.e[c.i] - c.c) * (v.e[c.i] - c.c)
+                          * 1000000.0 + 0.5) AS BIGINT))::BIGINT
+               AS dist_micro
+    FROM v JOIN c USING (label)
+    GROUP BY v.vec_id, v.label
+    """,
+)
+def x_llm_embed_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic outlier scoring: every embedding's squared distance to its
+    label-group centroid, in exact integer micro-units — the
+    quality-filter signal behind 'drop the points far from their cluster'
+    curation (mislabeled docs, garbage embeddings, off-topic members).
+    Ranking the output descending per label IS the outlier review queue.
+
+    Determinism: centroid components are rounded to 6 BEFORE use (avg
+    accumulation order differs across engines — the SemDeDup cosine
+    mitigation), and per-dimension squared deviations are pinned to
+    micro-integers before summation, so the reported distance is exact
+    BIGINT math in both engines.
+
+    Plan: phase 1 computes centroids with ONE hash aggregate over the
+    posexploded (label, dim) frame — map-side combine collapses each task
+    to labels × dim partial sums, so the explode never shuffles raw rows
+    — and collects labels × dim doubles (KBs; the bounded-model pattern
+    of IVF/PQ).  Phase 2 scores the corpus in ONE narrow ``mapInPandas``
+    pass with the broadcast centroid matrix: vectorized per-batch GEMM,
+    zero joins, zero shuffles.  At 100 TB phase 1 reduces to KBs on the
+    wire and phase 2 runs at scan speed."""
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    cent_rows = (
+        emb.select("label", F.posexplode("e").alias("i", "x"))
+        .groupBy("label", "i")
+        .agg(F.round(F.avg("x"), 6).alias("c"))
+        .collect()
+    )
+    by_label: dict[int, dict[int, float]] = {}
+    for r in cent_rows:
+        by_label.setdefault(r.label, {})[r.i] = r.c
+    cent = {
+        lab: np.array([d[i] for i in range(len(d))]) for lab, d in by_label.items()
+    }
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.vstack(pdf["e"].to_numpy())
+            labs = pdf["label"].to_numpy()
+            cmat = np.vstack([cent[lab] for lab in labs])
+            diff2 = (mat - cmat) ** 2
+            micro = np.floor(diff2 * 1e6 + 0.5).astype(np.int64).sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "label": labs,
+                    "dist_micro": micro,
+                }
+            )
+
+    return emb.mapInPandas(
+        score, "vec_id long, label long, dist_micro long"
     )

@@ -1578,6 +1578,47 @@ def x_agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_agg_hll_merge_exact",
+    oracle="""
+    WITH daily AS (
+        SELECT DISTINCT time_bucket(INTERVAL 1 DAY, ts::TIMESTAMP) AS day,
+               event_type, user_id
+        FROM events
+    )
+    SELECT event_type,
+           count(DISTINCT user_id)::BIGINT AS n_users_exact,
+           count(DISTINCT day)::BIGINT AS n_daily_groups
+    FROM daily GROUP BY event_type
+    """,
+)
+def x_agg_hll_merge_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT twin of ``x_agg_hll_merge``, keyed identically: per-day
+    partial dedup of (day, event_type, user_id) — the relational shape a
+    daily HLL sketch materializes — rolled up to exact per-type distinct
+    users and day counts.  ``x_agg_hll_merge``'s sketch estimate has no
+    cross-engine oracle (rows-only driver check), so this companion is
+    the family's hash-matched attestation: it drives the SAME two-level
+    scan→daily-dedup→rollup plan through the value-level gate, while the
+    sketch op's accuracy is separately gated against this exact answer in
+    ``tests/test_warehouse.py``.  At scale the exact twin is the audit
+    query you run on a sampled partition to validate the sketch pipeline;
+    the sketch remains the incremental-maintenance path."""
+    daily = (
+        table(spark, sf_dir, "events")
+        .select(
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            "event_type",
+            "user_id",
+        )
+        .distinct()
+    )
+    return daily.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_users_exact"),
+        F.countDistinct("day").cast("bigint").alias("n_daily_groups"),
+    )
+
+
+@register(
     "x_agg_median",
     oracle="""
     SELECT o_orderpriority,
@@ -1710,4 +1751,180 @@ def x_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.min("o_totalprice"), 2).alias("lo"),
             F.round(F.max("o_totalprice"), 2).alias("hi"),
         )
+    )
+
+
+@register(
+    "x_agg_mode",
+    oracle="""
+    WITH cnt AS (
+        SELECT source, lang, count(*) AS c
+        FROM documents GROUP BY source, lang
+    )
+    SELECT source, lang AS mode_lang, c AS n_docs_mode
+    FROM (SELECT *, row_number() OVER (PARTITION BY source
+                                       ORDER BY c DESC, lang) AS rn
+          FROM cnt)
+    WHERE rn = 1
+    """,
+)
+def x_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group mode: each source's most frequent language (ties to
+    the lexicographically smallest — a pinned total order, since engines
+    disagree on arbitrary-tie ``max_by``), with the winning count.  The
+    categorical counterpart of ``x_agg_median``, and the mixture sanity
+    check a corpus build runs per source.
+
+    Plan: the same argmax-as-aggregates shape as ``x_llm_dedup_keep_best``
+    — counts (one hash aggregate), per-source max (second, source-sized),
+    then min-lang at the max — no sort window anywhere, every shuffle key
+    is `source` so AQE chains the exchanges; the oracle spells it as the
+    equivalent deterministic ``row_number`` pick."""
+    cnt = (
+        table(spark, sf_dir, "documents")
+        .groupBy("source", "lang")
+        .agg(F.count("*").alias("c"))
+    )
+    best = cnt.groupBy("source").agg(F.max("c").alias("_cmax"))
+    return (
+        cnt.join(best, "source")
+        .filter(F.col("c") == F.col("_cmax"))
+        .groupBy("source")
+        .agg(
+            F.min("lang").alias("mode_lang"),
+            F.max("c").alias("n_docs_mode"),
+        )
+    )
+
+
+#: Funnel stage sequence over the events fixture: the canonical
+#: view → click → purchase conversion ladder, strictly-ordered in time.
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+@register(
+    "x_agg_funnel",
+    oracle=f"""
+    WITH s1 AS (
+        SELECT user_id, min(ts::TIMESTAMP) AS t1 FROM events
+        WHERE event_type = '{FUNNEL_STAGES[0]}' GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, min(e.ts::TIMESTAMP) AS t2
+        FROM events e JOIN s1 USING (user_id)
+        WHERE e.event_type = '{FUNNEL_STAGES[1]}' AND e.ts::TIMESTAMP > s1.t1
+        GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id, min(e.ts::TIMESTAMP) AS t3
+        FROM events e JOIN s2 USING (user_id)
+        WHERE e.event_type = '{FUNNEL_STAGES[2]}' AND e.ts::TIMESTAMP > s2.t2
+        GROUP BY e.user_id
+    )
+    SELECT (SELECT count(*) FROM s1)::BIGINT AS n_stage1,
+           (SELECT count(*) FROM s2)::BIGINT AS n_stage2,
+           (SELECT count(*) FROM s3)::BIGINT AS n_stage3
+    """,
+)
+def x_agg_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analysis: users who viewed, then clicked strictly
+    after their first view, then purchased strictly after that first
+    click — the product-analytics conversion query, expressed as the
+    classic first-touch chain (stage k anchors at the user's EARLIEST
+    qualifying event after stage k-1, so a user converts at most once).
+
+    Timestamps are compared at microsecond precision on both sides
+    (``ts::TIMESTAMP`` truncates DuckDB's nanos exactly like the engine's
+    parquet reader) and ``min(ts)`` needs no tie-break: equal-ts events of
+    the same user collapse to one anchor value by the aggregate itself.
+
+    Plan: three filtered min-aggregates chained by user_id equi-joins —
+    every shuffle hashes user_id, so AQE reuses one exchange layout; each
+    stage's frame shrinks monotonically (funnels only narrow).  At 100 TB
+    the stage-1 aggregate dominates and is a map-side-combinable min;
+    nothing ever sorts or windows the event log."""
+    ev = table(spark, sf_dir, "events")
+    s1 = (
+        ev.filter(F.col("event_type") == FUNNEL_STAGES[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == FUNNEL_STAGES[1])
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == FUNNEL_STAGES[2])
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    c1 = s1.agg(F.count("*").alias("n_stage1"))
+    c2 = s2.agg(F.count("*").alias("n_stage2"))
+    c3 = s3.agg(F.count("*").alias("n_stage3"))
+    return c1.crossJoin(c2).crossJoin(c3)
+
+
+#: Week-index epoch for cohort analysis: the fixture's first event day.
+#: Integer day-diff div 7 on BOTH engines — no timezone- or
+#: origin-sensitive week truncation (date_trunc('week') and time_bucket
+#: disagree on origins across engines; an explicit epoch cannot).
+RETENTION_EPOCH = "2024-01-01"
+
+
+@register(
+    "x_agg_retention",
+    oracle=f"""
+    WITH wk AS (
+        SELECT DISTINCT user_id,
+               date_diff('day', DATE '{RETENTION_EPOCH}',
+                         ts::TIMESTAMP) // 7 AS w
+        FROM events
+    ),
+    coh AS (SELECT user_id, min(w) AS c FROM wk GROUP BY user_id)
+    SELECT coh.c::BIGINT AS cohort_week,
+           (wk.w - coh.c)::BIGINT AS week_offset,
+           count(*)::BIGINT AS n_users
+    FROM wk JOIN coh USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def x_agg_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by their FIRST active week
+    (the cohort), counted in every later week they return — the
+    (cohort_week, week_offset) → user-count triangle behind every
+    retention dashboard.  Week indices are integer day-differences from a
+    pinned epoch ``div 7``: pure integer arithmetic both engines compute
+    identically, where ``date_trunc('week')``/``time_bucket`` carry
+    engine-specific origin conventions.
+
+    Plan: distinct (user, week) is one dedup aggregate; the cohort min is
+    a second aggregate on the SAME user_id key; the join and the final
+    cell rollup reuse that key until the last cells-sized aggregate —
+    AQE chains one exchange layout through the whole query, and the
+    per-user frames are weeks-bounded (≤ a few rows each) regardless of
+    event volume.  At 100 TB the first dedup dominates and is map-side
+    combinable."""
+    wk = (
+        table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.expr(
+                f"datediff(to_date(ts), date'{RETENTION_EPOCH}') div 7"
+            ).alias("w"),
+        )
+        .distinct()
+    )
+    coh = wk.groupBy("user_id").agg(F.min("w").alias("c"))
+    return (
+        wk.join(coh, "user_id")
+        .groupBy(
+            F.col("c").cast("bigint").alias("cohort_week"),
+            (F.col("w") - F.col("c")).cast("bigint").alias("week_offset"),
+        )
+        .agg(F.count("*").alias("n_users"))
     )

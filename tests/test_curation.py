@@ -380,3 +380,30 @@ def test_pq_seeds_encode_to_themselves_with_zero_error(spark, sf_dir):
     for r in rows:
         assert r.codes == "-".join([str(r.vec_id)] * PQ_M)
         assert r.err_micro == 0
+
+
+def test_simhash_signature_separates_near_dups_from_random_pairs(spark, sf_dir):
+    """The oracle-checked companion signature must carry the SimHash
+    property the production op relies on: near-dup pairs (J >= 0.5 from
+    the exact ngram operator) sit at small Hamming distance while random
+    pairs sit near BITS/2 ≈ 30 (sf0.001 measured: near-dup mean 2.5 /
+    max 11, random mean 19).  Identical token multisets get identical
+    signatures as the distance-0 corner of the same property."""
+    sigs = {
+        r.doc_id: r.sig
+        for r in registry.definitions()["x_llm_simhash_signature"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in DEFS["x_llm_dedup_ngram_jaccard"].fn(spark, sf_dir).collect()
+    ]
+    assert pairs  # the fixture contains near-dups
+    ham = lambda a, b: bin(sigs[a] ^ sigs[b]).count("1")  # noqa: E731
+    nd = [ham(a, b) for a, b in pairs]
+    ids = sorted(sigs)
+    rnd = [ham(ids[i], ids[j]) for i in range(0, 40) for j in range(40, 80)]
+    assert sum(nd) / len(nd) <= 6.0, nd
+    assert sum(rnd) / len(rnd) >= 12.0
+    assert len(set(sigs.values())) > 1

@@ -269,3 +269,53 @@ def test_hll_merge_is_two_level_aggregate(spark, sf_dir):
     plan = _physical(DEFS["x_agg_hll_merge"].fn(spark, sf_dir))
     # daily sketches then union rollup: exactly the two grouping exchanges
     assert plan.count("Exchange") == 2
+
+
+def test_snapshot_diff_is_single_conditional_aggregate(spark, sf_dir):
+    # the one-fact-table diff must collapse to ONE scan + ONE hash
+    # aggregate (conditional sums), never two snapshot reads + a join
+    plan = _physical(DEFS["x_etl_snapshot_diff"].fn(spark, sf_dir))
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
+    assert plan.count("Scan parquet") == 1
+
+
+def test_vocab_coverage_broadcasts_the_vocab(spark, sf_dir):
+    # the V-row vocab must broadcast into the exploded-corpus join; the
+    # corpus side must never sort-merge for it
+    plan = _physical(DEFS["x_llm_vocab_coverage"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_prefix_dedup_is_blocked_equi_join(spark, sf_dir):
+    # candidates pair only within first-16-chars blocks: an equi hash
+    # join with the startswith residual, never a nested loop over docs
+    plan = _physical(DEFS["x_llm_dedup_prefix"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "StartsWith" in plan  # the exact check rides the join/filter
+
+
+def test_mode_is_aggregates_not_sort_window(spark, sf_dir):
+    # argmax-per-source as hash aggregates (the keep_best shape); a
+    # row_number formulation would surface as Window over Sort
+    plan = _physical(DEFS["x_agg_mode"].fn(spark, sf_dir))
+    assert "Window" not in plan
+
+
+def test_embed_outlier_scores_in_one_narrow_pass(spark, sf_dir):
+    # scoring = scan → mapInPandas with the broadcast centroid model;
+    # no shuffle, no join in the returned frame (centroids were a
+    # separate bounded aggregate, collected as the model)
+    plan = _physical(DEFS["x_llm_embed_outlier"].fn(spark, sf_dir))
+    assert "MapInPandas" in plan
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_funnel_never_nested_loops_the_events(spark, sf_dir):
+    # the three stage joins are user_id equi-joins; the only BNL joins
+    # allowed are the final 1-row count combiners
+    plan = _physical(DEFS["x_agg_funnel"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan

@@ -5,6 +5,7 @@ implementation on randomized inputs."""
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import Window
@@ -218,24 +219,65 @@ def test_dup_spans_matches_python_reference(spark, docs):
     assert got == want
 
 
-def test_events_tiebreak_key_is_unique(spark, sf_dir):
-    """x_win_sessionize (and every events window ordered by (ts, event_id))
-    is deterministic only because (user_id, ts, event_id) is a key of
-    events — duplicate tuples would make the lag/cumsum peer order
-    engine-dependent.  Assert the assumption the table contract relies on;
-    event_id alone is in fact unique in the fixtures, which implies it."""
-    from pyspark.sql import functions as F
+#: Every rank/row_number consumer, its ordering key, and the columns the
+#: operator CONSUMES beyond that key.  The determinism contract each one
+#: relies on: rows tied on the ordering key must be INDISTINGUISHABLE in
+#: every consumed column — then any peer permutation the engine picks
+#: yields the same output.  ``consumed=()`` means the key itself must be
+#: unique (the operator consumes the rank, so peers are never harmless).
+_RANK_CONSUMER_CONTRACTS = [
+    # x_win_sessionize: lag/cumsum over (user_id, ts, event_id); session
+    # ids are consumed downstream → strict uniqueness required
+    ("x_win_sessionize", "events", ("user_id", "ts", "event_id"), ()),
+    # x_etl_global_row_number: per-pid row_number over (ts, event_id)
+    # after a range shuffle on the same key; the row number is the output
+    ("x_etl_global_row_number", "events", ("ts", "event_id"), ()),
+    # z-order twins: ntile / rank recovery over (zval, l_orderkey,
+    # l_linenumber), output aggregates only (l_partkey, l_suppkey) per
+    # bucket — peers may exist iff identical in those (the sf0.001
+    # fixture has exactly one such fully-duplicated row)
+    ("x_etl_zorder_stats", "lineitem",
+     ("zval", "l_orderkey", "l_linenumber"), ("l_partkey", "l_suppkey")),
+    ("x_etl_zorder_stats_sharded", "lineitem",
+     ("zval", "l_orderkey", "l_linenumber"), ("l_partkey", "l_suppkey")),
+]
 
+
+@pytest.mark.parametrize(
+    "op,tbl,key,consumed",
+    _RANK_CONSUMER_CONTRACTS,
+    ids=[r[0] for r in _RANK_CONSUMER_CONTRACTS],
+)
+def test_rank_consumer_peers_are_indistinguishable(
+    spark, sf_dir, op, tbl, key, consumed
+):
+    """The determinism contract of every rank-based operator, asserted on
+    the fixture: peer rows under the operator's ordering key carry no
+    distinguishing consumed column, so every engine-chosen peer order
+    yields one output.  The operators themselves are oracle-checked; this
+    pins the fixture-side assumption so a fixture change that breaks it
+    fails loudly here instead of as an unexplained driver hash flake."""
+    from dataengineer_scripts_spark.operators.etl import _zvalue_sql
     from dataengineer_scripts_spark.tables import table
 
-    ev = table(spark, sf_dir, "events")
-    dupes = (
-        ev.groupBy("user_id", "ts", "event_id")
-        .count()
-        .filter(F.col("count") > 1)
-        .count()
-    )
-    assert dupes == 0, f"{dupes} duplicate (user_id, ts, event_id) tuples"
+    df = table(spark, sf_dir, tbl)
+    if "zval" in key:
+        df = df.withColumn(
+            "zval", F.expr(_zvalue_sql("l_partkey", "l_suppkey", "div"))
+        )
+    if consumed:
+        bad = (
+            df.groupBy(*key)
+            .agg(F.countDistinct(F.struct(*consumed)).alias("d"))
+            .filter(F.col("d") > 1)
+            .count()
+        )
+        assert bad == 0, (
+            f"{op}: {bad} ordering-key peer groups differ in {consumed}"
+        )
+    else:
+        dupes = df.groupBy(*key).count().filter(F.col("count") > 1).count()
+        assert dupes == 0, f"{op}: {dupes} duplicate {key} tuples in {tbl}"
 
 
 @given(

@@ -282,3 +282,26 @@ def test_hll_merge_estimate_within_error_envelope(spark, sf_dir):
         e, days = est[t]
         assert abs(e - n) <= max(2, 0.05 * n), (t, e, n)
         assert days >= 1
+
+
+def test_hll_exact_twin_shares_keys_and_bounds_the_sketch(spark, sf_dir):
+    """``x_agg_hll_merge_exact`` (oracle-checked) must be keyed identically
+    to the sketch rollup (same event_types, day-group counts equal) and
+    its exact distinct must bound the estimate within the 5% envelope —
+    the driver-visible attestation bridge for the rows-only sketch op."""
+    from dataengineer_scripts_spark import registry
+
+    defs = registry.definitions()
+    est = {
+        r.event_type: (r.est_users, r.n_daily_sketches)
+        for r in defs["x_agg_hll_merge"].fn(spark, sf_dir).collect()
+    }
+    exact = {
+        r.event_type: (r.n_users_exact, r.n_daily_groups)
+        for r in defs["x_agg_hll_merge_exact"].fn(spark, sf_dir).collect()
+    }
+    assert set(est) == set(exact)
+    for t, (n, days) in exact.items():
+        e, sketches = est[t]
+        assert sketches == days, t  # identical (day, event_type) grouping
+        assert abs(e - n) <= max(2, 0.05 * n), (t, e, n)
