@@ -1274,3 +1274,66 @@ def x_etl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("changed"))
         .alias("status"),
     )
+
+
+@register(
+    "x_etl_incremental_agg",
+    oracle=f"""
+    SELECT l_returnflag,
+           count(*)::BIGINT AS n_rows,
+           sum(CAST(l_quantity AS BIGINT))::BIGINT AS sum_qty,
+           max(l_shipdate) AS max_ship
+    FROM lineitem
+    WHERE l_shipdate < TIMESTAMP '{SNAPDIFF_NEW}'
+    GROUP BY l_returnflag
+    """,
+)
+def x_etl_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: MERGE a previously-materialized
+    aggregate state (rows before the old cutoff) with the delta slice
+    (old ≤ shipdate < new) instead of recomputing over history — the
+    incremental-view-maintenance primitive every warehouse refresh uses.
+    The op deliberately computes state ⊕ delta while the oracle computes
+    the full aggregate directly, so a driver hash-match IS the proof
+    that the merge functions (count→sum, sum→sum, max→max) reconstruct
+    the ground truth exactly.
+
+    Determinism: quantities are cast to BIGINT per row (the fixture's
+    quantities are integral), so every merged sum is exact integer math.
+
+    Plan: two partition-pruned scans (state would be a stored table in
+    production; here time-travel predicates stand in), each ONE hash
+    aggregate collapsing to group-count rows map-side, then a group-sized
+    union+re-aggregate that AQE executes locally.  At 100 TB only the
+    delta partition is ever read again — the historical scan happened
+    once, at state-build time."""
+    t_old = F.lit(SNAPDIFF_OLD).cast("timestamp")
+    t_new = F.lit(SNAPDIFF_NEW).cast("timestamp")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        "l_shipdate",
+    )
+
+    def partial(frame: DataFrame) -> DataFrame:
+        return frame.groupBy("l_returnflag").agg(
+            F.count("*").alias("n_rows"),
+            F.sum("qty").alias("sum_qty"),
+            F.max("l_shipdate").alias("max_ship"),
+        )
+
+    state = partial(li.filter(F.col("l_shipdate") < t_old))
+    delta = partial(
+        li.filter(
+            (F.col("l_shipdate") >= t_old) & (F.col("l_shipdate") < t_new)
+        )
+    )
+    return (
+        state.unionByName(delta)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum("n_rows").cast("bigint").alias("n_rows"),
+            F.sum("sum_qty").cast("bigint").alias("sum_qty"),
+            F.max("max_ship").alias("max_ship"),
+        )
+    )

@@ -3924,3 +3924,56 @@ def x_llm_embed_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.mapInPandas(
         score, "vec_id long, label long, dist_micro long"
     )
+
+
+@register(
+    "x_llm_ngram_novelty",
+    oracle=f"""
+    WITH {_SQL_SHINGLES},
+    df AS (SELECT s, count(*) AS df FROM sh GROUP BY s)
+    SELECT sh.doc_id, count(*)::BIGINT AS n_shingles,
+           sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END)::BIGINT AS n_unique,
+           round(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*)::DOUBLE, 6) AS novelty
+    FROM sh JOIN df USING (s)
+    GROUP BY sh.doc_id
+    """,
+)
+def x_llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a doc's distinct
+    shingles that occur NOWHERE else in the corpus (document frequency
+    exactly 1) — the inverse of a boilerplate score.  Low novelty means
+    the doc is assembled from corpus-common fragments (templates, quote
+    farms, near-dups that survived pairwise dedup); curation keeps the
+    high-novelty tail and routes the low end to the dedup family.  Docs
+    under SHINGLE_N tokens have no shingles and no row, identically in
+    both engines.
+
+    Plan: reads the session-shared shingle frame; document frequency is
+    ONE hash aggregate on the shingle hash (vocabulary-sized, map-side
+    combinable), joined back to the shingle rows ON THE SAME KEY — AQE
+    reuses the df aggregate's partitioning for the join — then one
+    per-doc rollup.  No self-join at all: novelty needs each shingle's
+    corpus count, not pairs, so this costs a small fraction of the
+    pair-generation ops it complements."""
+    sh = _shingle_rows(spark, sf_dir)
+    df_tab = sh.groupBy("h").agg(F.count("*").alias("df"))
+    uniq = F.when(F.col("df") == 1, 1).otherwise(0)
+    return (
+        sh.join(df_tab, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(uniq).cast("bigint").alias("n_unique"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_unique",
+            F.round(
+                F.col("n_unique").cast("double")
+                / F.col("n_shingles").cast("double"),
+                6,
+            ).alias("novelty"),
+        )
+    )

@@ -1928,3 +1928,62 @@ def x_agg_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_users"))
     )
+
+
+#: Trailing time-frame width for the range-frame window (seconds).
+RANGE_FRAME_SEC = 3600
+
+
+@register(
+    "x_win_range_frame",
+    oracle=f"""
+    SELECT event_id, user_id,
+           (epoch_us(ts::TIMESTAMP) // 1000000)::BIGINT AS sec,
+           count(*) OVER w AS n_1h,
+           round(avg(value) OVER w, 6) AS avg_1h
+    FROM events
+    WINDOW w AS (
+        PARTITION BY user_id
+        ORDER BY (epoch_us(ts::TIMESTAMP) // 1000000)::BIGINT
+        RANGE BETWEEN {RANGE_FRAME_SEC} PRECEDING AND CURRENT ROW
+    )
+    """,
+)
+def x_win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based sliding frame: per event, the count and mean value of
+    the same user's events in the trailing hour — RANGE framing over
+    actual time, where ``x_win_running``/``x_win_lag_lead`` use ROWS
+    framing over positions.  The moving-aggregate shape behind rate
+    limiting, anomaly baselines, and rolling feature engineering.
+
+    Determinism: the frame bound is EPOCH SECONDS as an integer on both
+    sides (sub-second precision differs across engines — DuckDB frames
+    nanos, Spark's rangeBetween needs a numeric key anyway), and RANGE
+    framing makes equal-second peers members of each other's frames, so
+    peer order inside the partition cannot change any aggregate; the
+    mean is rounded 6 against accumulation-order ulps.
+
+    Plan: ONE hash exchange on user_id + an intra-partition sort —
+    identical shuffle shape to the sessionize window, so AQE shares the
+    layout when composed; the frame aggregates stream over the sorted
+    run.  At 100 TB this is a single wide stage with per-user state
+    bounded by the hour's event count."""
+    # integer floor-div like the oracle's epoch_us // 1000000 — a double
+    # division could truncate one low on values that round just under
+    sec = F.expr("unix_micros(ts) div 1000000")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("sec"))
+        .rangeBetween(-RANGE_FRAME_SEC, 0)
+    )
+    return (
+        table(spark, sf_dir, "events")
+        .select("event_id", "user_id", sec.alias("sec"), "value")
+        .select(
+            "event_id",
+            "user_id",
+            "sec",
+            F.count("*").over(w).alias("n_1h"),
+            F.round(F.avg("value").over(w), 6).alias("avg_1h"),
+        )
+    )

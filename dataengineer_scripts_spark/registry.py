@@ -86,6 +86,9 @@ _PRIORITY_NAMES = (
     "x_agg_mode",
     "x_agg_retention",
     "x_etl_snapshot_diff",
+    "x_etl_incremental_agg",
+    "x_llm_ngram_novelty",
+    "x_win_range_frame",
     # stalest attestations: last driver-graded in r01
     "x_agg_rollup",
     "x_agg_sum_avg_min_max",

@@ -319,3 +319,28 @@ def test_funnel_never_nested_loops_the_events(spark, sf_dir):
     # allowed are the final 1-row count combiners
     plan = _physical(DEFS["x_agg_funnel"].fn(spark, sf_dir))
     assert "CartesianProduct" not in plan
+
+
+def test_ngram_novelty_has_no_self_join(spark, sf_dir):
+    # novelty needs per-shingle counts, not pairs: the df aggregate joins
+    # back on the SAME shingle-hash key — never a doc×doc candidate join
+    plan = _physical(DEFS["x_llm_ngram_novelty"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") + plan.count("ShuffledHashJoin") == 1
+
+
+def test_incremental_agg_merge_is_group_sized(spark, sf_dir):
+    # state ⊕ delta: two partial aggregates union into a group-count-sized
+    # re-aggregate; no join anywhere
+    plan = _physical(DEFS["x_etl_incremental_agg"].fn(spark, sf_dir))
+    assert "Join" not in plan
+    assert "Union" in plan
+
+
+def test_range_frame_is_single_user_exchange(spark, sf_dir):
+    # the trailing-hour frame costs exactly one hash exchange on user_id
+    # (the sessionize shuffle shape) + an in-partition sort
+    plan = _physical(DEFS["x_win_range_frame"].fn(spark, sf_dir))
+    assert plan.count("Exchange") == 1
+    assert "Window" in plan
