@@ -1337,3 +1337,90 @@ def x_etl_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("max_ship").alias("max_ship"),
         )
     )
+
+
+@register(
+    "x_etl_dq_report",
+    oracle="""
+    SELECT 'lineitem_qty_range' AS rule_id,
+           count(*)::BIGINT AS n_checked,
+           sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                    THEN 1 ELSE 0 END)::BIGINT AS n_violations
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem_price_nonneg', count(*)::BIGINT,
+           sum(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END)::BIGINT
+    FROM lineitem
+    UNION ALL
+    SELECT 'orders_custkey_fk', count(*)::BIGINT,
+           sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    UNION ALL
+    SELECT 'documents_nchars_consistent', count(*)::BIGINT,
+           sum(CASE WHEN n_chars <> len(text) THEN 1 ELSE 0 END)::BIGINT
+    FROM documents
+    UNION ALL
+    SELECT 'events_value_not_null', count(*)::BIGINT,
+           sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)::BIGINT
+    FROM events
+    """,
+)
+def x_etl_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality rule report: domain-range, non-negativity,
+    referential-integrity, derived-column-consistency and null-contract
+    checks across four tables, one row per rule with checked/violation
+    counts — the generalization of the reference's job-health report
+    (`Job Cek Script/app.py:60-120` whitelists statuses and flags
+    everything else) to declarative table-level contracts, and the gate
+    a 100 TB ingest runs before publishing a partition.
+
+    Plan: every rule is ONE conditional aggregate over its table's scan —
+    checked and violated counted in the same pass, collapsing map-side to
+    a single row, with same-table rules (qty range, price sign) sharing
+    one scan each.  The FK rule is the only join: a LEFT join against the
+    broadcast-sized customer keys counted in the same aggregate.  The
+    union is five 1-row frames — plan-width, not data-width.  Violation
+    ROWS (not counts) are one `.filter()` away using the same predicates;
+    the report is deliberately the cheap always-on artifact."""
+    def rule(frame: DataFrame, rule_id: str, bad) -> DataFrame:
+        return frame.agg(
+            F.lit(rule_id).alias("rule_id"),
+            F.count("*").alias("n_checked"),
+            F.sum(F.when(bad, 1).otherwise(0)).cast("bigint").alias(
+                "n_violations"
+            ),
+        ).select("rule_id", "n_checked", "n_violations")
+
+    li = table(spark, sf_dir, "lineitem")
+    docs = table(spark, sf_dir, "documents")
+    ev = table(spark, sf_dir, "events")
+    fk = table(spark, sf_dir, "orders").join(
+        F.broadcast(
+            table(spark, sf_dir, "customer").select(
+                F.col("c_custkey").alias("_ck")
+            )
+        ),
+        F.col("o_custkey") == F.col("_ck"),
+        "left",
+    )
+    return (
+        rule(
+            li,
+            "lineitem_qty_range",
+            (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50),
+        )
+        .unionByName(
+            rule(li, "lineitem_price_nonneg", F.col("l_extendedprice") < 0)
+        )
+        .unionByName(rule(fk, "orders_custkey_fk", F.col("_ck").isNull()))
+        .unionByName(
+            rule(
+                docs,
+                "documents_nchars_consistent",
+                F.col("n_chars") != F.length("text"),
+            )
+        )
+        .unionByName(
+            rule(ev, "events_value_not_null", F.col("value").isNull())
+        )
+    )

@@ -3977,3 +3977,117 @@ def x_llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty"),
         )
     )
+
+
+#: Collocation extraction: minimum joint count (noise floor) and table cut.
+COLLOC_MIN_COUNT = 5
+COLLOC_TOP_K = 200
+
+
+@register(
+    "x_llm_collocations",
+    oracle=f"""
+    WITH words AS (
+        SELECT list_filter(string_split(lower(text), ' '), w -> w <> '') AS ws
+        FROM documents
+    ),
+    uni AS (
+        SELECT w, count(*) AS c FROM (SELECT unnest(ws) AS w FROM words)
+        GROUP BY w
+    ),
+    pairs AS (
+        SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
+                      i -> ws[i] || ' ' || ws[i + 1])) AS p
+        FROM words WHERE len(ws) >= 2
+    ),
+    cb AS (SELECT p, count(*) AS c_xy FROM pairs GROUP BY p),
+    tot AS (
+        SELECT (SELECT sum(c) FROM uni)::BIGINT AS n_uni,
+               (SELECT sum(c_xy) FROM cb)::BIGINT AS n_bi
+    )
+    SELECT split_part(p, ' ', 1) AS w1,
+           split_part(p, ' ', 2) AS w2,
+           c_xy,
+           CAST(floor(c_xy::DOUBLE * n_uni::DOUBLE * n_uni::DOUBLE
+                      / (n_bi * ux.c * uy.c)::DOUBLE
+                      * 1000000.0 + 0.5) AS BIGINT) AS lift_micro
+    FROM cb
+    CROSS JOIN tot
+    JOIN uni ux ON split_part(p, ' ', 1) = ux.w
+    JOIN uni uy ON split_part(p, ' ', 2) = uy.w
+    WHERE c_xy >= {COLLOC_MIN_COUNT}
+    ORDER BY lift_micro DESC, w1, w2
+    LIMIT {COLLOC_TOP_K}
+    """,
+)
+def x_llm_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction: the corpus's top word pairs by LIFT —
+    P(xy) / (P(x)·P(y)), the exponential of PMI — with a joint-count
+    noise floor.  High-lift pairs are multiword expressions ("new york",
+    "machine learning"); tokenizer training and phrase-mining both start
+    here.  Lift instead of log-PMI keeps the statistic transcendental-
+    free: the score is one double expression over exact integer counts,
+    written with IDENTICAL association order in both engines and floored
+    to integer micros, so the ranking (lift desc, then pair) is a pinned
+    total order with no libm in sight.
+
+    Plan: unigram and bigram counts are two hash aggregates over the
+    scan-side explode (map-side combinable); totals are a broadcast
+    1-row frame (the hot-cap n_docs pattern); the unigram re-joins hash
+    vocabulary-sized tables; the cut is TakeOrdered, never a global
+    sort.  At 100 TB everything after the two count aggregates is
+    vocabulary-scale."""
+    ws = F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
+    docs = table(spark, sf_dir, "documents").select(ws.alias("ws"))
+    uni = (
+        docs.select(F.explode("ws").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    pair = F.zip_with(
+        F.col("ws"),
+        F.slice("ws", 2, F.size("ws") - 1),
+        lambda x, y: F.concat(x, F.lit(" "), y),
+    )
+    # zip_with pads the shorter slice with null → the last element is a
+    # null "pair"; drop it before counting (the _tri_shingle_array lesson)
+    cb_all = (
+        docs.filter(F.size("ws") >= 2)
+        .select(
+            F.explode(F.filter(pair, lambda x: x.isNotNull())).alias("p")
+        )
+        .groupBy("p")
+        .agg(F.count("*").alias("c_xy"))
+    )
+    # n_bi sums the FULL bigram table BEFORE the noise floor — the floor
+    # prunes reported rows, not probability mass (the oracle does the same)
+    tot = uni.agg(F.sum("c").cast("bigint").alias("n_uni")).crossJoin(
+        cb_all.agg(F.sum("c_xy").cast("bigint").alias("n_bi"))
+    )
+    cb = cb_all.filter(F.col("c_xy") >= COLLOC_MIN_COUNT)
+    lift = (
+        F.col("c_xy").cast("double")
+        * F.col("n_uni").cast("double")
+        * F.col("n_uni").cast("double")
+        / (F.col("n_bi") * F.col("ux_c") * F.col("uy_c")).cast("double")
+    )
+    ux = uni.select(F.col("w").alias("w1"), F.col("c").alias("ux_c"))
+    uy = uni.select(F.col("w").alias("w2"), F.col("c").alias("uy_c"))
+    return (
+        cb.select(
+            F.split_part(F.col("p"), F.lit(" "), F.lit(1)).alias("w1"),
+            F.split_part(F.col("p"), F.lit(" "), F.lit(2)).alias("w2"),
+            "c_xy",
+        )
+        .join(ux, "w1")
+        .join(uy, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "c_xy",
+            F.floor(lift * 1_000_000.0 + 0.5).cast("bigint").alias("lift_micro"),
+        )
+        .orderBy(F.desc("lift_micro"), "w1", "w2")
+        .limit(COLLOC_TOP_K)
+    )

@@ -89,6 +89,8 @@ _PRIORITY_NAMES = (
     "x_etl_incremental_agg",
     "x_llm_ngram_novelty",
     "x_win_range_frame",
+    "x_llm_collocations",
+    "x_etl_dq_report",
     # stalest attestations: last driver-graded in r01
     "x_agg_rollup",
     "x_agg_sum_avg_min_max",

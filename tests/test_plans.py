@@ -344,3 +344,20 @@ def test_range_frame_is_single_user_exchange(spark, sf_dir):
     plan = _physical(DEFS["x_win_range_frame"].fn(spark, sf_dir))
     assert plan.count("Exchange") == 1
     assert "Window" in plan
+
+
+def test_collocations_cut_is_takeordered(spark, sf_dir):
+    # the top-K cut must be a heap TakeOrdered over vocabulary-sized
+    # joins, never a global sort of the bigram table
+    plan = _physical(DEFS["x_llm_collocations"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dq_report_counts_violations_in_table_scans(spark, sf_dir):
+    # every rule is a conditional aggregate inside its table's scan; the
+    # FK rule's customer side must broadcast
+    plan = _physical(DEFS["x_etl_dq_report"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Union" in plan

@@ -100,3 +100,15 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     assert df.count() > 0
     assert len(df.schema.fields) >= 3
+
+
+def test_priority_window_names_are_registered_and_lead():
+    """Every id in the driver-window priority list must exist in the
+    registry (a typo would silently waste a grading slot), and the listed
+    ids must actually lead the driver-facing ordering."""
+    from dataengineer_scripts_spark.registry import _PRIORITY_NAMES
+
+    names = list(registry.queries())
+    missing = [n for n in _PRIORITY_NAMES if n not in names]
+    assert not missing, f"priority ids not registered: {missing}"
+    assert names[: len(_PRIORITY_NAMES)] == list(_PRIORITY_NAMES)
