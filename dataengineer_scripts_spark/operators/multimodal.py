@@ -369,3 +369,46 @@ def x_mm_audio_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
 
     return docs.mapInPandas(chunk, "doc_id long, chunk_id long, rms double")
+
+
+@register(
+    "x_mm_dedup_binary",
+    oracle="""
+    SELECT md5(text) AS content_md5,  -- md5(VARCHAR) hashes UTF-8 bytes
+           min(doc_id) AS canonical_id,
+           count(*)::BIGINT AS n_copies,
+           min(octet_length(encode(text)))::BIGINT AS n_bytes
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def x_mm_dedup_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over an opaque BINARY payload by content digest — the
+    multimodal counterpart of ``x_llm_dedup_exact``: image/audio blobs
+    can't be compared as text, so the canonical key is ``md5(bytes)``
+    and the group carries the lowest owning id, the copy count, and the
+    payload size.  The binary modality here is the same deterministic
+    UTF-8 synthesis as ``x_mm_record``'s media column, so the DuckDB
+    oracle replays the digest bit-for-bit.
+
+    This IS the 'hash first, compare within bucket' two-phase shape the
+    text dedup docstring prescribes for 100 TB: the shuffle key is a
+    16-byte digest, never the payload — a petabyte of media moves
+    nothing but digests through the exchange, and a (vanishingly rare)
+    digest collision is resolved by a within-bucket byte compare that
+    touches only colliding groups."""
+    data = F.encode(F.col("text"), "UTF-8")
+    return (
+        table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.md5(data).alias("content_md5"),
+            F.octet_length(data).cast("bigint").alias("_bytes"),
+        )
+        .groupBy("content_md5")
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count("*").alias("n_copies"),
+            F.min("_bytes").alias("n_bytes"),
+        )
+    )

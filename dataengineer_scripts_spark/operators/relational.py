@@ -1987,3 +1987,141 @@ def x_win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("value").over(w), 6).alias("avg_1h"),
         )
     )
+
+
+#: Rolling-distinct window width in days (the WAU window).
+ROLLING_DISTINCT_DAYS = 7
+
+
+@register(
+    "x_agg_rolling_distinct",
+    oracle=f"""
+    WITH ud AS (
+        SELECT DISTINCT user_id,
+               date_diff('day', DATE '{RETENTION_EPOCH}',
+                         ts::TIMESTAMP) AS d
+        FROM events
+    ),
+    cover AS (
+        SELECT DISTINCT user_id, d + g.o AS d2
+        FROM ud, unnest(generate_series(0, {ROLLING_DISTINCT_DAYS - 1}))
+             AS g(o)
+    ),
+    days AS (SELECT DISTINCT d FROM ud)
+    SELECT cover.d2::BIGINT AS day_idx,
+           count(*)::BIGINT AS n_users_7d
+    FROM cover JOIN days ON cover.d2 = days.d
+    GROUP BY 1
+    """,
+)
+def x_agg_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling DISTINCT count (7-day active users per day) — the metric a
+    plain window cannot produce, because distinct does not decompose over
+    sliding frames (yesterday's WAU and today's events don't tell you
+    today's WAU).  The scalable rendering inverts the window: each
+    (user, active-day) fact COVERS the {ROLLING_DISTINCT_DAYS} window
+    end-days it contributes to, so a map-side explode of w tiny integers
+    plus one dedup turns window-distinct into two plain hash aggregates —
+    no per-day re-scan, no O(days × window) self-join, no
+    approximate-distinct compromise.  Output days are restricted to days
+    that actually occur (the fixture's observed range), and day indices
+    are integer diffs from the pinned epoch (the retention convention).
+
+    At 100 TB: dedup of (user, day) is the dominant aggregate and is
+    map-side combinable; the 7× cover explode multiplies the DEDUPED
+    frame, not raw events."""
+    ud = (
+        table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.expr(f"datediff(to_date(ts), date'{RETENTION_EPOCH}')").alias(
+                "d"
+            ),
+        )
+        .distinct()
+    )
+    cover = (
+        ud.select(
+            "user_id",
+            F.explode(
+                F.sequence(
+                    F.col("d"), F.col("d") + (ROLLING_DISTINCT_DAYS - 1)
+                )
+            ).alias("d2"),
+        )
+        .distinct()
+    )
+    days = ud.select("d").distinct()
+    return (
+        cover.join(days, cover.d2 == days.d)
+        .groupBy(F.col("d2").cast("bigint").alias("day_idx"))
+        .agg(F.count("*").alias("n_users_7d"))
+    )
+
+
+#: As-of tolerance: a purchase only "explains" an error within this gap.
+ASOF_TOLERANCE_SEC = 24 * 3600
+
+
+@register(
+    "x_join_asof_tolerance",
+    oracle=f"""
+    SELECT e.event_id, e.user_id, e.ts,
+           (SELECT max(p.ts) FROM events p
+            WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+              AND p.ts <= e.ts)::TIMESTAMP AS last_purchase_ts,
+           (epoch_us(e.ts::TIMESTAMP)
+            - epoch_us((SELECT max(p.ts) FROM events p
+                        WHERE p.user_id = e.user_id
+                          AND p.event_type = 'purchase'
+                          AND p.ts <= e.ts)::TIMESTAMP)) // 1000000
+               AS gap_sec
+    FROM events e
+    WHERE e.event_type = 'error'
+      AND (SELECT max(p.ts) FROM events p
+           WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+             AND p.ts <= e.ts)
+          >= e.ts - INTERVAL {ASOF_TOLERANCE_SEC} SECOND
+    """,
+)
+def x_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join with a match tolerance: each error event joined to the
+    user's latest purchase at or before it, KEPT only when that purchase
+    falls within the trailing 24 h — the sensor-fusion/attribution
+    variant where a stale match is as useless as none (pandas
+    ``merge_asof(tolerance=...)``, QuestDB ``ASOF JOIN ... TOLERANCE``).
+
+    Same scalable shape as ``x_join_asof`` — merged-stream running max
+    over ONE user_id shuffle, purchases sorting before coincident errors
+    — plus a codegen'd gap filter; the gap is reported in integer
+    seconds via ``unix_micros`` floor-division, exact in both engines.
+    The tolerance does not change the plan, only the filter: at 100 TB
+    it additionally enables partition pruning of the probe side to the
+    tolerance horizon when the table is time-partitioned."""
+    e = table(spark, sf_dir, "events")
+    is_purchase = F.col("event_type") == "purchase"
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", F.when(is_purchase, 0).otherwise(1), "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = e.withColumn(
+        "last_purchase_ts", F.max(F.when(is_purchase, F.col("ts"))).over(w)
+    )
+    gap_sec = F.expr(
+        "(unix_micros(ts) - unix_micros(last_purchase_ts)) div 1000000"
+    )
+    return (
+        running.filter(F.col("event_type") == "error")
+        .filter(
+            F.col("last_purchase_ts")
+            >= F.col("ts") - F.expr(f"INTERVAL {ASOF_TOLERANCE_SEC} SECOND")
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "last_purchase_ts",
+            gap_sec.alias("gap_sec"),
+        )
+    )

@@ -91,6 +91,9 @@ _PRIORITY_NAMES = (
     "x_win_range_frame",
     "x_llm_collocations",
     "x_etl_dq_report",
+    "x_mm_dedup_binary",
+    "x_agg_rolling_distinct",
+    "x_join_asof_tolerance",
     # stalest attestations: last driver-graded in r01
     "x_agg_rollup",
     "x_agg_sum_avg_min_max",

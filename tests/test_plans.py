@@ -361,3 +361,28 @@ def test_dq_report_counts_violations_in_table_scans(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "Union" in plan
+
+
+def test_rolling_distinct_is_aggregates_not_window(spark, sf_dir):
+    # window inversion: no Window operator, no self-join of days — just
+    # dedup aggregates around the narrow cover explode
+    plan = _physical(DEFS["x_agg_rolling_distinct"].fn(spark, sf_dir))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_asof_tolerance_keeps_single_shuffle_shape(spark, sf_dir):
+    # the tolerance must not change the merged-stream plan: one user_id
+    # exchange + one Window, no join of events against itself
+    plan = _physical(DEFS["x_join_asof_tolerance"].fn(spark, sf_dir))
+    assert plan.count("Exchange") == 1
+    assert "Window" in plan
+    assert "Join" not in plan
+
+
+def test_binary_dedup_shuffles_digests_not_payloads(spark, sf_dir):
+    # the grouping key entering the exchange must be the md5 digest; the
+    # payload bytes stay map-side (projected away before the aggregate)
+    df = DEFS["x_mm_dedup_binary"].fn(spark, sf_dir)
+    plan = _physical(df)
+    assert "Exchange hashpartitioning(content_md5" in plan
