@@ -4091,3 +4091,98 @@ def x_llm_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift_micro"), "w1", "w2")
         .limit(COLLOC_TOP_K)
     )
+
+
+@register(
+    "x_llm_bpe_merge_step",
+    oracle=f"""
+    WITH tok AS (
+        SELECT lower(t.tok) AS t
+        FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+        WHERE length(t.tok) >= 2
+    ),
+    pr AS (
+        SELECT unnest(list_transform(generate_series(1, length(t) - 1),
+                      i -> substr(t, i, 2))) AS pair
+        FROM tok
+    ),
+    top1 AS (
+        SELECT pair FROM (
+            SELECT pair, count(*) AS c FROM pr GROUP BY pair
+            ORDER BY c DESC, pair LIMIT 1)
+    ),
+    merged AS (
+        SELECT replace(t, (SELECT pair FROM top1), chr(1)) AS m FROM tok
+    ),
+    pr2 AS (
+        SELECT unnest(list_transform(generate_series(1, length(m) - 1),
+                      i -> substr(m, i, 2))) AS p
+        FROM merged WHERE length(m) >= 2
+    )
+    SELECT replace(p, chr(1),
+                   '[' || (SELECT pair FROM top1) || ']') AS pair,
+           count(*) AS freq
+    FROM pr2 GROUP BY 1
+    ORDER BY freq DESC, pair
+    LIMIT {BPE_PAIR_TOP_K}
+    """,
+)
+def x_llm_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full BPE training iteration (Sennrich et al. 2016): take the
+    seed round's winning pair, MERGE it corpus-wide into a single symbol,
+    and recount adjacent symbol pairs — the step ``x_llm_bpe_pair_counts``
+    stops short of, closing the count → merge → recount loop a tokenizer
+    trainer runs to convergence.  The merged symbol is carried as a
+    sentinel character (``chr(1)``, absent from the corpus) so the round-2
+    alphabet stays one-char-per-symbol; output pairs render it as
+    ``[xy]``.  Greedy left-to-right non-overlapping replace has identical
+    semantics in both engines, so overlapping runs ("ttt" under pair
+    "tt") merge the same way.
+
+    Plan: the winning pair is ONE TakeOrdered row collected driver-side
+    (the bounded-model pattern — in a training loop this is the merge
+    table, KBs after thousands of rounds); the merge itself is a
+    codegen'd scan-side ``replace``; the recount is the exact
+    pair-counting shape of the seed round (map-side combine eats the
+    Zipf mass, heap top-K).  Iterating N merges costs N scans of the
+    TOKEN table — which is why real trainers keep the token frame
+    materialized, as ``_session_shared`` does for shingles."""
+    tok = (
+        table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("raw"))
+        .filter(F.length("raw") >= 2)
+        .select(F.lower("raw").alias("t"))
+    )
+    pairs = tok.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(t) - 1), i -> substring(t, i, 2))")
+        ).alias("pair")
+    )
+    top1 = (
+        pairs.groupBy("pair")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), "pair")
+        .limit(1)
+        .collect()[0]
+        .pair
+    )
+    merged = tok.select(
+        F.replace(F.col("t"), F.lit(top1), F.expr("chr(1)")).alias("m")
+    ).filter(F.length("m") >= 2)
+    pr2 = merged.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(m) - 1), i -> substring(m, i, 2))")
+        ).alias("p")
+    )
+    return (
+        pr2.groupBy("p")
+        .agg(F.count("*").alias("freq"))
+        .select(
+            F.replace(
+                F.col("p"), F.expr("chr(1)"), F.lit(f"[{top1}]")
+            ).alias("pair"),
+            "freq",
+        )
+        .orderBy(F.desc("freq"), "pair")
+        .limit(BPE_PAIR_TOP_K)
+    )
