@@ -372,3 +372,160 @@ def test_ntz_parquet_normalized_under_hostile_timezone(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+
+
+# --- round-8 brute-force references ----------------------------------------
+# The DuckDB oracle shares each operator's FORMULATION (same blocking, same
+# window arithmetic), so a formulation-level recall bug would match the
+# oracle and still be wrong.  These references recompute the semantics in
+# plain Python from collected fixture rows — independent of both engines.
+
+from dataengineer_scripts_spark import registry as _registry
+
+DEFS = _registry.definitions()
+
+
+def test_prefix_dedup_blocking_loses_no_pair(spark, sf_dir):
+    """O(n²) python startswith sweep == the blocked operator's pairs —
+    proves the first-16-chars blocking is lossless on the fixture (every
+    proper-prefix pair shares the block when the short side ≥ 16 chars;
+    fixture minimum is 48)."""
+    from dataengineer_scripts_spark.tables import table
+
+    docs = {
+        r.doc_id: r.text
+        for r in table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    }
+    want = {
+        (a, b)
+        for a, ta in docs.items()
+        for b, tb in docs.items()
+        if len(ta) < len(tb) and tb.startswith(ta)
+    }
+    got = {
+        (r.doc_short, r.doc_long)
+        for r in DEFS["x_llm_dedup_prefix"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_funnel_counts_match_python_reference(spark, sf_dir):
+    from dataengineer_scripts_spark.operators.relational import FUNNEL_STAGES
+    from dataengineer_scripts_spark.tables import table
+
+    ev = sorted(
+        table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_type")
+        .collect(),
+        key=lambda r: (r.user_id, r.ts),
+    )
+    by_user: dict[int, list] = {}
+    for r in ev:
+        by_user.setdefault(r.user_id, []).append(r)
+    n = [0, 0, 0]
+    for rows in by_user.values():
+        anchor = None
+        for stage in range(3):
+            nxt = min(
+                (
+                    r.ts
+                    for r in rows
+                    if r.event_type == FUNNEL_STAGES[stage]
+                    and (anchor is None or r.ts > anchor)
+                ),
+                default=None,
+            )
+            if nxt is None:
+                break
+            anchor = nxt
+            n[stage] += 1
+    row = DEFS["x_agg_funnel"].fn(spark, sf_dir).collect()[0]
+    assert (row.n_stage1, row.n_stage2, row.n_stage3) == tuple(n)
+
+
+def test_rolling_distinct_matches_python_reference(spark, sf_dir):
+    from dataengineer_scripts_spark.operators.relational import (
+        RETENTION_EPOCH,
+        ROLLING_DISTINCT_DAYS,
+    )
+    from dataengineer_scripts_spark.tables import table
+    import datetime as dt
+
+    epoch = dt.date.fromisoformat(RETENTION_EPOCH)
+    active: dict[int, set] = {}
+    for r in table(spark, sf_dir, "events").select("user_id", "ts").collect():
+        d = (r.ts.date() - epoch).days
+        active.setdefault(d, set()).add(r.user_id)
+    days = sorted(active)
+    want = {
+        d: len(
+            set().union(
+                *(
+                    active.get(d2, set())
+                    for d2 in range(d - ROLLING_DISTINCT_DAYS + 1, d + 1)
+                )
+            )
+        )
+        for d in days
+    }
+    got = {
+        r.day_idx: r.n_users_7d
+        for r in DEFS["x_agg_rolling_distinct"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_asof_tolerance_matches_python_reference(spark, sf_dir):
+    from dataengineer_scripts_spark.operators.relational import (
+        ASOF_TOLERANCE_SEC,
+    )
+    from dataengineer_scripts_spark.tables import table
+    import datetime as dt
+
+    rows = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    ).collect()
+    purchases: dict[int, list] = {}
+    for r in rows:
+        if r.event_type == "purchase":
+            purchases.setdefault(r.user_id, []).append(r.ts)
+    want = {}
+    for r in rows:
+        if r.event_type != "error":
+            continue
+        cands = [t for t in purchases.get(r.user_id, []) if t <= r.ts]
+        if not cands:
+            continue
+        last = max(cands)
+        if r.ts - last <= dt.timedelta(seconds=ASOF_TOLERANCE_SEC):
+            gap = int(
+                (r.ts - last) // dt.timedelta(microseconds=1) // 1_000_000
+            )
+            want[r.event_id] = (last, gap)
+    got = {
+        r.event_id: (r.last_purchase_ts, r.gap_sec)
+        for r in DEFS["x_join_asof_tolerance"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_retention_matches_python_reference(spark, sf_dir):
+    from dataengineer_scripts_spark.operators.relational import RETENTION_EPOCH
+    from dataengineer_scripts_spark.tables import table
+    import datetime as dt
+
+    epoch = dt.date.fromisoformat(RETENTION_EPOCH)
+    weeks: dict[int, set] = {}
+    for r in table(spark, sf_dir, "events").select("user_id", "ts").collect():
+        w = (r.ts.date() - epoch).days // 7
+        weeks.setdefault(r.user_id, set()).add(w)
+    want: dict[tuple, int] = {}
+    for ws in weeks.values():
+        c = min(ws)
+        for w in ws:
+            want[(c, w - c)] = want.get((c, w - c), 0) + 1
+    got = {
+        (r.cohort_week, r.week_offset): r.n_users
+        for r in DEFS["x_agg_retention"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
