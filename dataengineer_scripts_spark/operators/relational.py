@@ -2125,3 +2125,96 @@ def x_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
             gap_sec.alias("gap_sec"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Flagship: the product-analytics daily report (round 8)
+# ---------------------------------------------------------------------------
+
+from ..registry import oracle_of as _oracle_of  # noqa: E402
+
+
+def _flagship_analytics_oracle() -> str:
+    """Composite oracle: each member query's REGISTERED oracle embedded as
+    a subquery, so the flagship's ground truth is definitionally the
+    members' — no duplicated SQL to drift.  (etl registers before
+    relational in ``_load_all``'s import order, so the DQ oracle is
+    available here.)"""
+    return f"""
+    SELECT 'funnel' AS metric, s.key AS key, s.value AS value
+    FROM ({_oracle_of("x_agg_funnel")}) f,
+         LATERAL (VALUES ('stage1', f.n_stage1), ('stage2', f.n_stage2),
+                         ('stage3', f.n_stage3)) AS s(key, value)
+    UNION ALL
+    SELECT 'wau', day_idx::VARCHAR, n_users_7d
+    FROM ({_oracle_of("x_agg_rolling_distinct")})
+    UNION ALL
+    SELECT 'retention',
+           cohort_week::VARCHAR || '+' || week_offset::VARCHAR, n_users
+    FROM ({_oracle_of("x_agg_retention")})
+    UNION ALL
+    SELECT 'mode', source || ':' || mode_lang, n_docs_mode
+    FROM ({_oracle_of("x_agg_mode")})
+    UNION ALL
+    SELECT 'dq', rule_id, n_violations
+    FROM ({_oracle_of("x_etl_dq_report")})
+    """
+
+
+@register("flagship_analytics", oracle=_flagship_analytics_oracle())
+def flagship_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The product-analytics daily report: funnel conversion, rolling
+    7-day active users, the cohort-retention matrix, per-source dominant
+    language, and the data-quality gate — five operators COMPOSED into
+    one (metric, key, value) frame, the artifact a scheduled reporting
+    job publishes each morning.  Like ``flagship_curation`` proves the
+    curation operators compose, this proves the analytics layer does:
+    the Spark side calls the registered member operators and reshapes
+    their frames; the oracle embeds the members' REGISTERED oracle SQL
+    as subqueries, so one driver hash-match re-attests five operators
+    and their composition in a single row set.
+
+    Plan: a union of five independent subplans — Spark schedules their
+    stages concurrently, and every member keeps its standalone shape
+    (funnel's user_id-chained min-aggregates, WAU's window inversion,
+    retention's single exchange layout, mode's argmax aggregates, DQ's
+    conditional scans).  Composition adds zero shuffles: the reshape
+    to (metric, key, value) is a codegen'd projection per member."""
+    from .etl import x_etl_dq_report
+
+    f = x_agg_funnel(spark, sf_dir)
+    funnel = (
+        f.select(F.lit("stage1").alias("key"), F.col("n_stage1").alias("value"))
+        .unionByName(
+            f.select(F.lit("stage2").alias("key"), F.col("n_stage2").alias("value"))
+        )
+        .unionByName(
+            f.select(F.lit("stage3").alias("key"), F.col("n_stage3").alias("value"))
+        )
+        .select(F.lit("funnel").alias("metric"), "key", "value")
+    )
+    wau = x_agg_rolling_distinct(spark, sf_dir).select(
+        F.lit("wau").alias("metric"),
+        F.col("day_idx").cast("string").alias("key"),
+        F.col("n_users_7d").alias("value"),
+    )
+    ret = x_agg_retention(spark, sf_dir).select(
+        F.lit("retention").alias("metric"),
+        F.concat(
+            F.col("cohort_week").cast("string"),
+            F.lit("+"),
+            F.col("week_offset").cast("string"),
+        ).alias("key"),
+        F.col("n_users").alias("value"),
+    )
+    mode = x_agg_mode(spark, sf_dir).select(
+        F.lit("mode").alias("metric"),
+        F.concat("source", F.lit(":"), "mode_lang").alias("key"),
+        F.col("n_docs_mode").alias("value"),
+    )
+    dq = x_etl_dq_report(spark, sf_dir).select(
+        F.lit("dq").alias("metric"),
+        F.col("rule_id").alias("key"),
+        F.col("n_violations").alias("value"),
+    )
+    return funnel.unionByName(wau).unionByName(ret).unionByName(mode).unionByName(dq)

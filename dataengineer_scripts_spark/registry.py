@@ -53,6 +53,15 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
     return deco
 
 
+def oracle_of(name: str) -> str:
+    """The already-registered oracle SQL of ``name`` — for composite
+    operators (flagships) that reuse member queries' oracles as
+    subqueries instead of duplicating 60 lines of SQL.  Callable only
+    after the member registered (i.e. from later in module import
+    order), which the KeyError enforces loudly."""
+    return _REGISTRY[name].oracle
+
+
 def _load_all() -> None:
     """Import every module that registers operators (idempotent)."""
     from . import functions, operators, streaming  # noqa: F401
@@ -79,6 +88,7 @@ _PRIORITY_NAMES = (
     "x_llm_simhash_signature",
     "x_llm_pq_adc_scores",
     # new in r08: curation + analytics additions
+    "flagship_analytics",
     "x_llm_dedup_prefix",
     "x_llm_vocab_coverage",
     "x_llm_embed_outlier",
