@@ -2218,3 +2218,66 @@ def flagship_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_violations").alias("value"),
     )
     return funnel.unionByName(wau).unionByName(ret).unionByName(mode).unionByName(dq)
+
+
+@register(
+    "x_win_streaks",
+    oracle=f"""
+    WITH ud AS (
+        SELECT DISTINCT user_id,
+               date_diff('day', DATE '{RETENTION_EPOCH}',
+                         ts::TIMESTAMP) AS d
+        FROM events
+    ),
+    isl AS (
+        SELECT user_id, d,
+               d - row_number() OVER (PARTITION BY user_id ORDER BY d)
+                   AS island
+        FROM ud
+    ),
+    runs AS (
+        SELECT user_id, island, count(*) AS len
+        FROM isl GROUP BY user_id, island
+    )
+    SELECT user_id,
+           sum(len)::BIGINT AS n_active_days,
+           count(*)::BIGINT AS n_streaks,
+           max(len)::BIGINT AS longest_streak
+    FROM runs GROUP BY user_id
+    """,
+)
+def x_win_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: each user's consecutive-active-day streaks —
+    total active days, number of distinct streaks, and the longest run —
+    the engagement metric behind every 'N-day streak' feature and the
+    canonical SQL-pattern the window family was missing.  The island
+    key is the classic ``day − row_number()`` trick: consecutive days
+    share a constant difference, so runs become plain group keys.
+    Deterministic by construction: the ordering key is the DISTINCT
+    active day (unique per user), and everything is integer arithmetic.
+
+    Plan: dedup (user, day) — map-side combinable, the frame all the
+    engagement ops share — then ONE user_id window for the row_number
+    and two hash aggregates that reuse the same user-keyed exchange
+    layout (AQE chains them).  Per-user state is days-bounded regardless
+    of event volume."""
+    ud = (
+        table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.expr(f"datediff(to_date(ts), date'{RETENTION_EPOCH}')").alias(
+                "d"
+            ),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    isl = ud.select(
+        "user_id", "d", (F.col("d") - F.row_number().over(w)).alias("island")
+    )
+    runs = isl.groupBy("user_id", "island").agg(F.count("*").alias("len"))
+    return runs.groupBy("user_id").agg(
+        F.sum("len").cast("bigint").alias("n_active_days"),
+        F.count("*").alias("n_streaks"),
+        F.max("len").cast("bigint").alias("longest_streak"),
+    )

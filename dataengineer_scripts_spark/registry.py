@@ -105,6 +105,7 @@ _PRIORITY_NAMES = (
     "x_agg_rolling_distinct",
     "x_join_asof_tolerance",
     "x_llm_bpe_merge_step",
+    "x_win_streaks",
     # stalest attestations: last driver-graded in r01
     "x_agg_rollup",
     "x_agg_sum_avg_min_max",

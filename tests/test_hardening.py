@@ -529,3 +529,31 @@ def test_retention_matches_python_reference(spark, sf_dir):
         for r in DEFS["x_agg_retention"].fn(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_streaks_match_python_reference(spark, sf_dir):
+    from dataengineer_scripts_spark.operators.relational import RETENTION_EPOCH
+    from dataengineer_scripts_spark.tables import table
+    import datetime as dt
+
+    epoch = dt.date.fromisoformat(RETENTION_EPOCH)
+    days: dict[int, set] = {}
+    for r in table(spark, sf_dir, "events").select("user_id", "ts").collect():
+        days.setdefault(r.user_id, set()).add((r.ts.date() - epoch).days)
+    want = {}
+    for u, ds in days.items():
+        runs, cur = [], 1
+        sd = sorted(ds)
+        for a, b in zip(sd, sd[1:]):
+            if b == a + 1:
+                cur += 1
+            else:
+                runs.append(cur)
+                cur = 1
+        runs.append(cur)
+        want[u] = (len(sd), len(runs), max(runs))
+    got = {
+        r.user_id: (r.n_active_days, r.n_streaks, r.longest_streak)
+        for r in DEFS["x_win_streaks"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
