@@ -50,7 +50,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..tables import table
+from ..tables import rebalanced, table
 
 # ---------------------------------------------------------------------------
 # Shared text helpers (word 3-gram shingles)
@@ -152,7 +152,11 @@ def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         sf_dir,
         "shingles",
-        lambda: _shingle_rows_of(table(spark, sf_dir, "documents")),
+        # rebalanced: the corpus file may scan as one row-group split, and
+        # the explode+hash+distinct-partial above it is the expensive side
+        # — widen the input before the expansion (identity when the scan
+        # is already cluster-wide).
+        lambda: _shingle_rows_of(rebalanced(table(spark, sf_dir, "documents"))),
     )
 
 
@@ -477,7 +481,7 @@ def x_llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rows-only driver check (xxhash64 has no DuckDB twin); the local pytest
     asserts it finds the corpus' exact duplicates."""
     th = (
-        table(spark, sf_dir, "documents")
+        rebalanced(table(spark, sf_dir, "documents"))
         .select("doc_id", F.explode(F.split("text", " ")).alias("w"))
         .select("doc_id", F.xxhash64("w").alias("h"))
     )
@@ -575,7 +579,7 @@ def x_llm_simhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle), the signature assembly is pure codegen — per-doc cost is
     O(tokens × bits) scan-side work, nothing data-sized is ever joined."""
     th = (
-        table(spark, sf_dir, "documents")
+        rebalanced(table(spark, sf_dir, "documents"))
         .select("doc_id", F.explode(F.split("text", " ")).alias("w"))
         .select(
             "doc_id",
@@ -2756,17 +2760,23 @@ def x_llm_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape — identical to the shingle machinery: spans become 64-bit
     xxhash64 keys at explode time (the span STRING never enters a
     shuffle), cross-doc support is one hash aggregate, and the flagging is
-    a semi join on the hash — span-linear, never corpus².  A production
-    span-REMOVAL pass would keep (doc_id, i) alongside and rewrite text
-    from the unflagged positions; the profile here is the decision input
-    (remove / down-weight / drop doc)."""
+    a semi join on the hash — span-linear, never corpus².  The exploded
+    span rows collapse to ``(doc_id, h, cnt)`` FIRST (map-side partials do
+    most of it, since repeats cluster within a document), so the
+    materialized frame, the support count, the semi-join probe and both
+    per-doc totals all run on the collapsed frame — and cross-document
+    support is a plain ``count(*)`` over already-distinct (doc, span)
+    rows, never a count_distinct expand.  A production span-REMOVAL pass
+    would keep (doc_id, i) alongside and rewrite text from the unflagged
+    positions; the profile here is the decision input (remove /
+    down-weight / drop doc)."""
     toks = F.split(F.col("text"), " ")
     n = F.size(toks)
     starts = F.when(
         n >= SPAN_K, F.sequence(F.lit(1), n - F.lit(SPAN_K - 1))
     ).otherwise(F.array().cast("array<int>"))
-    sp = (
-        table(spark, sf_dir, "documents")
+    spc = (
+        rebalanced(table(spark, sf_dir, "documents"))
         .select("doc_id", toks.alias("t"), F.explode(starts).alias("i"))
         .select(
             "doc_id",
@@ -2774,22 +2784,25 @@ def x_llm_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "h"
             ),
         )
+        .groupBy("doc_id", "h")
+        .agg(F.count("*").alias("cnt"))
         # three consumers (support count, semi-join probe, per-doc totals)
-        # — materialize so the split+slice+hash explode runs once
+        # — materialize the COLLAPSED frame so the split+slice+hash
+        # explode runs once and each consumer reads span-set-sized rows
         .localCheckpoint(eager=False)
     )
     multi = (
-        sp.groupBy("h")
-        .agg(F.count_distinct("doc_id").alias("nd"))
+        spc.groupBy("h")
+        .agg(F.count("*").alias("nd"))
         .filter(F.col("nd") >= 2)
         .select("h")
     )
-    dup = sp.join(multi, "h", "semi").groupBy("doc_id").agg(
-        F.count("*").alias("n_dup_spans")
+    dup = spc.join(multi, "h", "semi").groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_dup_spans")
     )
     return (
-        sp.groupBy("doc_id")
-        .agg(F.count("*").alias("n_spans"))
+        spc.groupBy("doc_id")
+        .agg(F.sum("cnt").alias("n_spans"))
         .join(dup, "doc_id", "left")
         .select(
             "doc_id",

@@ -53,6 +53,33 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def rebalanced(df: DataFrame) -> DataFrame:
+    """Round-robin repartition a scan-starved input ahead of CPU-heavy row
+    expansion (shingle/token/span explodes, multi-hash signature partials).
+
+    Spark parallelizes a scan by input splits, and a parquet file is
+    splittable only at row-group boundaries — a small single-row-group
+    corpus file therefore scans as ONE partition, and everything narrow
+    above it (explode, 128-way hashing, map-side aggregate partials) runs
+    on one core no matter how wide the cluster is.  One round-robin
+    shuffle of the INPUT (pre-expansion rows — the cheap side; the
+    expansion multiplies rows 50-500×) buys full-width parallelism for
+    the expensive stage.
+
+    Scale posture: this is NOT a local-test hack — "repartition a few fat
+    splits before an expensive per-row stage" is the standard fix for
+    split-starved pipelines on real clusters too (one gzip file, one
+    kafka partition, a dimension-sized corpus).  When the scan is already
+    at least cluster-wide (the 100 TB case: thousands of splits), this
+    returns the input UNCHANGED — no shuffle is added on the path where
+    the data is big."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register all fixture tables as temp views (for the SQL API paths)."""
     for name in TABLE_NAMES:
