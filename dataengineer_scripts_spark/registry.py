@@ -66,7 +66,7 @@ def _load_all() -> None:
     """Import every module that registers operators (idempotent)."""
     from . import functions, operators, streaming  # noqa: F401
     from .functions import scalar  # noqa: F401
-    from .operators import etl, health, llm, multimodal, relational  # noqa: F401
+    from .operators import etl, health, llm, multimodal, relational, tpch  # noqa: F401
     from .streaming import windows  # noqa: F401
 
 
@@ -106,6 +106,17 @@ _PRIORITY_NAMES = (
     "x_join_asof_tolerance",
     "x_llm_bpe_merge_step",
     "x_win_streaks",
+    # new in r08 (late additions): the TPC-H-derived analytic suite —
+    # never driver-graded, so it must make the window this round
+    "x_tpch_q4_order_priority",
+    "x_tpch_q5_local_supplier_volume",
+    "x_tpch_q6_forecast_revenue",
+    "x_tpch_q10_returned_items",
+    "x_tpch_q13_customer_distribution",
+    "x_tpch_q14_promo_revenue",
+    "x_tpch_q18_large_volume_customer",
+    "x_tpch_q19_discounted_revenue",
+    "x_tpch_q22_global_sales_opportunity",
     # stalest attestations: last driver-graded in r01
     "x_agg_rollup",
     "x_agg_sum_avg_min_max",
