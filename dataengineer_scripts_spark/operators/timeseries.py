@@ -1,0 +1,322 @@
+"""Time-series and statistical analytics over the ``events`` stream table
+and the order history: rolling anomaly detection, time-weighted
+averaging, marketing attribution, and grouped regression/correlation
+from sufficient statistics.
+
+Design notes (100 TB posture):
+- Every operator is ONE pass over events/orders: window functions ride a
+  single (user/segment)-keyed shuffle; nothing is collected, nothing is
+  iterated driver-side.
+- Float discipline (the cross-engine contract used throughout the
+  repo): every SUM of a float accumulates DECIMAL of the per-row term
+  — per-row products of doubles are deterministic elementwise, decimal
+  addition is exact and associative, so derived statistics (means,
+  variances, slopes) are bit-identical regardless of partitioning, in
+  Spark and in the DuckDB oracle alike.  This is also the
+  sufficient-statistics pattern that makes the aggregates
+  map-side-combinable at scale: each group reduces to a handful of
+  exact sums that merge associatively across partitions.
+- Rank/lead/last windows carry the (ts, event_id) total order
+  (SURVEY.md §7.4.2 — ts alone can tie).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import table
+
+#: Rolling-anomaly geometry: trailing window size and the |z| flag bar.
+ZSCORE_WINDOW = 10
+ZSCORE_BAR = 2.0
+
+
+@register(
+    "x_ts_rolling_zscore",
+    oracle=f"""
+    WITH w AS (
+        SELECT event_id, user_id, ts, value,
+               count(*) OVER fr AS n,
+               sum(value::DECIMAL(30,10)) OVER fr AS s,
+               sum((value * value)::DECIMAL(30,10)) OVER fr AS s2
+        FROM events
+        WINDOW fr AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN {ZSCORE_WINDOW - 1} PRECEDING
+                          AND CURRENT ROW)
+    )
+    SELECT event_id, user_id, ts, value,
+           round(s::DOUBLE / n, 6) AS mean_w,
+           CASE WHEN n > 1
+                 AND (s2::DOUBLE - s::DOUBLE * s::DOUBLE / n) / (n - 1) > 0
+                THEN round((value - s::DOUBLE / n)
+                           / sqrt((s2::DOUBLE - s::DOUBLE * s::DOUBLE / n)
+                                  / (n - 1)), 6)
+           END AS z,
+           CASE WHEN n > 1
+                 AND (s2::DOUBLE - s::DOUBLE * s::DOUBLE / n) / (n - 1) > 0
+                THEN abs((value - s::DOUBLE / n)
+                         / sqrt((s2::DOUBLE - s::DOUBLE * s::DOUBLE / n)
+                                / (n - 1))) > {ZSCORE_BAR}
+                ELSE FALSE
+           END AS is_anomaly
+    FROM w
+    """,
+)
+def x_ts_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection: each event's value against the
+    mean/stddev of its user's trailing {ZSCORE_WINDOW}-event window —
+    the online outlier flag of metric monitoring, fraud scoring and
+    sensor QA, as one declarative pass.
+
+    The variance comes from exact decimal rolling sums (n, Σx, Σx²) via
+    ``(Σx² − (Σx)²/n)/(n−1)`` — deterministic across engines AND the
+    mergeable-moments form a streaming/scale-out version would keep.
+    Degenerate windows (n=1 or zero variance from cancellation) yield
+    NULL z / FALSE flag by the same branch in both engines.
+
+    Plan: ONE user-keyed shuffle; all three frame aggregates share the
+    single window spec, and the z/flag math is a Project above it."""
+    fr = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(ZSCORE_WINDOW - 1), 0)
+    )
+    v = F.col("value")
+    n = F.count("*").over(fr)
+    s = F.sum(v.cast("decimal(30,10)")).over(fr).cast("double")
+    s2 = F.sum((v * v).cast("decimal(30,10)")).over(fr).cast("double")
+    mean = s / n
+    var = (s2 - s * s / n) / (n - 1)
+    z = (v - mean) / F.sqrt(var)
+    ok = (n > 1) & (var > 0)
+    return table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.round(mean, 6).alias("mean_w"),
+        F.when(ok, F.round(z, 6)).alias("z"),
+        F.when(ok, F.abs(z) > ZSCORE_BAR).otherwise(F.lit(False)).alias(
+            "is_anomaly"
+        ),
+    )
+
+
+@register(
+    "x_ts_time_weighted_avg",
+    oracle="""
+    WITH d AS (
+        SELECT user_id, date_trunc('day', ts)::DATE AS day, ts, event_id,
+               value,
+               epoch_us(lead(ts) OVER (PARTITION BY user_id,
+                                       date_trunc('day', ts)
+                                       ORDER BY ts, event_id))
+                   - epoch_us(ts) AS dt_us
+        FROM events
+    )
+    SELECT user_id, day,
+           round(sum((value * dt_us)::DECIMAL(38,6))::DOUBLE
+                 / sum(dt_us::DECIMAL(38,6))::DOUBLE, 6) AS twap,
+           count(*) AS n_intervals
+    FROM d WHERE dt_us IS NOT NULL
+    GROUP BY user_id, day
+    """,
+)
+def x_ts_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value (TWAP) per user per day: each
+    observation weighted by how long it was "current" (until the next
+    event that day) — the correct daily average for irregularly-sampled
+    gauges, where the arithmetic mean over-weights bursts.
+
+    Weights are exact integer microsecond gaps from the (ts, event_id)
+    lead; ``value × dt`` is elementwise, both sums accumulate DECIMAL,
+    and the final division happens once per group — deterministic in
+    both engines.  Days with a single event have no weighted interval
+    and drop out (matching the open-ended last observation, which has
+    no duration within the day).
+
+    Plan: one (user, day)-keyed sort window for the lead, then a hash
+    aggregate on the SAME key — AQE reuses the exchange; nothing else
+    shuffles."""
+    day = F.date_trunc("day", "ts").cast("date")
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        day.alias("day"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    wl = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    d = ev.withColumn(
+        "dt_us",
+        F.unix_micros(F.lead("ts").over(wl)) - F.unix_micros("ts"),
+    ).filter(F.col("dt_us").isNotNull())
+    return (
+        d.groupBy("user_id", "day")
+        .agg(
+            F.round(
+                F.sum((F.col("value") * F.col("dt_us")).cast("decimal(38,6)"))
+                .cast("double")
+                / F.sum(F.col("dt_us").cast("decimal(38,6)")).cast("double"),
+                6,
+            ).alias("twap"),
+            F.count("*").alias("n_intervals"),
+        )
+    )
+
+
+#: Touchpoint event types eligible for purchase attribution.
+TOUCH_TYPES = ("click", "view")
+
+
+@register(
+    "x_ts_attribution_last_touch",
+    oracle=f"""
+    WITH t AS (
+        SELECT event_id, user_id, ts, event_type,
+               last_value(CASE WHEN event_type IN {TOUCH_TYPES!r}
+                               THEN event_id END IGNORE NULLS) OVER fr
+                   AS touch_id,
+               last_value(CASE WHEN event_type IN {TOUCH_TYPES!r}
+                               THEN event_type END IGNORE NULLS) OVER fr
+                   AS touch_type,
+               last_value(CASE WHEN event_type IN {TOUCH_TYPES!r}
+                               THEN ts END IGNORE NULLS) OVER fr
+                   AS touch_ts
+        FROM events
+        WINDOW fr AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+           touch_id, touch_type, touch_ts
+    FROM t WHERE event_type = 'purchase'
+    """,
+)
+def x_ts_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: every purchase event joined to
+    the user's most recent preceding touchpoint (click/view) — the
+    carry-forward pattern behind conversion funnels and channel ROI.
+
+    Formulated as ``last(…, ignorenulls)`` over the strictly-preceding
+    frame in the (ts, event_id) total order: no self-join, no per-user
+    collect — one window pass attributes every purchase, and purchases
+    with no prior touch keep NULLs.  All three touch columns read the
+    SAME frame under the same total order, so they come from the same
+    touch row by construction.
+
+    Plan: one user-keyed sort window; the purchase filter is applied
+    ABOVE the window (the frame must see non-purchase rows), which is
+    the semantic cost of carry-forward — the window output is
+    event-sized, but no extra shuffle follows it."""
+    fr = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_touch = F.col("event_type").isin(*TOUCH_TYPES)
+    ev = table(spark, sf_dir, "events")
+    t = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.last(F.when(is_touch, F.col("event_id")), ignorenulls=True)
+        .over(fr)
+        .alias("touch_id"),
+        F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True)
+        .over(fr)
+        .alias("touch_type"),
+        F.last(F.when(is_touch, F.col("ts")), ignorenulls=True)
+        .over(fr)
+        .alias("touch_ts"),
+    )
+    return t.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        "touch_id",
+        "touch_type",
+        "touch_ts",
+    )
+
+
+@register(
+    "x_agg_regression_stats",
+    oracle="""
+    WITH pairs AS (
+        SELECT c_mktsegment AS segment,
+               c_acctbal AS x, o_totalprice AS y
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    ),
+    s AS (
+        SELECT segment, count(*) AS n,
+               sum(x::DECIMAL(30,10))::DOUBLE AS sx,
+               sum(y::DECIMAL(30,10))::DOUBLE AS sy,
+               sum((x * y)::DECIMAL(38,8))::DOUBLE AS sxy,
+               sum((x * x)::DECIMAL(38,8))::DOUBLE AS sxx,
+               sum((y * y)::DECIMAL(38,8))::DOUBLE AS syy
+        FROM pairs GROUP BY segment
+    )
+    SELECT segment, n,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 8) AS slope,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n,
+                 6) AS intercept,
+           round((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+               AS corr
+    FROM s
+    """,
+)
+def x_agg_regression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment OLS regression (order value on customer balance) and
+    Pearson correlation, computed from sufficient statistics — the
+    grouped-regression shape of cohort analytics (does a bigger balance
+    predict bigger orders, per market segment?).
+
+    (n, Σx, Σy, Σxy, Σx², Σy²) are exact decimal aggregates of
+    elementwise products; slope/intercept/corr are closed-form doubles
+    of those six numbers, computed once per group — bit-identical
+    across engines and trivially map-side combinable (this is exactly
+    the merge state a distributed ``regr_slope`` keeps internally,
+    spelled out so the oracle can replay it).
+
+    Plan: customer broadcasts into the orders fact; ONE hash aggregate
+    on segment produces all six moments in a single pass."""
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    pairs = (
+        table(spark, sf_dir, "orders")
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("c_acctbal").alias("x"),
+            F.col("o_totalprice").alias("y"),
+        )
+    )
+    x, y = F.col("x"), F.col("y")
+    s = pairs.groupBy("segment").agg(
+        F.count("*").alias("n"),
+        F.sum(x.cast("decimal(30,10)")).cast("double").alias("sx"),
+        F.sum(y.cast("decimal(30,10)")).cast("double").alias("sy"),
+        F.sum((x * y).cast("decimal(38,8)")).cast("double").alias("sxy"),
+        F.sum((x * x).cast("decimal(38,8)")).cast("double").alias("sxx"),
+        F.sum((y * y).cast("decimal(38,8)")).cast("double").alias("syy"),
+    )
+    n = F.col("n")
+    sx, sy = F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        "segment",
+        "n",
+        F.round(slope, 8).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        F.round(
+            (n * sxy - sx * sy)
+            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("corr"),
+    )

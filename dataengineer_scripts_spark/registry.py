@@ -66,7 +66,16 @@ def _load_all() -> None:
     """Import every module that registers operators (idempotent)."""
     from . import functions, operators, streaming  # noqa: F401
     from .functions import scalar  # noqa: F401
-    from .operators import etl, health, llm, multimodal, relational, tpch  # noqa: F401
+    from .operators import (  # noqa: F401
+        etl,
+        health,
+        llm,
+        multimodal,
+        relational,
+        relevance,
+        timeseries,
+        tpch,
+    )
     from .streaming import windows  # noqa: F401
 
 
@@ -117,6 +126,14 @@ _PRIORITY_NAMES = (
     "x_tpch_q18_large_volume_customer",
     "x_tpch_q19_discounted_revenue",
     "x_tpch_q22_global_sales_opportunity",
+    # new in r08 (late additions): relevance ranking + time-series stats
+    "x_llm_tfidf_topk",
+    "x_llm_bm25_rank",
+    "x_llm_char_trigram_profile",
+    "x_ts_rolling_zscore",
+    "x_ts_time_weighted_avg",
+    "x_ts_attribution_last_touch",
+    "x_agg_regression_stats",
     # stalest attestations: last driver-graded in r01
     "x_agg_rollup",
     "x_agg_sum_avg_min_max",
