@@ -1,0 +1,345 @@
+"""Business-intelligence analytic shapes over the star schema and the
+events stream: distribution diagnostics (entropy, Gini), trend analysis
+(period-over-period), association mining (market basket), and cohort
+revenue.
+
+Design notes (100 TB posture):
+- Each operator reduces to exact integer/decimal aggregates plus
+  elementwise double math (the repo-wide float contract): entropies,
+  Gini coefficients, growth rates and lifts are closed-form expressions
+  of exactly-accumulated sums, so results are partition-order
+  independent and every operator here is oracle-checked.
+- The only quadratic-looking step (basket pair generation) is quadratic
+  per ORDER (bounded by basket size, ~7 lines), never per table — the
+  self-join key is the order key, so it scales linearly in orders.
+- Rank windows carry unique tiebreaks; tie-invariant formulas (Gini's
+  rank weights within equal values) are noted where ties cannot change
+  the result.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import table
+
+
+@register(
+    "x_agg_entropy",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, event_type, count(*) AS c
+        FROM events GROUP BY user_id, event_type
+    ),
+    t AS (SELECT user_id, sum(c)::BIGINT AS n FROM c GROUP BY user_id)
+    SELECT c.user_id, min(t.n)::BIGINT AS n_events,
+           count(*) AS n_types,
+           round(sum((-(c.c::DOUBLE / t.n) * ln(c.c::DOUBLE / t.n))
+                     ::DECIMAL(30,12)), 6)::DOUBLE AS entropy
+    FROM c JOIN t ON c.user_id = t.user_id
+    GROUP BY c.user_id
+    """,
+)
+def x_agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each user's event-type distribution — the
+    behavioral-diversity diagnostic (0 = monomaniac bot, ln(5) = uses
+    every feature equally); the same shape scores label balance in a
+    training corpus or source diversity in a mixture.
+
+    Counts are exact; each ``-p·ln p`` term is elementwise double math
+    of two exact integers, and the per-user sum (≤ |event types| terms)
+    accumulates DECIMAL — bit-identical across engines and partitions.
+
+    Plan: two hash aggregates keyed on user_id (the per-type counts,
+    then the totals rejoined on the same key) and a final user-keyed
+    sum — one logical shuffle key throughout, so AQE reuses the
+    exchange."""
+    c = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("c"))
+    )
+    t = c.groupBy("user_id").agg(F.sum("c").alias("n"))
+    p = F.col("c").cast("double") / F.col("n")
+    return (
+        c.join(t, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.min("n").alias("n_events"),
+            F.count("*").alias("n_types"),
+            F.round(F.sum((-p * F.log(p)).cast("decimal(30,12)")), 6)
+            .cast("double")
+            .alias("entropy"),
+        )
+    )
+
+
+@register(
+    "x_agg_gini",
+    oracle="""
+    WITH r AS (
+        SELECT c_mktsegment AS segment, o_totalprice AS x,
+               row_number() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY o_totalprice, o_orderkey) AS i,
+               count(*) OVER (PARTITION BY c_mktsegment) AS n
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    )
+    SELECT segment, min(n)::BIGINT AS n_orders,
+           round(sum(((2.0 * i - n - 1) * x)::DECIMAL(38,8))::DOUBLE
+                 / (min(n) * sum(x::DECIMAL(30,10))::DOUBLE), 6) AS gini
+    FROM r GROUP BY segment
+    """,
+)
+def x_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of order-value concentration per market segment
+    — the inequality diagnostic behind "does 20% of the customer base
+    drive 80% of revenue?", identically the token-share concentration
+    check for a training-source mixture.
+
+    Uses the rank formulation ``Σ(2i−n−1)·xᵢ / (n·Σxᵢ)`` over values
+    sorted ascending.  The orderkey tiebreak makes ranks deterministic;
+    within a tie group the formula is permutation-invariant (equal x
+    share the same coefficient SUM however ranks distribute), so ties
+    cannot move the result.  Numerator terms are elementwise; both sums
+    accumulate DECIMAL.
+
+    Plan: one segment-keyed sort window assigns ranks, then a hash
+    aggregate on the SAME key — one exchange, reused."""
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    r = (
+        table(spark, sf_dir, "orders")
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_totalprice").alias("x"),
+            "o_orderkey",
+        )
+    )
+    w = Window.partitionBy("segment").orderBy("x", "o_orderkey")
+    wn = Window.partitionBy("segment")
+    ranked = r.select(
+        "segment",
+        "x",
+        F.row_number().over(w).alias("i"),
+        F.count("*").over(wn).alias("n"),
+    )
+    num_term = (2.0 * F.col("i") - F.col("n") - 1) * F.col("x")
+    return (
+        ranked.groupBy("segment")
+        .agg(
+            F.min("n").alias("n_orders"),
+            (
+                F.sum(num_term.cast("decimal(38,8)")).cast("double")
+                / (
+                    F.min("n")
+                    * F.sum(F.col("x").cast("decimal(30,10)")).cast("double")
+                )
+            ).alias("g"),
+        )
+        .select("segment", "n_orders", F.round("g", 6).alias("gini"))
+    )
+
+
+@register(
+    "x_win_period_over_period",
+    oracle="""
+    WITH m AS (
+        SELECT date_trunc('month', o_orderdate)::DATE AS month,
+               sum(o_totalprice::DECIMAL(30,10)) AS rev,
+               count(*) AS n_orders
+        FROM orders GROUP BY month
+    )
+    SELECT month, round(rev, 2)::DOUBLE AS revenue, n_orders,
+           round(100.0 * (rev::DOUBLE - lag(rev::DOUBLE) OVER w)
+                 / lag(rev::DOUBLE) OVER w, 4) AS pct_change
+    FROM m WINDOW w AS (ORDER BY month)
+    """,
+)
+def x_win_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth — the canonical trend report:
+    monthly totals plus the percentage change from the prior month
+    (NULL for the first month).
+
+    The monthly totals are decimal-exact, so the lag ratio is double
+    math over two identical-in-both-engines numbers.  Months are the
+    window's total order — no tiebreak needed.
+
+    Plan: one hash aggregate to month grain (map-side partials collapse
+    the fact table to ~dozens of rows), then a single-partition lag
+    window over the TINY aggregate — the global window is safe
+    precisely because it runs above month-grain data, never the fact."""
+    m = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("month", "o_orderdate").cast("date").alias("month"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(30,10)")).alias("rev"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+    w = Window.orderBy("month")
+    rev_d = F.col("rev").cast("double")
+    prev = F.lag(rev_d).over(w)
+    return m.select(
+        "month",
+        F.round("rev", 2).cast("double").alias("revenue"),
+        "n_orders",
+        F.round(100.0 * (rev_d - prev) / prev, 4).alias("pct_change"),
+    )
+
+
+#: Minimum co-occurrence count for a reported brand pair.
+BASKET_MIN_SUPPORT = 5
+
+
+@register(
+    "x_agg_market_basket",
+    oracle=f"""
+    WITH ob AS (
+        SELECT DISTINCT l_orderkey, p_brand
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+    ),
+    n1 AS (SELECT p_brand, count(*) AS c1 FROM ob GROUP BY p_brand),
+    tot AS (SELECT count(DISTINCT l_orderkey) AS n FROM ob),
+    pairs AS (
+        SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+               count(*) AS c_ab
+        FROM ob a JOIN ob b ON a.l_orderkey = b.l_orderkey
+                           AND a.p_brand < b.p_brand
+        GROUP BY a.p_brand, b.p_brand
+        HAVING count(*) >= {BASKET_MIN_SUPPORT}
+    )
+    SELECT brand_a, brand_b, c_ab AS n_both,
+           round(c_ab::DOUBLE / tot.n, 6) AS support,
+           round(c_ab::DOUBLE / na.c1, 6) AS confidence,
+           round(c_ab::DOUBLE * tot.n / (na.c1 * nb.c1), 6) AS lift
+    FROM pairs, tot, n1 na, n1 nb
+    WHERE na.p_brand = brand_a AND nb.p_brand = brand_b
+    """,
+)
+def x_agg_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules at brand grain: for every brand
+    pair co-occurring in ≥{BASKET_MIN_SUPPORT} orders, the support,
+    confidence (A→B) and lift — the classic affinity-mining query
+    (and the co-occurrence shape behind ``x_llm_collocations``, on
+    transactions instead of token windows).
+
+    All three measures are elementwise ratios of exact counts — no
+    float accumulation at all.
+
+    Plan: the basket frame is DISTINCT (order, brand) — multiplicity
+    within an order is collapsed BEFORE pair generation, so the
+    self-join on the order key is quadratic only in a basket's distinct
+    brands (≤ 25 here, single digits in practice), linear in orders.
+    Per-brand counts and the order total are broadcast back onto the
+    pair aggregate."""
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    n1 = ob.groupBy("p_brand").agg(F.count("*").alias("c1"))
+    tot = ob.agg(F.count_distinct("l_orderkey").alias("n"))
+    a = ob.select(F.col("l_orderkey"), F.col("p_brand").alias("brand_a"))
+    b = ob.select(F.col("l_orderkey"), F.col("p_brand").alias("brand_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count("*").alias("c_ab"))
+        .filter(F.col("c_ab") >= BASKET_MIN_SUPPORT)
+    )
+    na = n1.select(F.col("p_brand").alias("brand_a"), F.col("c1").alias("ca"))
+    nb = n1.select(F.col("p_brand").alias("brand_b"), F.col("c1").alias("cb"))
+    c_ab = F.col("c_ab").cast("double")
+    return (
+        pairs.join(F.broadcast(na), "brand_a")
+        .join(F.broadcast(nb), "brand_b")
+        .join(F.broadcast(tot))
+        .select(
+            "brand_a",
+            "brand_b",
+            F.col("c_ab").alias("n_both"),
+            F.round(c_ab / F.col("n"), 6).alias("support"),
+            F.round(c_ab / F.col("ca"), 6).alias("confidence"),
+            F.round(c_ab * F.col("n") / (F.col("ca") * F.col("cb")), 6).alias(
+                "lift"
+            ),
+        )
+    )
+
+
+@register(
+    "x_win_cohort_revenue",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id, date_trunc('month', min(ts))::DATE AS cohort_month
+        FROM events GROUP BY user_id
+    ),
+    act AS (
+        SELECT e.user_id, f.cohort_month,
+               date_trunc('month', e.ts)::DATE AS activity_month,
+               e.event_type, e.value
+        FROM events e JOIN first_seen f ON e.user_id = f.user_id
+    )
+    SELECT cohort_month, activity_month,
+           datediff('month', cohort_month, activity_month)::BIGINT
+               AS month_index,
+           count(DISTINCT user_id) AS n_users,
+           round(sum(CASE WHEN event_type = 'purchase' THEN value
+                          ELSE 0 END::DECIMAL(30,10)), 2)::DOUBLE
+               AS purchase_revenue
+    FROM act GROUP BY cohort_month, activity_month
+    """,
+)
+def x_win_cohort_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort revenue matrix (long form): users bucketed by first-seen
+    month, each cohort's active-user count and purchase revenue per
+    subsequent activity month — the retention×monetization report every
+    growth dashboard is built on (``x_agg_retention`` gives the
+    presence triangle; this adds the revenue dimension).
+
+    Plan: the cohort anchor is ONE user-keyed min aggregate joined back
+    onto events by user (broadcast at dimension scale, shuffle join at
+    fact scale — the optimizer's call); the matrix is a single hash
+    aggregate on (cohort, activity) month grain.  Revenue accumulates
+    DECIMAL; the distinct-user count is exact."""
+    ev = table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("month", F.min("ts")).cast("date").alias("cohort_month")
+    )
+    act = ev.join(first_seen, "user_id").select(
+        "user_id",
+        "cohort_month",
+        F.date_trunc("month", "ts").cast("date").alias("activity_month"),
+        "event_type",
+        "value",
+    )
+    rev = F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(
+        0.0
+    )
+    return (
+        act.groupBy("cohort_month", "activity_month")
+        .agg(
+            F.count_distinct("user_id").alias("n_users"),
+            F.round(F.sum(rev.cast("decimal(30,10)")), 2)
+            .cast("double")
+            .alias("purchase_revenue"),
+        )
+        .select(
+            "cohort_month",
+            "activity_month",
+            (
+                (F.year("activity_month") - F.year("cohort_month")) * 12
+                + (F.month("activity_month") - F.month("cohort_month"))
+            )
+            .cast("bigint")
+            .alias("month_index"),
+            "n_users",
+            "purchase_revenue",
+        )
+    )

@@ -67,6 +67,7 @@ def _load_all() -> None:
     from . import functions, operators, streaming  # noqa: F401
     from .functions import scalar  # noqa: F401
     from .operators import (  # noqa: F401
+        bi,
         etl,
         health,
         llm,
@@ -134,6 +135,12 @@ _PRIORITY_NAMES = (
     "x_ts_time_weighted_avg",
     "x_ts_attribution_last_touch",
     "x_agg_regression_stats",
+    # new in r08 (late additions): BI analytic shapes
+    "x_agg_entropy",
+    "x_agg_gini",
+    "x_win_period_over_period",
+    "x_agg_market_basket",
+    "x_win_cohort_revenue",
     # stalest attestations: last driver-graded in r01
     "x_agg_rollup",
     "x_agg_sum_avg_min_max",
