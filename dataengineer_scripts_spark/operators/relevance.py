@@ -192,6 +192,88 @@ def x_llm_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "x_llm_zipf_fit",
+    oracle="""
+    WITH v AS (
+        SELECT w, count(*) AS c
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        GROUP BY w
+    ),
+    r AS (
+        SELECT ln(row_number() OVER (ORDER BY c DESC, w)) AS lx,
+               ln(c) AS ly
+        FROM v
+    ),
+    s AS (
+        SELECT count(*) AS n,
+               sum(lx::DECIMAL(30,12))::DOUBLE AS sx,
+               sum(ly::DECIMAL(30,12))::DOUBLE AS sy,
+               sum((lx * ly)::DECIMAL(30,12))::DOUBLE AS sxy,
+               sum((lx * lx)::DECIMAL(30,12))::DOUBLE AS sxx,
+               sum((ly * ly)::DECIMAL(30,12))::DOUBLE AS syy
+        FROM r
+    )
+    SELECT n AS n_terms,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n,
+                 6) AS intercept,
+           round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+    FROM s
+    """,
+)
+def x_llm_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus vocabulary: OLS of log-frequency on
+    log-rank — the one-number sanity check of a text corpus (natural
+    language sits near slope −1; synthetic or heavily deduplicated text
+    drifts).  Composes the vocabulary count with the
+    sufficient-statistics regression of ``x_agg_regression_stats``.
+
+    Ranks are deterministic (count desc, term tiebreak), the log terms
+    are elementwise doubles of exact counts, and all six moments
+    accumulate DECIMAL — both engines produce the same single row.
+
+    Plan: one token explode → vocabulary hash aggregate; the rank
+    window runs over vocabulary-sized data (a single partition is
+    acceptable there — vocabulary is sublinear in corpus size); the
+    moments collapse to one row."""
+    v = (
+        rebalanced(table(spark, sf_dir, "documents"))
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.orderBy(F.col("c").desc(), "w")
+    r = v.select(
+        F.log(F.row_number().over(w).cast("double")).alias("lx"),
+        F.log(F.col("c").cast("double")).alias("ly"),
+    )
+    lx, ly = F.col("lx"), F.col("ly")
+    s = r.agg(
+        F.count("*").alias("n"),
+        F.sum(lx.cast("decimal(30,12)")).cast("double").alias("sx"),
+        F.sum(ly.cast("decimal(30,12)")).cast("double").alias("sy"),
+        F.sum((lx * ly).cast("decimal(30,12)")).cast("double").alias("sxy"),
+        F.sum((lx * lx).cast("decimal(30,12)")).cast("double").alias("sxx"),
+        F.sum((ly * ly).cast("decimal(30,12)")).cast("double").alias("syy"),
+    )
+    n = F.col("n")
+    sx, sy = F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        n.alias("n_terms"),
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        F.round(
+            ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("r2"),
+    )
+
+
 #: Character-profile depth: top trigrams kept per language.
 TRIGRAM_TOP_K = 10
 

@@ -243,6 +243,65 @@ def x_ts_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_ts_time_to_convert",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, min(ts) AS signup_ts FROM events
+        WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    p AS (
+        SELECT e.user_id, min(e.ts) AS first_purchase_ts
+        FROM events e JOIN s ON e.user_id = s.user_id
+        WHERE e.event_type = 'purchase' AND e.ts >= s.signup_ts
+        GROUP BY e.user_id
+    )
+    SELECT s.user_id, s.signup_ts, p.first_purchase_ts,
+           round((epoch_us(p.first_purchase_ts)
+                  - epoch_us(s.signup_ts)) / 3600.0e6, 6) AS hours_to_convert
+    FROM s JOIN p ON s.user_id = p.user_id
+    """,
+)
+def x_ts_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion latency: per user, the time from first signup to the
+    first purchase AT OR AFTER it — the funnel-velocity metric
+    (``x_agg_funnel`` counts who converts; this measures how fast).
+
+    The latency is an exact integer microsecond difference scaled to
+    hours (one elementwise division — no float accumulation), so both
+    engines agree bit-for-bit.
+
+    Plan: two user-keyed min aggregates; the purchase side filters
+    against the signup anchor with the anchor joined in BEFORE its min
+    (the purchase-after-signup predicate must see the anchor, so the
+    join is on the aggregate's own key and AQE reuses the exchange)."""
+    ev = table(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(F.col("ts") >= F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase_ts"))
+    )
+    return s.join(p, "user_id").select(
+        "user_id",
+        "signup_ts",
+        "first_purchase_ts",
+        F.round(
+            (
+                F.unix_micros("first_purchase_ts") - F.unix_micros("signup_ts")
+            )
+            / 3.6e9,
+            6,
+        ).alias("hours_to_convert"),
+    )
+
+
+@register(
     "x_agg_regression_stats",
     oracle="""
     WITH pairs AS (

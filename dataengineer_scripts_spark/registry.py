@@ -141,6 +141,8 @@ _PRIORITY_NAMES = (
     "x_win_period_over_period",
     "x_agg_market_basket",
     "x_win_cohort_revenue",
+    "x_ts_time_to_convert",
+    "x_llm_zipf_fit",
     # stalest attestations: last driver-graded in r01
     "x_agg_rollup",
     "x_agg_sum_avg_min_max",
