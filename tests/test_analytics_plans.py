@@ -1,0 +1,93 @@
+"""Plan-shape guards for the relevance / timeseries / BI modules.
+
+Correctness is the registry sweep's job; these pin the scale-relevant
+physical properties: no accidental cartesians, corpus statistics ride
+broadcasts, window operators shuffle once on their natural key, and the
+basket pair-generation collapses multiplicity before self-joining."""
+
+from __future__ import annotations
+
+import pytest
+
+from dataengineer_scripts_spark import registry
+
+DEFS = registry.definitions()
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "x_llm_tfidf_topk",
+        "x_llm_bm25_rank",
+        "x_llm_char_trigram_profile",
+        "x_llm_zipf_fit",
+        "x_ts_rolling_zscore",
+        "x_ts_time_weighted_avg",
+        "x_ts_attribution_last_touch",
+        "x_ts_time_to_convert",
+        "x_agg_regression_stats",
+        "x_agg_entropy",
+        "x_agg_gini",
+        "x_win_period_over_period",
+        "x_agg_market_basket",
+        "x_win_cohort_revenue",
+    ],
+)
+def test_no_cartesian_anywhere(name, spark, sf_dir):
+    # single-row scalar broadcasts legitimately appear as
+    # BroadcastNestedLoop with a 1-row build; a CartesianProduct never
+    # should.
+    plan = _physical(DEFS[name].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["x_llm_tfidf_topk", "x_llm_bm25_rank", "x_agg_market_basket"]
+)
+def test_corpus_stats_ride_broadcast_joins(name, spark, sf_dir):
+    plan = _physical(DEFS[name].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
+
+
+def test_rolling_zscore_single_user_shuffle(spark, sf_dir):
+    # the three frame aggregates share one window spec: exactly one
+    # Window node, fed by one user-keyed exchange
+    plan = _physical(DEFS["x_ts_rolling_zscore"].fn(spark, sf_dir))
+    assert plan.count("Window") == 1
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_attribution_no_self_join(spark, sf_dir):
+    # carry-forward formulation: a window pass, never events⋈events
+    plan = _physical(DEFS["x_ts_attribution_last_touch"].fn(spark, sf_dir))
+    assert "Join" not in plan
+    assert plan.count("Window") == 1
+
+
+def test_period_over_period_lag_runs_above_month_grain(spark, sf_dir):
+    # the global (unpartitioned) lag window is safe only because it runs
+    # over the month-grain aggregate: the aggregate must sit BELOW the
+    # window in the plan
+    plan = _physical(DEFS["x_win_period_over_period"].fn(spark, sf_dir))
+    win_at = plan.index("Window")
+    agg_after_window = plan[win_at:].count("HashAggregate")
+    assert agg_after_window >= 1  # aggregate is downstream in print order
+
+
+def test_basket_collapses_multiplicity_before_pairing(spark, sf_dir):
+    # DISTINCT (order, brand) must aggregate BEFORE the self-join, so
+    # pair generation is quadratic in basket size, not line count
+    df = DEFS["x_agg_market_basket"].fn(spark, sf_dir)
+    plan = _physical(df)
+    assert "CartesianProduct" not in plan
+    # the self-join joins two aggregates (the distinct), not raw scans:
+    # every lineitem scan in the plan is below a HashAggregate
+    first_join = min(
+        i for i in (plan.find("SortMergeJoin"), plan.find("BroadcastHashJoin"))
+        if i >= 0
+    )
+    assert "HashAggregate" in plan[first_join:]
