@@ -30,7 +30,7 @@ import json
 import os
 import urllib.request
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -1423,4 +1423,118 @@ def x_etl_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(
             rule(ev, "events_value_not_null", F.col("value").isNull())
         )
+    )
+
+
+@register(
+    "x_etl_unpivot",
+    oracle="""
+    SELECT p_partkey, 'size' AS metric, p_size::DOUBLE AS value FROM part
+    UNION ALL
+    SELECT p_partkey, 'retailprice' AS metric, p_retailprice AS value
+    FROM part
+    """,
+)
+def x_etl_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long unpivot (melt): the part table's numeric columns
+    become (metric, value) rows — the normalization step feeding generic
+    metric stores, feature logs, and the pivot operator's
+    (``x_agg_pivot``) inverse.
+
+    Plan: ``stack`` is a Generate (flatMap) directly above the scan —
+    entirely narrow, no shuffle; the scan reads only the unpivoted
+    columns.  At 100 TB this runs at scan speed and doubles row count,
+    which is the honest cost of the long format."""
+    return table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.expr(
+            "stack(2, 'size', cast(p_size as double),"
+            " 'retailprice', p_retailprice) AS (metric, value)"
+        ),
+    )
+
+
+@register(
+    "x_etl_mask_pii",
+    oracle="""
+    SELECT c_custkey,
+           'cust_' || substr(md5(c_name), 1, 12) AS masked_name,
+           (floor(c_acctbal / 1000) * 1000)::DOUBLE AS acctbal_band,
+           c_nationkey, c_mktsegment
+    FROM customer
+    """,
+)
+def x_etl_mask_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level PII masking for a shareable extract: names become
+    stable pseudonyms (md5-derived, so joins on the masked key still
+    work across extracts), balances are generalized to 1000-unit bands
+    (k-anonymity-style), and non-identifying analytics columns pass
+    through.  The structured-data sibling of ``x_llm_pii_scrub``'s
+    free-text scrubbing.
+
+    Plan: pure Project over the scan — codegen end-to-end, no shuffle,
+    deterministic (no salt — a production deployment would key the
+    pseudonym on a rotated secret; the TRANSFORM shape is identical)."""
+    return table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.concat(F.lit("cust_"), F.substring(F.md5("c_name"), 1, 12)).alias(
+            "masked_name"
+        ),
+        (F.floor(F.col("c_acctbal") / 1000) * 1000)
+        .cast("double")
+        .alias("acctbal_band"),
+        "c_nationkey",
+        "c_mktsegment",
+    )
+
+
+#: Weighted-sample size for x_etl_sample_weighted.
+WSAMPLE_K = 100
+
+
+@register(
+    "x_etl_sample_weighted",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT o_orderkey, o_totalprice,
+               round(-ln((('0x' || substr(md5(o_orderkey::VARCHAR), 1, 13))
+                          ::BIGINT + 1.0) / 4503599627370497.0)
+                     / o_totalprice, 12) AS k
+        FROM orders
+    )
+    SELECT o_orderkey, o_totalprice, k AS sample_key,
+           rnk::BIGINT AS rnk
+    FROM (SELECT *, row_number() OVER (ORDER BY k, o_orderkey) AS rnk
+          FROM keyed)
+    WHERE rnk <= {WSAMPLE_K}
+    """,
+)
+def x_etl_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis–Spirakis, exponential-key formulation): each order draws
+    key ``−ln(u)/w`` with weight w = order value and u a hash-derived
+    uniform; the {WSAMPLE_K} SMALLEST keys are the sample.  Inclusion
+    probability is proportional to weight, the draw is reproducible
+    run-to-run (hash-seeded, no RNG state), and — critically at scale —
+    the selection is a top-k, which Spark executes as per-partition
+    partial top-k + driver merge, never a global sort.
+
+    Determinism: u = (h+1)/(2^52+1) from the md5 prefix is exact
+    integer-derived; ln and the division are elementwise; the key is
+    ROUNDED to 12 decimals before ranking in both engines so a possible
+    last-ulp libm difference cannot reorder neighbors (random key gaps
+    are ~1e-5; 1e-12 rounding is far below the gap, far above the
+    ulp)."""
+    h = F.conv(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 13), 16, 10
+    ).cast("double")
+    u = (h + 1.0) / 4503599627370497.0  # (2^52 + 1): u in (0, 1]
+    k = F.round(-F.log(u) / F.col("o_totalprice"), 12)
+    keyed = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", k.alias("sample_key")
+    )
+    w = Window.orderBy("sample_key", "o_orderkey")
+    return (
+        keyed.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= WSAMPLE_K)
     )

@@ -2281,3 +2281,106 @@ def x_win_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_streaks"),
         F.max("len").cast("bigint").alias("longest_streak"),
     )
+
+
+@register(
+    "x_join_full_outer",
+    oracle="""
+    WITH billed AS (
+        SELECT date_trunc('month', o_orderdate)::DATE AS month,
+               round(sum(o_totalprice::DECIMAL(30,10)), 2)::DOUBLE AS billed
+        FROM orders GROUP BY month
+    ),
+    shipped AS (
+        SELECT date_trunc('month', l_shipdate)::DATE AS month,
+               round(sum((l_extendedprice * (1 - l_discount))
+                         ::DECIMAL(30,10)), 2)::DOUBLE AS shipped
+        FROM lineitem GROUP BY month
+    )
+    SELECT coalesce(b.month, s.month) AS month, b.billed, s.shipped,
+           CASE WHEN b.month IS NULL THEN 'shipped_only'
+                WHEN s.month IS NULL THEN 'billed_only'
+                ELSE 'both' END AS status
+    FROM billed b FULL OUTER JOIN shipped s ON b.month = s.month
+    """,
+)
+def x_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join — the reconciliation shape: monthly billed
+    revenue (orders) against monthly shipped revenue (lineitem), keeping
+    months present on EITHER side (shipping trails billing by months at
+    the range edges, which is exactly what a reconciliation must
+    surface, and what inner/left joins silently drop).
+
+    Plan: both sides aggregate to month grain FIRST (map-side partials
+    collapse the facts to dozens of rows), so the full-outer join runs
+    over aggregate-sized inputs — the cheap way to reconcile at any
+    scale; joining the raw facts full-outer would shuffle everything to
+    preserve null-extension semantics."""
+    billed = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("month", "o_orderdate").cast("date").alias("month"))
+        .agg(
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(30,10)")), 2)
+            .cast("double")
+            .alias("billed")
+        )
+    )
+    shipped = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy(F.date_trunc("month", "l_shipdate").cast("date").alias("month"))
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(30,10)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("shipped")
+        )
+    )
+    b = billed.withColumnRenamed("month", "b_month")
+    s = shipped.withColumnRenamed("month", "s_month")
+    return (
+        b.join(s, F.col("b_month") == F.col("s_month"), "full_outer")
+        .select(
+            F.coalesce("b_month", "s_month").alias("month"),
+            "billed",
+            "shipped",
+            F.when(F.col("b_month").isNull(), F.lit("shipped_only"))
+            .when(F.col("s_month").isNull(), F.lit("billed_only"))
+            .otherwise(F.lit("both"))
+            .alias("status"),
+        )
+    )
+
+
+@register(
+    "x_set_except_all",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders
+    EXCEPT ALL
+    SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+    """,
+)
+def x_set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset difference (EXCEPT ALL): each premium customer
+    (acctbal > 5000) cancels exactly ONE of their order occurrences,
+    all other multiplicity is preserved — the bag semantics that plain
+    EXCEPT (set) collapses, completing the set-op family
+    (``x_set_union/intersect/except`` are the distinct variants).
+
+    Plan: Spark lowers ``exceptAll`` to a count-aggregate + generate
+    (per-key multiplicity arithmetic), not a sort — one shuffle on the
+    value, output multiplicity = max(left_n − right_n, 0)."""
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    prem = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 5000)
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+    return o.exceptAll(prem)

@@ -379,3 +379,97 @@ def x_agg_regression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("corr"),
     )
+
+
+#: Moving-average crossover geometry (trading-signal classic): short and
+#: long trailing day windows over the daily revenue series.
+MA_SHORT = 7
+MA_LONG = 28
+
+
+@register(
+    "x_ts_ma_crossover",
+    oracle=f"""
+    WITH daily AS (
+        SELECT date_trunc('day', o_orderdate)::DATE AS day,
+               sum(o_totalprice::DECIMAL(30,10)) AS rev
+        FROM orders GROUP BY day
+    ),
+    ma AS (
+        SELECT day,
+               round(avg(rev::DOUBLE) OVER (ORDER BY day
+                     ROWS BETWEEN {MA_SHORT - 1} PRECEDING AND CURRENT ROW),
+                     6) AS short_ma,
+               round(avg(rev::DOUBLE) OVER (ORDER BY day
+                     ROWS BETWEEN {MA_LONG - 1} PRECEDING AND CURRENT ROW),
+                     6) AS long_ma,
+               row_number() OVER (ORDER BY day) AS rn
+        FROM daily
+    ),
+    flagged AS (
+        SELECT day, short_ma, long_ma, rn,
+               short_ma > long_ma AS above,
+               lag(short_ma > long_ma) OVER (ORDER BY day) AS prev_above
+        FROM ma
+    )
+    SELECT day, short_ma, long_ma,
+           CASE WHEN above AND NOT prev_above
+                THEN 'golden' ELSE 'death' END AS signal
+    FROM flagged
+    WHERE rn > {MA_LONG} AND above <> prev_above
+    """,
+)
+def x_ts_ma_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving-average crossover detection over the daily revenue series:
+    days where the {MA_SHORT}-day mean crosses the {MA_LONG}-day mean
+    (golden/death cross) — the trend-change alarm of ops dashboards and
+    trading signals, warm-up period excluded.
+
+    Daily totals are decimal-exact; both trailing means divide an
+    exact sum by an exact count... here ``avg`` runs over a SEQUENTIAL
+    frame of already-exact per-day doubles in both engines, and the
+    crossing COMPARISON is done on the 6-rounded means, so the flag
+    flips identically.  Day grain makes the row frame a true day window
+    (the series is gap-free at this grain; a gap-robust variant would
+    range-frame over the date).
+
+    Plan: one hash aggregate to day grain, then two frame averages and
+    a lag sharing ONE global sort over day-grain data (hundreds of
+    rows at any corpus scale — the aggregate did the data-sized work)."""
+    daily = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("day", "o_orderdate").cast("date").alias("day"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(30,10)")).alias("rev"))
+    )
+    wd = Window.orderBy("day")
+    rev = F.col("rev").cast("double")
+    ma = daily.select(
+        "day",
+        F.round(
+            F.avg(rev).over(wd.rowsBetween(-(MA_SHORT - 1), 0)), 6
+        ).alias("short_ma"),
+        F.round(
+            F.avg(rev).over(wd.rowsBetween(-(MA_LONG - 1), 0)), 6
+        ).alias("long_ma"),
+        F.row_number().over(wd).alias("rn"),
+    )
+    above = F.col("short_ma") > F.col("long_ma")
+    flipped = above != F.lag(above).over(Window.orderBy("day"))
+    return (
+        ma.withColumn("above", above)
+        .withColumn("prev_above", F.lag("above").over(Window.orderBy("day")))
+        .filter(
+            (F.col("rn") > MA_LONG)
+            & (F.col("above") != F.col("prev_above"))
+        )
+        .select(
+            "day",
+            "short_ma",
+            "long_ma",
+            F.when(
+                F.col("above") & ~F.col("prev_above"), F.lit("golden")
+            )
+            .otherwise(F.lit("death"))
+            .alias("signal"),
+        )
+    )

@@ -143,6 +143,12 @@ _PRIORITY_NAMES = (
     "x_win_cohort_revenue",
     "x_ts_time_to_convert",
     "x_llm_zipf_fit",
+    "x_join_full_outer",
+    "x_set_except_all",
+    "x_etl_unpivot",
+    "x_etl_mask_pii",
+    "x_etl_sample_weighted",
+    "x_ts_ma_crossover",
     # stalest attestations: last driver-graded in r01
     "x_agg_rollup",
     "x_agg_sum_avg_min_max",
