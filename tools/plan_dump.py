@@ -42,6 +42,11 @@ HEADLINERS = [
     ("x_llm_embed_outlier", "centroid model from one posexploded hash aggregate (KBs collected), then ONE narrow mapInPandas scoring pass — zero joins, zero shuffles"),
     ("x_llm_ngram_novelty", "document-frequency aggregate joined back on the SAME shingle-hash key (AQE reuses the partitioning); counts, not pairs — no self-join"),
     ("x_win_range_frame", "RANGE frame over integer epoch seconds: one user_id Exchange + sorted streaming frames; equal-second peers are mutual members so peer order is harmless"),
+    ("x_tpch_q5_local_supplier_volume", "six-table snowflake: region/nation/customer/supplier broadcast, orders⋈lineitem is the only data-sized shuffle; r_name + date range pushed to the scans"),
+    ("x_llm_tfidf_topk", "one token explode → (doc,term) aggregate; df is aggregated FROM the tf output (no re-explode); the top-k rank window reuses the doc_id key"),
+    ("x_ts_rolling_zscore", "three exact decimal frame aggregates share ONE window spec — a single user-keyed Exchange; z/flag math is a Project above it"),
+    ("x_agg_market_basket", "DISTINCT (order,brand) collapses multiplicity BEFORE the order-keyed self-join: pair generation quadratic in basket size, linear in orders; stats broadcast back"),
+    ("x_etl_sample_weighted", "weighted sampling as deterministic top-k by hash-derived exponential key: TakeOrderedAndProject (partial per-partition top-k), no global sort, no RNG state"),
 ]
 
 
