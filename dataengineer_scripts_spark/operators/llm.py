@@ -1585,6 +1585,88 @@ def _cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _session_shared(spark, sf_dir, "ndup_cluster_labels", build)
 
 
+#: BFS depth cap — far above any near-dup component diameter (a diameter
+#: this deep means a chained-paraphrase artifact, not a dup cluster); the
+#: SAME constant bounds the oracle's recursive CTE, so both engines
+#: explore the identical truncated search space.
+BFS_MAX_DEPTH = 20
+
+
+@register(
+    "x_llm_dedup_bfs_depth",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_SHINGLES},
+    {_SQL_PAIR_JACCARD},
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM jac
+        WHERE j >= {CLUSTER_J_THRESHOLD}
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM jac
+        WHERE j >= {CLUSTER_J_THRESHOLD}
+    ),
+    reach(node, root) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    labels AS (SELECT node, min(root) AS cluster_id FROM reach GROUP BY node),
+    bfs(node, depth) AS (
+        SELECT node, 0 FROM labels WHERE node = cluster_id
+        UNION
+        SELECT e.dst, b.depth + 1
+        FROM bfs b JOIN edges e ON e.src = b.node
+        WHERE b.depth < {BFS_MAX_DEPTH}
+    )
+    SELECT node AS doc_id, min(depth)::BIGINT AS depth
+    FROM bfs GROUP BY node
+    """,
+)
+def x_llm_dedup_bfs_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS over the near-dup graph: each document's hop
+    distance to its cluster's canonical (the component-minimum doc) —
+    the "how derivative is this copy" signal.  Depth 0 = canonical
+    (singletons included), depth 1 = direct near-dup of the canonical,
+    deeper = reachable only through chains of pairwise-similar
+    intermediates (drift through successive edits — exactly the docs a
+    transitive-closure dedup drops but a pairwise threshold would have
+    kept).  Second iterative-algorithm witness next to the
+    min-label-propagation components: textbook frontier-expansion BFS,
+    oracle-checked against a depth-capped recursive CTE.
+
+    Plan: seeds are the canonicals from the session-shared labels;
+    each sweep is ONE frontier⋈edges hash join + an anti join against
+    the visited set — frontier-sized shuffles, never corpus-sized, and
+    the loop runs diameter times (bounded by BFS_MAX_DEPTH in BOTH
+    engines).  ``localCheckpoint`` truncates lineage per sweep, the same
+    discipline as the components loop."""
+    labels = _cluster_labels(spark, sf_dir)
+    pairs = _ndup_pairs(spark, sf_dir)
+    fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    rev = pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    edges = fwd.union(rev).localCheckpoint(eager=False)
+    frontier = (
+        labels.filter(F.col("doc_id") == F.col("cluster_id"))
+        .select(F.col("doc_id").alias("node"))
+        .localCheckpoint(eager=False)
+    )
+    visited = frontier.withColumn("depth", F.lit(0).cast("bigint"))
+    for d in range(1, BFS_MAX_DEPTH + 1):
+        nxt = (
+            frontier.join(edges, frontier["node"] == edges["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.union(
+            nxt.withColumn("depth", F.lit(d).cast("bigint"))
+        ).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited.select(F.col("node").alias("doc_id"), "depth")
+
+
 def _min_label_components(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
     """Connected components by iterative min-label propagation (the sweep
     loop of ``x_llm_dedup_clusters``, reusable over any node/edge set).
