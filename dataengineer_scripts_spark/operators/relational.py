@@ -2384,3 +2384,73 @@ def x_set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("c_custkey").alias("custkey"))
     )
     return o.exceptAll(prem)
+
+
+#: Range-bucketization geometry: proximity window and bucket width (equal,
+#: so each probe touches exactly its own and two neighbor buckets).
+RANGE_BUCKET_SEC = 300
+
+
+@register(
+    "x_join_range_bucketed",
+    oracle=f"""
+    SELECT p.event_id AS purchase_id, e.event_id AS error_id,
+           round((epoch_us(e.ts) - epoch_us(p.ts)) / 1.0e6, 6) AS dt_sec
+    FROM events p JOIN events e
+      ON e.ts >= p.ts - INTERVAL {RANGE_BUCKET_SEC} SECOND
+     AND e.ts <= p.ts + INTERVAL {RANGE_BUCKET_SEC} SECOND
+    WHERE p.event_type = 'purchase' AND e.event_type = 'error'
+    """,
+)
+def x_join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact range join by bucketization: every purchase paired with
+    every error event within ±{RANGE_BUCKET_SEC}s — incident correlation
+    ("did checkouts fail around that error burst?").  This is the
+    technique ``x_join_range``'s broadcast-band plan cannot give you
+    when BOTH sides are fact-sized: Spark has no native range-join
+    optimization, and the naive theta join is a nested loop over n²
+    comparisons.
+
+    Bucketize instead: bucket the probe side by floor(epoch/W), explode
+    the build side into its own and both neighbor buckets (window = W,
+    so three buckets cover every possible match), equi-join on the
+    bucket id, and apply the true |Δt| ≤ W predicate as the join
+    residual.  Cost: 3× build-side duplication buys an EQUI join —
+    shuffle-partitionable, AQE-skew-splittable, n·density instead of
+    n².  The same trick backs the streaming interval join and the LSH
+    band join.
+
+    Determinism: Δt is an exact integer microsecond difference scaled
+    once — no float accumulation."""
+    ev = table(spark, sf_dir, "events")
+    w_us = RANGE_BUCKET_SEC * 1_000_000
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.unix_micros("ts").alias("p_us"),
+    )
+    e = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        F.unix_micros("ts").alias("e_us"),
+    )
+    probe = p.withColumn("bucket", F.floor(F.col("p_us") / w_us))
+    build = e.select(
+        "error_id",
+        "e_us",
+        F.explode(
+            F.array(
+                F.floor(F.col("e_us") / w_us) - 1,
+                F.floor(F.col("e_us") / w_us),
+                F.floor(F.col("e_us") / w_us) + 1,
+            )
+        ).alias("bucket"),
+    )
+    dt = F.col("e_us") - F.col("p_us")
+    return (
+        probe.join(build, "bucket")
+        .filter((dt >= -w_us) & (dt <= w_us))
+        .select(
+            "purchase_id",
+            "error_id",
+            F.round(dt / 1.0e6, 6).alias("dt_sec"),
+        )
+    )

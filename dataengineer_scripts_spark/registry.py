@@ -150,6 +150,7 @@ _PRIORITY_NAMES = (
     "x_etl_sample_weighted",
     "x_ts_ma_crossover",
     "x_llm_dedup_bfs_depth",
+    "x_join_range_bucketed",
     # stalest attestations: last driver-graded in r01
     "x_agg_rollup",
     "x_agg_sum_avg_min_max",

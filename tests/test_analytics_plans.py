@@ -91,3 +91,17 @@ def test_basket_collapses_multiplicity_before_pairing(spark, sf_dir):
         if i >= 0
     )
     assert "HashAggregate" in plan[first_join:]
+
+
+def test_range_bucketized_join_is_equi_hash_not_nested_loop(spark, sf_dir):
+    # the whole point of bucketization: a fact-fact interval join that
+    # would be a nested loop becomes a bucket-keyed hash join with the
+    # |dt| predicate as residual
+    plan = _physical(DEFS["x_join_range_bucketed"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    )
