@@ -47,6 +47,7 @@ HEADLINERS = [
     ("x_ts_rolling_zscore", "three exact decimal frame aggregates share ONE window spec — a single user-keyed Exchange; z/flag math is a Project above it"),
     ("x_agg_market_basket", "DISTINCT (order,brand) collapses multiplicity BEFORE the order-keyed self-join: pair generation quadratic in basket size, linear in orders; stats broadcast back"),
     ("x_etl_sample_weighted", "weighted sampling as deterministic top-k by hash-derived exponential key: TakeOrderedAndProject (partial per-partition top-k), no global sort, no RNG state"),
+    ("x_join_range_bucketed", "fact-fact interval join bucketized to an equi hash join (3x build-side bucket explode, |dt| residual) — no nested loop, no cartesian"),
 ]
 
 
