@@ -113,7 +113,13 @@ def main() -> None:
     # 10-50 s full-GC pause inside whichever query happens to be running —
     # measured stalls moved between runs (fn_lower 50 s in one run, 4 s in
     # the next) until housekeeping was made explicit and untimed.
-    gc_every = int(os.environ.get("SPARK_GRAFT_BENCH_GC_EVERY", "8"))
+    # Cadence 4 measured 163 s vs 178 s at cadence 8 vs 195 s without the
+    # Python-side collect (205 queries, same box, back-to-back runs): the
+    # JVM-only System.gc cannot free blocks still pinned by dead py4j
+    # refs, and with ~50 checkpoint-holding queries the pin set grows
+    # fast enough that an 8-query gap lets multi-second stalls land on
+    # whichever query runs next.
+    gc_every = int(os.environ.get("SPARK_GRAFT_BENCH_GC_EVERY", "4"))
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     # stdout belongs to the ONE final JSON line (the driver parses it);
@@ -130,6 +136,13 @@ def main() -> None:
                 errors[name] = f"{type(ex).__name__}: {str(ex)[:300]}"
                 print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
             if gc_every and (idx + 1) % gc_every == 0:
+                # Python gc FIRST: transient localCheckpoint frames are
+                # pinned JVM-side through py4j refs held by dead Python
+                # objects — until Python collects them, System.gc cannot
+                # free their blocks and ContextCleaner cannot unpersist.
+                import gc
+
+                gc.collect()
                 spark.catalog.clearCache()
                 spark.sparkContext._jvm.System.gc()
 
