@@ -313,3 +313,34 @@ def fn_lower(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.filter(seg.isin("building", "machinery")).select(
         "c_custkey", seg.alias("seg")
     )
+
+
+@register(
+    "x_fn_regexp_extract",
+    oracle=r"""
+    SELECT event_id,
+           CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k_val,
+           CASE WHEN regexp_matches(props, '^\{.*\}$')
+                THEN 'object' ELSE 'other' END AS shape
+    FROM events
+    """,
+)
+def x_fn_regexp_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex field extraction from the semi-structured ``props`` payload
+    — the scalar-function sibling of ``fn_json_parse`` for when the
+    payload is only regex-structured (log lines, k=v fragments).  Both
+    engines use RE2-class syntax; the capture group and the anchor test
+    are spelled identically.
+
+    Plan: pure Project over the scan — codegen, no shuffle."""
+    return table(spark, sf_dir, "events").select(
+        "event_id",
+        F.regexp_extract("props", r'"k": (\d+)', 1)
+        .cast("bigint")
+        .alias("k_val"),
+        F.when(
+            F.col("props").rlike(r"^\{.*\}$"), F.lit("object")
+        )
+        .otherwise(F.lit("other"))
+        .alias("shape"),
+    )

@@ -2454,3 +2454,36 @@ def x_join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(dt / 1.0e6, 6).alias("dt_sec"),
         )
     )
+
+
+#: ONE SQL text, two engines: executed verbatim by spark.sql() over the
+#: registered temp views AND by the DuckDB oracle — the dialect-portable
+#: ANSI subset (CAST not ::, subquery not QUALIFY, rank with explicit
+#: tiebreak).
+PORTABLE_TOPN_SQL = """
+    SELECT c_nationkey, c_custkey, round(c_acctbal, 2) AS acctbal, rnk
+    FROM (SELECT c_custkey, c_nationkey, c_acctbal,
+                 CAST(rank() OVER (PARTITION BY c_nationkey
+                                   ORDER BY c_acctbal DESC, c_custkey)
+                      AS BIGINT) AS rnk
+          FROM customer WHERE c_acctbal > 0) t
+    WHERE rnk <= 3
+"""
+
+
+@register("x_sql_text_api", oracle=PORTABLE_TOPN_SQL)
+def x_sql_text_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-text entry point: the IDENTICAL ANSI string runs through
+    ``spark.sql()`` over registered temp views and through the DuckDB
+    oracle — `queries()` and `oracle_sql()` share one constant
+    (``PORTABLE_TOPN_SQL``), so a hash match here attests the engine's
+    SQL surface end-to-end (parser → Catalyst → execution), not just the
+    DataFrame API that every other operator exercises.
+
+    Catalyst compiles the text to exactly the plan the DataFrame
+    spelling would get: scan-pushed ``c_acctbal > 0`` filter, one
+    nation-keyed rank window, rank filter above it."""
+    from ..tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(PORTABLE_TOPN_SQL)

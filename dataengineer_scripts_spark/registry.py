@@ -151,6 +151,9 @@ _PRIORITY_NAMES = (
     "x_ts_ma_crossover",
     "x_llm_dedup_bfs_depth",
     "x_join_range_bucketed",
+    "x_sql_text_api",
+    "x_fn_regexp_extract",
+    "x_stream_windowed_topk",
     # stalest attestations: last driver-graded in r01
     "x_agg_rollup",
     "x_agg_sum_avg_min_max",

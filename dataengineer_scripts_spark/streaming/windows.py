@@ -15,7 +15,7 @@ by the watermark — no unbounded maps (SURVEY.md §7.4.6).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -485,3 +485,58 @@ def x_stream_upsert_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(state_dir, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
     return out
+
+
+@register(
+    "x_stream_windowed_topk",
+    oracle="""
+    WITH w AS (
+        SELECT time_bucket(INTERVAL 1 DAY, ts::TIMESTAMP) AS window_start,
+               event_type, count(*) AS n,
+               round(sum(value::DECIMAL(30,10)), 2)::DOUBLE AS total
+        FROM events GROUP BY 1, 2
+    )
+    SELECT window_start, event_type, n, total, rnk
+    FROM (SELECT *, CAST(row_number() OVER (
+              PARTITION BY window_start
+              ORDER BY n DESC, event_type) AS BIGINT) AS rnk
+          FROM w) t
+    WHERE rnk <= 2
+    """,
+)
+def x_stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-window leaderboard: the top-2 event types of every tumbling
+    1-day window by count — the trending-topics / top-errors panel.  In
+    continuous operation this runs as the tumbling aggregate on the
+    stream with the rank applied on the SINK side (per-window top-k is
+    not an incremental streaming operator — a late event can reorder a
+    window, so production materializes the windowed counts (append-mode
+    after watermark) and ranks the closed windows downstream, exactly
+    the split spelled here).
+
+    Determinism: counts are exact, the rank orders by (n desc,
+    event_type) — no tie ambiguity; the decimal value sum is
+    partition-order independent.
+
+    Plan: one hash aggregate to (window, type) grain, then a rank
+    window partitioned by the SAME window key over aggregate-sized
+    data."""
+    win = F.window("ts", "1 day")
+    counts = (
+        table(spark, sf_dir, "events")
+        .groupBy(win.alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(30,10)")), 2)
+            .cast("double")
+            .alias("total"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total")
+    )
+    rk = Window.partitionBy("window_start").orderBy(
+        F.col("n").desc(), "event_type"
+    )
+    return (
+        counts.withColumn("rnk", F.row_number().over(rk).cast("bigint"))
+        .filter(F.col("rnk") <= 2)
+    )
