@@ -2487,3 +2487,69 @@ def x_sql_text_api(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(PORTABLE_TOPN_SQL)
+
+
+@register(
+    "x_udf_pandas_grouped_agg",
+    oracle="""
+    WITH r AS (
+        SELECT c_nationkey, c_acctbal,
+               row_number() OVER (PARTITION BY c_nationkey
+                                  ORDER BY c_acctbal, c_custkey) AS rn,
+               count(*) OVER (PARTITION BY c_nationkey) AS n
+        FROM customer
+    )
+    SELECT c_nationkey,
+           count(*) AS n_kept,
+           round(sum(c_acctbal::DECIMAL(30,10))::DOUBLE / count(*), 6)
+               AS trimmed_mean
+    FROM r
+    WHERE rn > floor(n * 0.1) AND rn <= n - floor(n * 0.1)
+    GROUP BY c_nationkey
+    """,
+)
+def x_udf_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized user-defined AGGREGATE (pandas GROUPED_AGG): per-nation
+    10%-trimmed mean of account balances — the custom-aggregate escape
+    hatch for statistics the built-ins lack, demonstrated on one that
+    needs the whole group (order statistics), completing the UDF surface
+    next to ``x_udf_pandas``'s scalar form.
+
+    Arrow ships each nation's balances to Python ONCE as a single array
+    (``AggregateInPandas`` — never row-at-a-time ``BatchEvalPython``);
+    the UDF sorts, trims 10% from each tail, and returns ``fsum`` of the
+    kept slice over its count.  ``math.fsum`` is the correctly-rounded
+    true sum, which equals the oracle's exact DECIMAL sum cast to double
+    — so the float result is bit-identical despite two entirely
+    different execution paths.  Trim ties are harmless: equal values at
+    the cut keep the same multiset whichever copies survive.
+
+    Scale: grouped-agg UDFs require the whole group in memory on one
+    executor — right for dimension-keyed groups like this (thousands of
+    rows); for fact-sized groups use the sketch/sufficient-statistics
+    operators instead (``x_agg_percentile``, ``x_agg_regression_stats``)."""
+    import math
+
+    import numpy as np
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit functionType (not hint inference): this module stringifies
+    # annotations via `from __future__ import annotations`, so pd.Series
+    # hints would not resolve here (llm.py:44 documents the same trap)
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def trimmed_mean(v):
+        xs = np.sort(v.to_numpy())
+        k = int(len(xs) * 0.1)
+        kept = xs[k : len(xs) - k]
+        return math.fsum(float(x) for x in kept) / len(kept)
+
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def n_kept(v):
+        k = int(len(v) * 0.1)
+        return len(v) - 2 * k
+
+    c = table(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        n_kept("c_acctbal").alias("n_kept"),
+        F.round(trimmed_mean("c_acctbal"), 6).alias("trimmed_mean"),
+    )

@@ -154,6 +154,7 @@ _PRIORITY_NAMES = (
     "x_sql_text_api",
     "x_fn_regexp_extract",
     "x_stream_windowed_topk",
+    "x_udf_pandas_grouped_agg",
     # stalest attestations: last driver-graded in r01
     "x_agg_rollup",
     "x_agg_sum_avg_min_max",
