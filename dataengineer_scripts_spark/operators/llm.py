@@ -4281,3 +4281,84 @@ def x_llm_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("freq"), "pair")
         .limit(BPE_PAIR_TOP_K)
     )
+
+
+@register(
+    "flagship_dataset_card",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, text, lang, source,
+               len(string_split(text, ' ')) AS n_tok
+        FROM documents
+    ),
+    lang_top AS (
+        SELECT lang, count(*) AS c FROM tok GROUP BY lang
+        ORDER BY c DESC, lang LIMIT 1
+    )
+    SELECT count(*) AS n_docs,
+           sum(n_tok)::BIGINT AS n_tokens,
+           count(DISTINCT tok.lang) AS n_langs,
+           min(lt.lang) AS top_lang,
+           round(min(lt.c)::DOUBLE / count(*), 6) AS top_lang_share,
+           count(DISTINCT source) AS n_sources,
+           round(1.0 - count(DISTINCT text)::DOUBLE / count(*), 6)
+               AS exact_dup_frac,
+           round(sum(n_tok)::DOUBLE / count(*), 4) AS avg_tokens,
+           min(n_tok)::BIGINT AS min_tokens,
+           max(n_tok)::BIGINT AS max_tokens
+    FROM tok, lang_top lt
+    """,
+)
+def flagship_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset card: one row of corpus-documentation statistics —
+    size (docs/tokens), language coverage and dominance, source count,
+    exact-duplicate fraction, and token-length range — the summary block
+    of a published dataset's datasheet, and the go/no-go panel a
+    curation run prints at the end.  Composes the corpus in ONE pass
+    where every metric is an exact count or a ratio of exact counts
+    (no float accumulation at all), so the card is bit-identical across
+    engines.
+
+    Plan: a single aggregate over the token-counted scan computes every
+    count/distinct/extreme together (Catalyst plans the three DISTINCTs
+    via expand, one shuffle); the top-language row is a 1-row broadcast
+    from a lang-grain aggregate.  At 100 TB the expand triples the
+    shuffle rows — if that ever dominates, split the distincts into
+    three parallel aggregates and cross-join the 1-row results; the
+    single-statement form is kept here because the card is recomputed
+    rarely and clarity wins."""
+    tok = rebalanced(table(spark, sf_dir, "documents")).select(
+        "doc_id",
+        "text",
+        "lang",
+        "source",
+        F.size(F.split("text", " ")).alias("n_tok"),
+    )
+    lang_top = (
+        tok.groupBy("lang")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), "lang")
+        .limit(1)
+        .select(F.col("lang").alias("tl"), "c")
+    )
+    return (
+        tok.join(F.broadcast(lang_top))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+            F.count_distinct("lang").alias("n_langs"),
+            F.min("tl").alias("top_lang"),
+            F.round(F.min("c").cast("double") / F.count("*"), 6).alias(
+                "top_lang_share"
+            ),
+            F.count_distinct("source").alias("n_sources"),
+            F.round(
+                1.0 - F.count_distinct("text").cast("double") / F.count("*"), 6
+            ).alias("exact_dup_frac"),
+            F.round(F.sum("n_tok").cast("double") / F.count("*"), 4).alias(
+                "avg_tokens"
+            ),
+            F.min("n_tok").cast("bigint").alias("min_tokens"),
+            F.max("n_tok").cast("bigint").alias("max_tokens"),
+        )
+    )

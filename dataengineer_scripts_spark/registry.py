@@ -155,6 +155,7 @@ _PRIORITY_NAMES = (
     "x_fn_regexp_extract",
     "x_stream_windowed_topk",
     "x_udf_pandas_grouped_agg",
+    "flagship_dataset_card",
     # stalest attestations: last driver-graded in r01
     "x_agg_rollup",
     "x_agg_sum_avg_min_max",
