@@ -319,7 +319,8 @@ def fn_lower(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x_fn_regexp_extract",
     oracle=r"""
     SELECT event_id,
-           CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k_val,
+           TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)
+               AS k_val,
            CASE WHEN regexp_matches(props, '^\{.*\}$')
                 THEN 'object' ELSE 'other' END AS shape
     FROM events

@@ -213,7 +213,7 @@ BASKET_MIN_SUPPORT = 5
     SELECT brand_a, brand_b, c_ab AS n_both,
            round(c_ab::DOUBLE / tot.n, 6) AS support,
            round(c_ab::DOUBLE / na.c1, 6) AS confidence,
-           round(c_ab::DOUBLE * tot.n / (na.c1 * nb.c1), 6) AS lift
+           round(c_ab::DOUBLE * tot.n / (na.c1::DOUBLE * nb.c1), 6) AS lift
     FROM pairs, tot, n1 na, n1 nb
     WHERE na.p_brand = brand_a AND nb.p_brand = brand_b
     """,
@@ -266,9 +266,12 @@ def x_agg_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_ab").alias("n_both"),
             F.round(c_ab / F.col("n"), 6).alias("support"),
             F.round(c_ab / F.col("ca"), 6).alias("confidence"),
-            F.round(c_ab * F.col("n") / (F.col("ca") * F.col("cb")), 6).alias(
-                "lift"
-            ),
+            # ca*cb in long arithmetic would silently wrap at fact-scale
+            # counts; promote to double before the product
+            F.round(
+                c_ab * F.col("n") / (F.col("ca").cast("double") * F.col("cb")),
+                6,
+            ).alias("lift"),
         )
     )
 

@@ -454,7 +454,6 @@ def x_ts_ma_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(wd).alias("rn"),
     )
     above = F.col("short_ma") > F.col("long_ma")
-    flipped = above != F.lag(above).over(Window.orderBy("day"))
     return (
         ma.withColumn("above", above)
         .withColumn("prev_above", F.lag("above").over(Window.orderBy("day")))

@@ -463,7 +463,8 @@ def x_tpch_q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
     "x_tpch_q22_global_sales_opportunity",
     oracle="""
     WITH pos AS (
-        SELECT avg(c_acctbal) AS a FROM customer WHERE c_acctbal > 0
+        SELECT sum(c_acctbal::DECIMAL(30,10))::DOUBLE / count(*) AS a
+        FROM customer WHERE c_acctbal > 0
     )
     SELECT n_name, count(*) AS numcust,
            round(sum(c_acctbal::DECIMAL(30,10)), 2)::DOUBLE AS totacctbal
@@ -492,8 +493,15 @@ def x_tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> Dat
     above-average slice."""
     c = table(spark, sf_dir, "customer")
     n = table(spark, sf_dir, "nation")
+    # decimal-exact average: the threshold is a comparison boundary, so a
+    # parallel double sum (order-dependent in the last ulp) could flip a
+    # customer across engines/runs; exact sum / exact count is identical
+    # everywhere
     pos_avg = c.filter(F.col("c_acctbal") > 0).agg(
-        F.avg("c_acctbal").alias("a")
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(30,10)")).cast("double")
+            / F.count("*")
+        ).alias("a")
     )
     recent = (
         table(spark, sf_dir, "orders")
