@@ -1538,3 +1538,52 @@ def x_etl_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         keyed.withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rnk") <= WSAMPLE_K)
     )
+
+
+@register(
+    "x_etl_table_checksum",
+    oracle="""
+    SELECT c_nationkey,
+           count(*) AS n_rows,
+           sum(('0x' || substr(md5(
+                   c_custkey::VARCHAR || '|' || c_name || '|'
+                   || round(c_acctbal, 2)::VARCHAR || '|' || c_mktsegment),
+               1, 15))::BIGINT::DECIMAL(38,0))::VARCHAR AS checksum
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def x_etl_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-invariant table checksum per partition key — the
+    replication/migration reconciliation primitive: both sides of a copy
+    compute (row_count, sum of per-row content hashes) per segment and
+    compare; a single corrupted/missing/duplicated row flips the
+    checksum while the aggregate stays one scan-side pass (no sort, no
+    row shipping — this is how you diff a 100 TB table across clusters
+    with kilobytes of traffic).
+
+    The row hash is the md5-prefix 60-bit integer of a canonical '|'
+    serialization (floats pre-rounded so both engines serialize the same
+    text); the SUM is exact DECIMAL(38,0) — commutative, so partitioning
+    cannot change it — and is emitted as a STRING because the total
+    exceeds int64 while the driver's comparator needs a scalar column.
+
+    Plan: one hash aggregate over a projection; map-side partials do
+    nearly all the work."""
+    row_repr = F.concat_ws(
+        "|",
+        F.col("c_custkey").cast("string"),
+        F.col("c_name"),
+        F.round("c_acctbal", 2).cast("string"),
+        F.col("c_mktsegment"),
+    )
+    h = F.conv(F.substring(F.md5(row_repr), 1, 15), 16, 10).cast(
+        "decimal(38,0)"
+    )
+    return (
+        table(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(h).cast("string").alias("checksum"),
+        )
+    )

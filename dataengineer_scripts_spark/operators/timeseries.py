@@ -472,3 +472,128 @@ def x_ts_ma_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("signal"),
         )
     )
+
+
+@register(
+    "x_ts_hour_of_day_profile",
+    oracle="""
+    SELECT event_type, extract(hour FROM ts)::BIGINT AS hour,
+           count(*) AS n,
+           round(sum(value::DECIMAL(30,10))::DOUBLE / count(*), 6)
+               AS avg_value
+    FROM events GROUP BY event_type, hour
+    """,
+)
+def x_ts_hour_of_day_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonality profile per event type: volume and mean
+    value for each of the 24 clock hours — the diurnal fingerprint
+    behind load forecasting, anomaly baselines ("is 3am traffic
+    normal?") and on-call dashboards.
+
+    One hash aggregate on a (type, hour) key space of ≤ 24×|types| —
+    map-side partials collapse the fact table almost entirely; the mean
+    is an exact decimal sum over an exact count."""
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.hour("ts").cast("bigint").alias("hour"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(30,10)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("avg_value"),
+        )
+    )
+
+
+#: Autocorrelation lags (days) reported by x_ts_autocorrelation.
+AUTOCORR_LAGS = (1, 7)
+
+
+@register(
+    "x_ts_autocorrelation",
+    oracle=f"""
+    WITH daily AS (
+        SELECT date_trunc('day', o_orderdate)::DATE AS day,
+               sum(o_totalprice::DECIMAL(30,10))::DOUBLE AS rev
+        FROM orders GROUP BY day
+    ),
+    lagged AS (
+        SELECT l.lag, a.rev AS x, b.rev AS y
+        FROM daily a
+        JOIN (SELECT unnest([{", ".join(str(k) for k in AUTOCORR_LAGS)}])
+              AS lag) l ON TRUE
+        JOIN daily b ON b.day = a.day + l.lag * INTERVAL 1 DAY
+    ),
+    s AS (
+        SELECT lag, count(*) AS n,
+               sum(x::DECIMAL(38,8))::DOUBLE AS sx,
+               sum(y::DECIMAL(38,8))::DOUBLE AS sy,
+               sum((x * y)::DECIMAL(38,2))::DOUBLE AS sxy,
+               sum((x * x)::DECIMAL(38,2))::DOUBLE AS sxx,
+               sum((y * y)::DECIMAL(38,2))::DOUBLE AS syy
+        FROM lagged GROUP BY lag
+    )
+    SELECT lag::BIGINT AS lag, n,
+           round((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+               AS autocorr
+    FROM s
+    """,
+)
+def x_ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-k autocorrelation of the daily revenue series (k = 1 and 7
+    days): the Pearson correlation of the series with its own k-shifted
+    self — the quantitative "is there a weekly cycle?" test (lag-7 high
+    + lag-1 low ⇒ strong weekly seasonality), feeding the same
+    sufficient-statistics machinery as ``x_agg_regression_stats``.
+
+    The day-grain totals are decimal-exact doubles; the lag pairing is
+    an equi-join on shifted dates (no window over the fact), and each
+    lag's six moments accumulate DECIMAL — deterministic across engines.
+
+    Plan: the fact collapses to day grain first (one aggregate), so the
+    lag self-join and the moments run over hundreds of rows at ANY
+    corpus scale."""
+    daily = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("day", "o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(30,10)"))
+            .cast("double")
+            .alias("rev")
+        )
+        .localCheckpoint(eager=False)
+    )
+    lags = spark.createDataFrame([(k,) for k in AUTOCORR_LAGS], "lag int")
+    a = daily.select("day", F.col("rev").alias("x"))
+    b = daily.select(F.col("day").alias("bday"), F.col("rev").alias("y"))
+    lagged = (
+        a.join(F.broadcast(lags))
+        .join(b, F.expr("bday = day + make_interval(0, 0, 0, lag)"))
+    )
+    x, y = F.col("x"), F.col("y")
+    s = lagged.groupBy("lag").agg(
+        F.count("*").alias("n"),
+        F.sum(x.cast("decimal(38,8)")).cast("double").alias("sx"),
+        F.sum(y.cast("decimal(38,8)")).cast("double").alias("sy"),
+        F.sum((x * y).cast("decimal(38,2)")).cast("double").alias("sxy"),
+        F.sum((x * x).cast("decimal(38,2)")).cast("double").alias("sxx"),
+        F.sum((y * y).cast("decimal(38,2)")).cast("double").alias("syy"),
+    )
+    n = F.col("n")
+    sx, sy = F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    return s.select(
+        F.col("lag").cast("bigint").alias("lag"),
+        "n",
+        F.round(
+            (n * sxy - sx * sy)
+            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("autocorr"),
+    )

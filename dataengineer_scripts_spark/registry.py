@@ -156,6 +156,9 @@ _PRIORITY_NAMES = (
     "x_stream_windowed_topk",
     "x_udf_pandas_grouped_agg",
     "flagship_dataset_card",
+    "x_etl_table_checksum",
+    "x_ts_hour_of_day_profile",
+    "x_ts_autocorrelation",
     # stalest attestations: last driver-graded in r01
     "x_agg_rollup",
     "x_agg_sum_avg_min_max",
