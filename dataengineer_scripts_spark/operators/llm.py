@@ -296,13 +296,15 @@ def x_llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ngram_jaccard_pairs(spark, sf_dir, _shingle_rows(spark, sf_dir))
 
 
-def _ngram_jaccard_pairs(
-    spark: SparkSession, sf_dir: str, sh: DataFrame
-) -> DataFrame:
-    """Body of :func:`x_llm_dedup_ngram_jaccard` over a caller-supplied
-    shingle frame, so a pipeline that needs shingles for several stages
-    (``flagship_curation``: pair-gen + decontamination) builds them ONCE
-    and shares the materialized frame."""
+def _overlap_counts(spark: SparkSession, sf_dir: str, sh: DataFrame):
+    """Skew-capped pairwise shingle-overlap machinery shared by the
+    Jaccard and containment operators: returns ``(common, sizes, cold,
+    hot_sh)`` where ``common`` is (doc_a < doc_b, c_cold, c_hot) for
+    every pair sharing >= 1 COLD shingle (exact overlap counts — the hot
+    contribution is added back candidate-linearly), ``sizes`` is the
+    FULL per-doc shingle count, and ``cold``/``hot_sh`` are the
+    cold/hot shingle row splits for the metric-specific completion
+    passes."""
     n_docs = table(spark, sf_dir, "documents").agg(F.count("*").alias("n_docs"))
     hot = _hot_shingle_keys(sh, n_docs)
     cold = sh.join(F.broadcast(hot), "h", "left_anti")
@@ -330,13 +332,25 @@ def _ngram_jaccard_pairs(
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("c_hot"))
     )
+    common = cold_common.join(hot_common, ["doc_a", "doc_b"], "left").withColumn(
+        "c_hot", F.coalesce("c_hot", F.lit(0))
+    )
+    return common, sizes, cold, hot_sh
+
+
+def _ngram_jaccard_pairs(
+    spark: SparkSession, sf_dir: str, sh: DataFrame
+) -> DataFrame:
+    """Body of :func:`x_llm_dedup_ngram_jaccard` over a caller-supplied
+    shingle frame, so a pipeline that needs shingles for several stages
+    (``flagship_curation``: pair-gen + decontamination) builds them ONCE
+    and shares the materialized frame."""
+    common, sizes, cold, hot_sh = _overlap_counts(spark, sf_dir, sh)
 
     c = F.col("c_cold") + F.col("c_hot")
     j = c.cast("double") / ((F.col("sa.n") + F.col("sb.n") - c).cast("double"))
     via_cold = (
-        cold_common.join(hot_common, ["doc_a", "doc_b"], "left")
-        .withColumn("c_hot", F.coalesce("c_hot", F.lit(0)))
-        .join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        common.join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
         .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
         .filter(j >= 0.5)
         .select("doc_a", "doc_b", F.round(j, 6).alias("jaccard"))
@@ -361,7 +375,7 @@ def _ngram_jaccard_pairs(
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
-        .join(cold_common.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_anti")
+        .join(common.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_anti")
     )
     via_hot = (
         _pair_jaccard(extra_pairs, sh)
@@ -369,6 +383,77 @@ def _ngram_jaccard_pairs(
         .select("doc_a", "doc_b", F.round("j", 6).alias("jaccard"))
     )
     return via_cold.unionByName(via_hot)
+
+
+#: Containment report floor: fraction of the inner doc's shingles that
+#: must appear in the outer doc.
+CONTAINMENT_THRESHOLD = 0.8
+
+
+@register(
+    "x_llm_dedup_containment",
+    oracle=f"""
+    WITH {_SQL_SHINGLES},
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a AS doc_inner, doc_b AS doc_outer,
+           round(c::DOUBLE / sa.n, 6) AS containment
+    FROM common JOIN sizes sa ON doc_a = sa.doc_id
+    WHERE c::DOUBLE / sa.n >= {CONTAINMENT_THRESHOLD}
+    UNION ALL
+    SELECT doc_b, doc_a, round(c::DOUBLE / sb.n, 6)
+    FROM common JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE c::DOUBLE / sb.n >= {CONTAINMENT_THRESHOLD}
+    """,
+)
+def x_llm_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle containment pairs: (inner, outer) where >= 80% of the
+    inner document's shingles appear in the outer — the asymmetric
+    near-dup signal Jaccard structurally misses (a paragraph quoted
+    inside a long article has C ≈ 1 but J ≈ |inner|/|outer| ≈ 0), and
+    the standard complement to Jaccard in text-corpus dedup (Broder's
+    containment measure): drop or down-weight the inner copy, keep the
+    container.
+
+    Reuses the skew-capped overlap machinery (``_overlap_counts``):
+    exact common counts for every pair sharing a cold shingle, hot
+    contribution added back candidate-linearly, evaluated in BOTH
+    directions off one (doc_a < doc_b) frame.  Recall boundary: a pair
+    invisible to the cold route shares ONLY hot shingles, so an inner
+    doc at C >= {CONTAINMENT_THRESHOLD} is >= 80% template shingles —
+    those template copies are exactly what ``x_llm_dedup_exact`` /
+    ``x_llm_dedup_clusters`` collapse FIRST at scale, and any pairs
+    they'd emit here are output-sized (every template holder genuinely
+    contains the template), not skew waste.  On the fixtures the cap is
+    inert and the output equals the exact all-pairs oracle at every SF
+    swept."""
+    sh = _shingle_rows(spark, sf_dir)
+    common, sizes, _cold, _hot_sh = _overlap_counts(spark, sf_dir, sh)
+    c = (F.col("c_cold") + F.col("c_hot")).cast("double")
+    with_sizes = common.join(
+        sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id")
+    ).join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+    fwd = (
+        with_sizes.filter(c / F.col("sa.n") >= CONTAINMENT_THRESHOLD)
+        .select(
+            F.col("doc_a").alias("doc_inner"),
+            F.col("doc_b").alias("doc_outer"),
+            F.round(c / F.col("sa.n"), 6).alias("containment"),
+        )
+    )
+    rev = (
+        with_sizes.filter(c / F.col("sb.n") >= CONTAINMENT_THRESHOLD)
+        .select(
+            F.col("doc_b").alias("doc_inner"),
+            F.col("doc_a").alias("doc_outer"),
+            F.round(c / F.col("sb.n"), 6).alias("containment"),
+        )
+    )
+    return fwd.unionByName(rev)
 
 
 #: MinHash/LSH geometry: 128 hashes in 32 bands of 4 rows.  At the J=0.8

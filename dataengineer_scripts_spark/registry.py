@@ -150,8 +150,9 @@ _PRIORITY_NAMES = (
     "x_stream_windowed_topk",
     "x_udf_pandas_grouped_agg",
     "flagship_dataset_card",
-    "x_ts_autocorrelation",
+    "x_llm_dedup_containment",
     # likely past the ~50 window (plan classes attested via siblings)
+    "x_ts_autocorrelation",
     "x_agg_entropy",
     "x_win_period_over_period",
     "x_ts_time_to_convert",
