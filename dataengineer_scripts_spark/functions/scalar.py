@@ -321,7 +321,7 @@ def fn_lower(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id,
            TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)
                AS k_val,
-           CASE WHEN regexp_matches(props, '^\{.*\}$')
+           CASE WHEN regexp_matches(props, '^\{.*\}\z')
                 THEN 'object' ELSE 'other' END AS shape
     FROM events
     """,
@@ -333,14 +333,22 @@ def x_fn_regexp_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines use RE2-class syntax; the capture group and the anchor test
     are spelled identically.
 
+    Cross-engine edges handled deliberately: the end anchor is ``\\z``
+    (end of TEXT in both Java regex and RE2), not ``$`` (which Java
+    matches BEFORE a trailing final newline while RE2 matches only at
+    end of text — a payload ending in '\\n' would otherwise classify
+    differently per engine); and the non-match extract ('') goes through
+    ``try_cast`` so the operator is ANSI-mode-safe, mirroring the
+    oracle's TRY_CAST.
+
     Plan: pure Project over the scan — codegen, no shuffle."""
     return table(spark, sf_dir, "events").select(
         "event_id",
         F.regexp_extract("props", r'"k": (\d+)', 1)
-        .cast("bigint")
+        .try_cast("bigint")
         .alias("k_val"),
         F.when(
-            F.col("props").rlike(r"^\{.*\}$"), F.lit("object")
+            F.col("props").rlike("^\\{.*\\}\\z"), F.lit("object")
         )
         .otherwise(F.lit("other"))
         .alias("shape"),

@@ -220,7 +220,7 @@ BASKET_MIN_SUPPORT = 5
 )
 def x_agg_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket association rules at brand grain: for every brand
-    pair co-occurring in ≥{BASKET_MIN_SUPPORT} orders, the support,
+    pair co-occurring in ≥5 orders, the support,
     confidence (A→B) and lift — the classic affinity-mining query
     (and the co-occurrence shape behind ``x_llm_collocations``, on
     transactions instead of token windows).

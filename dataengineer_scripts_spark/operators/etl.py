@@ -1513,11 +1513,16 @@ def x_etl_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic weighted sampling without replacement
     (Efraimidis–Spirakis, exponential-key formulation): each order draws
     key ``−ln(u)/w`` with weight w = order value and u a hash-derived
-    uniform; the {WSAMPLE_K} SMALLEST keys are the sample.  Inclusion
-    probability is proportional to weight, the draw is reproducible
-    run-to-run (hash-seeded, no RNG state), and — critically at scale —
-    the selection is a top-k, which Spark executes as per-partition
-    partial top-k + driver merge, never a global sort.
+    uniform; the 100 SMALLEST keys are the sample.  Inclusion
+    probability is proportional to weight and the draw is reproducible
+    run-to-run (hash-seeded, no RNG state).
+
+    Scale shape: the selection is ``orderBy(key).limit(k)``, which Spark
+    lowers to TakeOrderedAndProject — per-partition partial top-k then a
+    driver merge of k rows per partition, never a global sort and never
+    an unpartitioned Window over the fact table.  Only AFTER the cut is
+    the k-row result ranked with ``row_number`` (k=100 rows on one
+    partition is trivially fine).
 
     Determinism: u = (h+1)/(2^52+1) from the md5 prefix is exact
     integer-derived; ln and the division are elementwise; the key is
@@ -1533,11 +1538,9 @@ def x_etl_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed = table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice", k.alias("sample_key")
     )
+    sampled = keyed.orderBy("sample_key", "o_orderkey").limit(WSAMPLE_K)
     w = Window.orderBy("sample_key", "o_orderkey")
-    return (
-        keyed.withColumn("rnk", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rnk") <= WSAMPLE_K)
-    )
+    return sampled.withColumn("rnk", F.row_number().over(w).cast("bigint"))
 
 
 @register(

@@ -422,15 +422,18 @@ def x_llm_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reuses the skew-capped overlap machinery (``_overlap_counts``):
     exact common counts for every pair sharing a cold shingle, hot
     contribution added back candidate-linearly, evaluated in BOTH
-    directions off one (doc_a < doc_b) frame.  Recall boundary: a pair
-    invisible to the cold route shares ONLY hot shingles, so an inner
-    doc at C >= {CONTAINMENT_THRESHOLD} is >= 80% template shingles —
-    those template copies are exactly what ``x_llm_dedup_exact`` /
-    ``x_llm_dedup_clusters`` collapse FIRST at scale, and any pairs
-    they'd emit here are output-sized (every template holder genuinely
-    contains the template), not skew waste.  On the fixtures the cap is
-    inert and the output equals the exact all-pairs oracle at every SF
-    swept."""
+    directions off one (doc_a < doc_b) frame — PLUS a completion pass
+    (mirroring the Jaccard sibling's via_hot route) so the operator
+    matches the exact all-pairs oracle even when the hot-shingle cap
+    activates: a pair invisible to the cold route shares ONLY hot
+    shingles, and its inner doc at C >= 0.8 must itself be >= 80% hot
+    shingles (every cold inner shingle is guaranteed non-overlap), so
+    exactly those mostly-hot docs are re-paired through the hot rows
+    against ALL hot-shingle holders, anti-joined against the cold
+    route's pairs, and scored with exact candidate-linear counts.  The
+    completion is near-output-sized (every template holder genuinely
+    contains the template) and empty whenever the cap is inert — which
+    it is on every fixture SF swept."""
     sh = _shingle_rows(spark, sf_dir)
     common, sizes, _cold, _hot_sh = _overlap_counts(spark, sf_dir, sh)
     c = (F.col("c_cold") + F.col("c_hot")).cast("double")
@@ -453,7 +456,56 @@ def x_llm_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(c / F.col("sb.n"), 6).alias("containment"),
         )
     )
-    return fwd.unionByName(rev)
+
+    # Completion pass: candidate inners are docs whose cold-shingle count
+    # is <= (1-T) of their shingle set (the only docs that can reach
+    # C >= T through hot shingles alone); outers are any hot-shingle
+    # holders.  Anti-join removes pairs the cold route already scored.
+    cold_n = _cold.groupBy("doc_id").agg(F.count("*").alias("n_cold"))
+    mostly_hot = (
+        sizes.join(cold_n, "doc_id", "left")
+        .filter(
+            F.coalesce(F.col("n_cold"), F.lit(0)).cast("double")
+            <= (1.0 - CONTAINMENT_THRESHOLD) * F.col("n")
+        )
+        .select("doc_id")
+    )
+    inner_h = _hot_sh.join(mostly_hot, "doc_id").select(
+        F.col("doc_id").alias("doc_inner"), "h"
+    )
+    cand = (
+        inner_h.join(
+            _hot_sh.select(F.col("doc_id").alias("doc_outer"), "h"), "h"
+        )
+        .filter(F.col("doc_inner") != F.col("doc_outer"))
+        .select("doc_inner", "doc_outer")
+        .distinct()
+        .withColumn("_lo", F.least("doc_inner", "doc_outer"))
+        .withColumn("_hi", F.greatest("doc_inner", "doc_outer"))
+        .join(
+            common.select(
+                F.col("doc_a").alias("_lo"), F.col("doc_b").alias("_hi")
+            ),
+            ["_lo", "_hi"],
+            "left_anti",
+        )
+        .drop("_lo", "_hi")
+    )
+    si = sh.select(F.col("doc_id").alias("doc_inner"), "h")
+    so = sh.select(F.col("doc_id").alias("doc_outer"), "h")
+    cnt = (
+        cand.join(si, "doc_inner")
+        .join(so, ["doc_outer", "h"])
+        .groupBy("doc_inner", "doc_outer")
+        .agg(F.count("*").alias("c"))
+    )
+    ci = F.col("c").cast("double") / F.col("si.n").cast("double")
+    via_hot = (
+        cnt.join(sizes.alias("si"), F.col("doc_inner") == F.col("si.doc_id"))
+        .filter(ci >= CONTAINMENT_THRESHOLD)
+        .select("doc_inner", "doc_outer", F.round(ci, 6).alias("containment"))
+    )
+    return fwd.unionByName(rev).unionByName(via_hot)
 
 
 #: MinHash/LSH geometry: 128 hashes in 32 bands of 4 rows.  At the J=0.8
@@ -3317,7 +3369,7 @@ def x_llm_lm_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     and get cut; this is the count-based stand-in for a KenLM perplexity
     gate, with the same dataflow shape.
 
-    Plan: the model side collapses to {NGRAM_LM_TOP_K} rows (hash agg +
+    Plan: the model side collapses to 500 rows (hash agg +
     TakeOrderedAndProject with a total ``(count desc, p)`` order so the
     boundary of the top-K is deterministic on both engines) and is
     explicitly ``F.broadcast`` — at 100 TB the corpus-sized probe side

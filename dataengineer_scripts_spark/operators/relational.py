@@ -2019,7 +2019,7 @@ def x_agg_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     plain window cannot produce, because distinct does not decompose over
     sliding frames (yesterday's WAU and today's events don't tell you
     today's WAU).  The scalable rendering inverts the window: each
-    (user, active-day) fact COVERS the {ROLLING_DISTINCT_DAYS} window
+    (user, active-day) fact COVERS the 7 window
     end-days it contributes to, so a map-side explode of w tiny integers
     plus one dedup turns window-distinct into two plain hash aggregates —
     no per-day re-scan, no O(days × window) self-join, no
@@ -2182,16 +2182,15 @@ def flagship_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     to (metric, key, value) is a codegen'd projection per member."""
     from .etl import x_etl_dq_report
 
-    f = x_agg_funnel(spark, sf_dir)
-    funnel = (
-        f.select(F.lit("stage1").alias("key"), F.col("n_stage1").alias("value"))
-        .unionByName(
-            f.select(F.lit("stage2").alias("key"), F.col("n_stage2").alias("value"))
-        )
-        .unionByName(
-            f.select(F.lit("stage3").alias("key"), F.col("n_stage3").alias("value"))
-        )
-        .select(F.lit("funnel").alias("metric"), "key", "value")
+    # stack() unpivots the ONE funnel row in a single projection — a
+    # union of three selects over `f` would re-execute the funnel's
+    # chained min-aggregate subplan once per branch.
+    funnel = x_agg_funnel(spark, sf_dir).select(
+        F.lit("funnel").alias("metric"),
+        F.expr(
+            "stack(3, 'stage1', n_stage1, 'stage2', n_stage2,"
+            " 'stage3', n_stage3) AS (key, value)"
+        ),
     )
     wau = x_agg_rolling_distinct(spark, sf_dir).select(
         F.lit("wau").alias("metric"),
@@ -2404,7 +2403,7 @@ RANGE_BUCKET_SEC = 300
 )
 def x_join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fact-fact range join by bucketization: every purchase paired with
-    every error event within ±{RANGE_BUCKET_SEC}s — incident correlation
+    every error event within ±300s — incident correlation
     ("did checkouts fail around that error burst?").  This is the
     technique ``x_join_range``'s broadcast-band plan cannot give you
     when BOTH sides are fact-sized: Spark has no native range-join

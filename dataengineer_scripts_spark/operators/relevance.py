@@ -66,7 +66,7 @@ BM25_QUERY = ("hash", "join", "vector")
     """,
 )
 def x_llm_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-{TFIDF_TOP_K} TF-IDF terms per document — keyword extraction:
+    """Top-5 TF-IDF terms per document — keyword extraction:
     ``tf × ln((N+1)/(df+1))`` with raw term frequency and smoothed IDF.
 
     Determinism: tf, df and N are exact integer aggregates; the score is
@@ -296,7 +296,7 @@ TRIGRAM_TOP_K = 10
     """,
 )
 def x_llm_char_trigram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-language top-{TRIGRAM_TOP_K} character trigrams — the model
+    """Per-language top-10 character trigrams — the model
     build for n-gram language identification (each language's trigram
     frequency head IS its classifier profile; ``x_llm_lang_id`` is the
     scoring side).

@@ -66,7 +66,7 @@ ZSCORE_BAR = 2.0
 )
 def x_ts_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling z-score anomaly detection: each event's value against the
-    mean/stddev of its user's trailing {ZSCORE_WINDOW}-event window —
+    mean/stddev of its user's trailing 10-event window —
     the online outlier flag of metric monitoring, fraud scoring and
     sensor QA, as one declarative pass.
 
@@ -421,7 +421,7 @@ MA_LONG = 28
 )
 def x_ts_ma_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Moving-average crossover detection over the daily revenue series:
-    days where the {MA_SHORT}-day mean crosses the {MA_LONG}-day mean
+    days where the 7-day mean crosses the 28-day mean
     (golden/death cross) — the trend-change alarm of ops dashboards and
     trading signals, warm-up period excluded.
 

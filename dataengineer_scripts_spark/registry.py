@@ -81,90 +81,36 @@ def _load_all() -> None:
 
 
 # The grading driver only records CORRECTNESS rows for the first ~50 ids it
-# sees.  After round 7 every registered id has been driver-graded at least
-# once; the window now ROTATES to keep attestations fresh.  Round 8 fronts:
-# (1) x_llm_embed_pq, round 7's one red row (array codes column → driver
-# canonicalizer TypeError), re-serialized as a scalar string this round;
-# (2) the three new oracle-checked companions of the rows-only sketch/ANN/
-# simhash families; (3) every id whose latest attestation is r05 or older,
-# oldest first (the r01/r02 join+agg head, then the r05 block: flagships,
-# the 30 reference-derived ids, sinks/sources).  Purely an ordering change:
-# same keys, same callables, same oracles.
+# sees; the window ROTATES each round to keep attestations fresh.  Round 9
+# fronts, per the r08 verdict's priority list: (1) the 12 round-8 extras
+# that have NEVER been driver-graded (they overflowed the r08 window; one,
+# x_etl_sample_weighted, also had its global-window rank rewritten to a
+# TakeOrdered this round — fix and attest in one motion); (2) the two ops
+# whose implementations changed this round and so need re-attestation
+# (flagship_analytics: funnel reshape via stack(); x_llm_dedup_containment:
+# hot-shingle completion pass; x_fn_regexp_extract is already in group 1);
+# (3) the new round-9 operators; (4) the stalest attestations (r01 joins/
+# aggs, then r02).  Purely an ordering change: same keys, same callables,
+# same oracles.
 _PRIORITY_NAMES = (
-    # r07's one driver ERR — fixed this round, re-attest first
-    "x_llm_embed_pq",
-    # new in r08: oracle-checked companions bridging the rows-only families
-    "x_agg_hll_merge_exact",
-    "x_llm_simhash_signature",
-    "x_llm_pq_adc_scores",
-    # new in r08: curation + analytics additions
-    "flagship_analytics",
-    "x_llm_dedup_prefix",
-    "x_llm_vocab_coverage",
-    "x_llm_embed_outlier",
-    "x_agg_funnel",
-    "x_agg_mode",
-    "x_agg_retention",
-    "x_etl_snapshot_diff",
-    "x_etl_incremental_agg",
-    "x_llm_ngram_novelty",
-    "x_win_range_frame",
-    "x_llm_collocations",
-    "x_etl_dq_report",
-    "x_mm_dedup_binary",
-    "x_agg_rolling_distinct",
-    "x_join_asof_tolerance",
-    "x_llm_bpe_merge_step",
-    "x_win_streaks",
-    # new in r08 (late additions): the TPC-H-derived analytic suite —
-    # never driver-graded, so it must make the window this round
-    "x_tpch_q4_order_priority",
-    "x_tpch_q5_local_supplier_volume",
-    "x_tpch_q6_forecast_revenue",
-    "x_tpch_q10_returned_items",
-    "x_tpch_q13_customer_distribution",
-    "x_tpch_q14_promo_revenue",
-    "x_tpch_q18_large_volume_customer",
-    "x_tpch_q19_discounted_revenue",
-    "x_tpch_q22_global_sales_opportunity",
-    # new in r08 (late additions), ordered so the ~50-id driver window
-    # catches one representative of every NEW capability class; the tail
-    # past the window is trivially-shaped ops (pure projections, plain
-    # aggregates) whose plan classes are already attested — each still
-    # carries the full local three-configuration sweep evidence
-    "x_llm_tfidf_topk",
-    "x_llm_bm25_rank",
-    "x_llm_char_trigram_profile",
-    "x_llm_zipf_fit",
-    "x_ts_rolling_zscore",
-    "x_ts_time_weighted_avg",
-    "x_ts_attribution_last_touch",
-    "x_agg_regression_stats",
-    "x_agg_gini",
-    "x_agg_market_basket",
-    "x_win_cohort_revenue",
-    "x_join_full_outer",
-    "x_llm_dedup_bfs_depth",
-    "x_join_range_bucketed",
-    "x_sql_text_api",
-    "x_stream_windowed_topk",
-    "x_udf_pandas_grouped_agg",
-    "flagship_dataset_card",
-    "x_llm_dedup_containment",
-    # likely past the ~50 window (plan classes attested via siblings)
-    "x_ts_autocorrelation",
-    "x_agg_entropy",
-    "x_win_period_over_period",
-    "x_ts_time_to_convert",
-    "x_set_except_all",
-    "x_etl_unpivot",
-    "x_etl_mask_pii",
+    # (1) never driver-graded — must lead the r09 window
     "x_etl_sample_weighted",
-    "x_ts_ma_crossover",
     "x_fn_regexp_extract",
+    "x_agg_entropy",
+    "x_etl_mask_pii",
     "x_etl_table_checksum",
+    "x_etl_unpivot",
+    "x_set_except_all",
+    "x_ts_autocorrelation",
     "x_ts_hour_of_day_profile",
-    # stalest attestations: last driver-graded in r01
+    "x_ts_ma_crossover",
+    "x_ts_time_to_convert",
+    "x_win_period_over_period",
+    # (2) implementation changed in r09 — re-attest
+    "flagship_analytics",
+    "x_llm_dedup_containment",
+    # (3) new in r09
+    # (4) stalest attestations: last driver-graded in r01
     "x_agg_rollup",
     "x_agg_sum_avg_min_max",
     "x_fn_array_map",

@@ -386,3 +386,33 @@ def test_binary_dedup_shuffles_digests_not_payloads(spark, sf_dir):
     df = DEFS["x_mm_dedup_binary"].fn(spark, sf_dir)
     plan = _physical(df)
     assert "Exchange hashpartitioning(content_md5" in plan
+
+
+def test_weighted_sample_cut_is_takeordered(spark, sf_dir):
+    # Efraimidis–Spirakis selection must lower to TakeOrderedAndProject
+    # (per-partition partial top-k + driver merge of k rows) — NOT an
+    # unpartitioned row_number Window over the whole fact table, which
+    # would be a one-task global sort at scale (the r08 verdict's one
+    # scale-killer).  The only Window ranks the K-row result BELOW it.
+    plan = _physical(DEFS["x_etl_sample_weighted"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" in plan
+    below_window = plan.split("Window", 1)[1]
+    assert "TakeOrderedAndProject" in below_window
+
+
+@pytest.mark.parametrize(
+    "name", ["x_ts_ma_crossover", "x_win_period_over_period", "x_llm_zipf_fit"]
+)
+def test_grain_bounded_windows_sit_above_aggregates(spark, sf_dir, name):
+    # These ops deliberately run an UNPARTITIONED Window — bounded because
+    # its input is a day-/month-/vocab-grain aggregate, never the raw
+    # table.  Guard the boundedness: the subtree BELOW the topmost Window
+    # must contain the hash aggregate (physical plans print parents before
+    # children, so "below" is "after" in the dump).  If a refactor re-roots
+    # the window on a raw events/documents scan, the aggregate moves above
+    # the window and this fails.
+    plan = _physical(DEFS[name].fn(spark, sf_dir))
+    assert "Window" in plan, name
+    below_window = plan.split("Window", 1)[1]
+    assert "HashAggregate" in below_window or "SortAggregate" in below_window, name
