@@ -12,8 +12,13 @@ shapes: EXISTS-per-group (Q4), the 6-table snowflake revenue rollup
 (Q5), the selective scan aggregate (Q6), returned-item top-k (Q10), the
 outer-join count distribution (Q13), the conditional revenue share
 (Q14), the HAVING-gated large-order join (Q18), disjunctive
-predicate-pushdown revenue (Q19) and the anti-join + scalar-subquery
-report (Q22).
+predicate-pushdown revenue (Q19), the anti-join + scalar-subquery
+report (Q22), and — added round 9 — the bilateral self-joined-dimension
+rollup (Q7), the eight-table conditional market share (Q8), the late-
+shipment priority counts (Q12), the aggregate-then-scalar-max top
+supplier (Q15), the decorrelated per-key-average revenue filter (Q17)
+and the semi+anti "only late supplier" correlation (Q21).  Q2/Q9/Q11/
+Q16/Q20 need ``partsupp``, which the fixture does not carry.
 
 Design notes (100 TB posture):
 - region/nation/part/customer are dimension-sided and broadcast; orders
@@ -520,4 +525,425 @@ def x_tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> Dat
             .cast("double")
             .alias("totacctbal"),
         )
+    )
+
+
+@register(
+    "x_tpch_q7_volume_shipping",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year,
+           round(sum(volume), 2)::DOUBLE AS revenue
+    FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               year(l_shipdate) AS l_year,
+               (l_extendedprice * (1 - l_discount))::DECIMAL(30,10) AS volume
+        FROM supplier, lineitem, orders, customer, nation n1, nation n2
+        WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+          AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+          AND c_nationkey = n2.n_nationkey
+          AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+               OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+          AND l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def x_tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): bilateral trade volume between two
+    nations per shipment year — the self-joined-dimension shape (nation
+    appears TWICE, once through supplier, once through customer) with a
+    disjunctive cross-pair predicate.  Adaptation: fixture nation names.
+
+    Plan: both nation copies broadcast (25 rows each) onto supplier and
+    customer, which themselves broadcast onto the fact join; the
+    disjunctive pair filter is evaluated as a residual on the joined row
+    (it references BOTH sides, so no single scan can absorb it — but the
+    per-side IN ('NATION_1','NATION_2') implication is pushed into each
+    broadcast dim, shrinking supplier/customer ~12.5× before the fact
+    join).  The only data-sized shuffle is orders⋈lineitem."""
+    two = ["NATION_1", "NATION_2"]
+    n = table(spark, sf_dir, "nation").filter(F.col("n_name").isin(two))
+    s = (
+        table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(n.select(
+                F.col("n_nationkey").alias("sn_key"),
+                F.col("n_name").alias("supp_nation"),
+            )),
+            F.col("s_nationkey") == F.col("sn_key"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    c = (
+        table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(n.select(
+                F.col("n_nationkey").alias("cn_key"),
+                F.col("n_name").alias("cust_nation"),
+            )),
+            F.col("c_nationkey") == F.col("cn_key"),
+        )
+        .select("c_custkey", "cust_nation")
+    )
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1995-01-01"))
+        & (F.col("l_shipdate") < _ts("1997-01-01"))
+    )
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(30,10)"
+    )
+    return (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(F.round(F.sum(vol), 2).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "x_tpch_q8_market_share",
+    oracle="""
+    SELECT o_year,
+           round(sum(CASE WHEN nation = 'NATION_2' THEN volume
+                          ELSE 0 END)::DOUBLE
+                 / sum(volume)::DOUBLE, 6) AS mkt_share
+    FROM (
+        SELECT year(o_orderdate) AS o_year,
+               (l_extendedprice * (1 - l_discount))::DECIMAL(30,10)
+                   AS volume,
+               n2.n_name AS nation
+        FROM part, supplier, lineitem, orders, customer,
+             nation n1, nation n2, region
+        WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+          AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+          AND c_nationkey = n1.n_nationkey
+          AND n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+          AND s_nationkey = n2.n_nationkey
+          AND o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+          AND p_type = 'ECONOMY'
+    ) all_nations
+    GROUP BY o_year
+    """,
+)
+def x_tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): one supplier nation's share of
+    a part type's revenue sold into one region, per order year — the
+    eight-table snowflake with a conditional-share final.  Adaptation:
+    fixture nation/part-type domains; two-year window inside the fixture
+    date range.
+
+    Plan: region→nation(customer side) prunes to one region broadcast-
+    side; part's type filter pushes into its scan and broadcasts; the
+    supplier nation rides a second broadcast copy of nation.  Share and
+    total ride ONE aggregate (conditional sum / sum) — never two passes
+    over the joined fact."""
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n1 = table(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    c = (
+        table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(n1.select(F.col("n_nationkey").alias("cn_key"))),
+            F.col("c_nationkey") == F.col("cn_key"),
+        )
+        .select("c_custkey")
+    )
+    n2 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("nation")
+    )
+    s = (
+        table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("sn_key"))
+        .select("s_suppkey", "nation")
+    )
+    p = table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1995-01-01"))
+        & (F.col("o_orderdate") < _ts("1997-01-01"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(30,10)"
+    )
+    joined = (
+        li.join(F.broadcast(p.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+    )
+    return joined.groupBy(F.year("o_orderdate").alias("o_year")).agg(
+        F.round(
+            F.sum(F.when(F.col("nation") == "NATION_2", vol).otherwise(
+                F.lit(0).cast("decimal(30,10)")
+            )).cast("double")
+            / F.sum(vol).cast("double"),
+            6,
+        ).alias("mkt_share")
+    )
+
+
+@register(
+    "x_tpch_q12_shipmode_priority",
+    oracle="""
+    SELECT l_returnflag,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END)::BIGINT AS low_line_count
+    FROM orders, lineitem
+    WHERE o_orderkey = l_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l_returnflag
+    """,
+)
+def x_tpch_q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (shipping modes and order priority): among one year's
+    LATE shipments, per category, how many carried high- vs low-priority
+    orders — the conditional-count pair over a fact-fact join.
+    Adaptation: the fixture has no ``l_shipmode``/``l_commitdate``/
+    ``l_receiptdate``, so the category is ``l_returnflag`` and "late" is
+    ``l_shipdate > o_orderdate + 90 days`` — same shape: a lateness
+    inequality joining the two facts, a year filter on the line side,
+    and two complementary conditional counts.
+
+    Plan: the year range pushes into the lineitem scan; the lateness
+    predicate is a join residual on the orderkey shuffle join; both
+    counts ride ONE aggregate."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01"))
+        & (F.col("l_shipdate") < _ts("1997-01-01"))
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(
+            o,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "x_tpch_q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               round(sum((l_extendedprice * (1 - l_discount))
+                         ::DECIMAL(30,10)), 2)::DOUBLE AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier, revenue
+    WHERE s_suppkey = supplier_no
+      AND total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+)
+def x_tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): the supplier(s) with maximum revenue in
+    one quarter — the aggregate-then-scalar-subquery-over-the-aggregate
+    shape (the original's CREATE VIEW used twice).
+
+    Plan: ONE hash aggregate builds the per-supplier revenue frame; the
+    max is a 1-row aggregate OF that frame joined back broadcast-nested-
+    loop (1 row, zero data motion), so the quarter's lineitem is scanned
+    once — not once per subquery mention.  Revenue is rounded to cents
+    BEFORE the max comparison in both engines, so the equality is exact
+    cross-engine.  Supplier is dimension-sided and broadcasts."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01"))
+        & (F.col("l_shipdate") < _ts("1996-04-01"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(30,10)"
+                )
+            ),
+            2,
+        )
+        .cast("double")
+        .alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("supplier_no"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "x_tpch_q17_small_quantity_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice::DECIMAL(30,10))::DOUBLE / 7.0, 2)
+               AS avg_yearly
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey
+      AND p_brand = 'Brand#1' AND p_size < 10
+      AND l_quantity < (
+          SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+          WHERE l2.l_partkey = lineitem.l_partkey)
+    """,
+)
+def x_tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): yearly revenue lost if
+    small orders (below 20% of a part's average quantity) were not
+    filled, for one brand — the correlated scalar subquery whose
+    decorrelation is a per-key aggregate joined back.  Adaptation: the
+    fixture has no ``p_container``, so the second part predicate is
+    ``p_size < 10``.
+
+    Plan: the subquery decorrelates into ONE hash aggregate of lineitem
+    grouped by partkey — but only over the brand's parts: the broadcast
+    part dim semi-prunes the aggregate's input BEFORE it runs, so the
+    avg is computed for the ~1/25 of parts that can match, not the whole
+    catalog (the classic Q17 rewrite).  Quantities are small exact
+    integers in double, so 0.2*avg is bit-identical cross-engine; the
+    revenue sum is decimal-exact."""
+    p = table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#1") & (F.col("p_size") < 10)
+    ).select("p_partkey")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    pruned = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    thresh = pruned.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (0.2 * F.avg("l_quantity")).alias("qty_cap")
+    )
+    return (
+        pruned.join(
+            thresh,
+            (F.col("l_partkey") == F.col("t_partkey"))
+            & (F.col("l_quantity") < F.col("qty_cap")),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(30,10)")).cast(
+                    "double"
+                )
+                / 7.0,
+                2,
+            ).alias("avg_yearly")
+        )
+    )
+
+
+@register(
+    "x_tpch_q21_waiting_suppliers",
+    oracle="""
+    SELECT s_name, count(*) AS numwait
+    FROM supplier, lineitem l1, orders, nation
+    WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3, orders o3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND o3.o_orderkey = l3.l_orderkey
+            AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+      AND s_nationkey = n_nationkey AND n_name = 'NATION_3'
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+def x_tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting): suppliers in one
+    nation who were the ONLY late supplier on a finished multi-supplier
+    order — the suite's hardest correlation shape: a semi join (some
+    other supplier participated) AND an anti join (no other supplier was
+    late) over the same fact.  Adaptation: no
+    ``l_commitdate``/``l_receiptdate`` in the fixture, so "late" is
+    ``l_shipdate > o_orderdate + 60 days``, with the order date riding
+    the already-required orders join.
+
+    Plan: nation prunes supplier broadcast-side (~1/25); the late-l1
+    frame joins orders once (status filter pushed into the scan); the
+    EXISTS lowers to a left-semi and the NOT EXISTS to a left-anti on
+    ``l_orderkey`` with the supplier-inequality (and lateness) as join
+    residuals — three shuffles on the same key, which AQE coalesces into
+    one exchange reuse; no correlated per-row execution.  The final
+    top-20 is TakeOrderedAndProject with the s_name tiebreak."""
+    n = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    s = (
+        table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name")
+    )
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    l1 = (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(late)
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("l2_orderkey"),
+        F.col("l_suppkey").alias("l2_suppkey"),
+    )
+    # late lines of OTHER suppliers: join lineitem back to finished orders
+    l3 = (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(late)
+        .select(
+            F.col("l_orderkey").alias("l3_orderkey"),
+            F.col("l_suppkey").alias("l3_suppkey"),
+        )
+    )
+    waited = (
+        l1.join(
+            l2,
+            (F.col("l2_orderkey") == F.col("l_orderkey"))
+            & (F.col("l2_suppkey") != F.col("l_suppkey")),
+            "semi",
+        )
+        .join(
+            l3,
+            (F.col("l3_orderkey") == F.col("l_orderkey"))
+            & (F.col("l3_suppkey") != F.col("l_suppkey")),
+            "anti",
+        )
+    )
+    return (
+        waited.groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
     )

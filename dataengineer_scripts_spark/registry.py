@@ -110,6 +110,12 @@ _PRIORITY_NAMES = (
     "flagship_analytics",
     "x_llm_dedup_containment",
     # (3) new in r09
+    "x_tpch_q7_volume_shipping",
+    "x_tpch_q8_market_share",
+    "x_tpch_q12_shipmode_priority",
+    "x_tpch_q15_top_supplier",
+    "x_tpch_q17_small_quantity_revenue",
+    "x_tpch_q21_waiting_suppliers",
     # (4) stalest attestations: last driver-graded in r01
     "x_agg_rollup",
     "x_agg_sum_avg_min_max",
