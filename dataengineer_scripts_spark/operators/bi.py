@@ -346,3 +346,150 @@ def x_win_cohort_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "purchase_revenue",
         )
     )
+
+
+@register(
+    "x_agg_corr_matrix",
+    oracle="""
+    WITH m AS (
+        SELECT l_returnflag,
+               count(*)::BIGINT AS n,
+               sum(l_quantity::DECIMAL(38,10))::DOUBLE AS sx,
+               sum(l_extendedprice::DECIMAL(38,10))::DOUBLE AS sy,
+               sum(l_discount::DECIMAL(38,10))::DOUBLE AS sz,
+               sum((l_quantity * l_quantity)::DECIMAL(38,10))::DOUBLE AS sxx,
+               sum((l_extendedprice * l_extendedprice)
+                   ::DECIMAL(38,10))::DOUBLE AS syy,
+               sum((l_discount * l_discount)::DECIMAL(38,10))::DOUBLE AS szz,
+               sum((l_quantity * l_extendedprice)
+                   ::DECIMAL(38,10))::DOUBLE AS sxy,
+               sum((l_quantity * l_discount)::DECIMAL(38,10))::DOUBLE AS sxz,
+               sum((l_extendedprice * l_discount)
+                   ::DECIMAL(38,10))::DOUBLE AS syz
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           round((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+               AS corr_qty_price,
+           round((n * sxz - sx * sz)
+                 / sqrt((n * sxx - sx * sx) * (n * szz - sz * sz)), 6)
+               AS corr_qty_disc,
+           round((n * syz - sy * sz)
+                 / sqrt((n * syy - sy * sy) * (n * szz - sz * sz)), 6)
+               AS corr_price_disc
+    FROM m
+    """,
+)
+def x_agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix of three lineitem measures
+    (quantity, extended price, discount) per return flag — the
+    feature-screening primitive (which measures co-move?) computed the
+    scale-correct way: ONE pass accumulates the ten sufficient
+    statistics (n, three sums, three squares, three cross-products) and
+    every pairwise correlation is closed-form algebra on that single
+    aggregate row — NOT one corr() pass per pair, which would scan the
+    fact table three times.
+
+    Exact decimal accumulation of elementwise double products makes the
+    moments partition-order independent; the correlation algebra then
+    runs in double on identical inputs in both engines."""
+    li = table(spark, sf_dir, "lineitem")
+    q, p, dc = F.col("l_quantity"), F.col("l_extendedprice"), F.col("l_discount")
+
+    def dsum(c, alias):
+        return F.sum(c.cast("decimal(38,10)")).cast("double").alias(alias)
+
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("bigint").alias("n"),
+        dsum(q, "sx"), dsum(p, "sy"), dsum(dc, "sz"),
+        dsum(q * q, "sxx"), dsum(p * p, "syy"), dsum(dc * dc, "szz"),
+        dsum(q * p, "sxy"), dsum(q * dc, "sxz"), dsum(p * dc, "syz"),
+    )
+    n = F.col("n")
+
+    def corr(sab, sa, sb, saa, sbb):
+        return F.round(
+            (n * F.col(sab) - F.col(sa) * F.col(sb))
+            / F.sqrt(
+                (n * F.col(saa) - F.col(sa) * F.col(sa))
+                * (n * F.col(sbb) - F.col(sb) * F.col(sb))
+            ),
+            6,
+        )
+
+    return m.select(
+        "l_returnflag",
+        "n",
+        corr("sxy", "sx", "sy", "sxx", "syy").alias("corr_qty_price"),
+        corr("sxz", "sx", "sz", "sxx", "szz").alias("corr_qty_disc"),
+        corr("syz", "sy", "sz", "syy", "szz").alias("corr_price_disc"),
+    )
+
+
+@register(
+    "x_win_rank_change",
+    oracle="""
+    WITH m AS (
+        SELECT (year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1
+                   AS mi,
+               n_name,
+               round(sum(o_totalprice::DECIMAL(30,10)), 2)::DOUBLE AS rev
+        FROM orders, customer, nation
+        WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey
+        GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT mi, n_name, rev,
+               row_number() OVER (PARTITION BY mi
+                                  ORDER BY rev DESC, n_name)::BIGINT AS rnk
+        FROM m
+    )
+    SELECT a.mi AS month_idx, a.n_name, a.rev AS revenue, a.rnk,
+           b.rnk AS prev_rnk, (b.rnk - a.rnk)::BIGINT AS rank_gain
+    FROM r a JOIN r b ON b.mi = a.mi - 1 AND b.n_name = a.n_name
+    """,
+)
+def x_win_rank_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """League-table movement: each nation's revenue rank within a month
+    versus the previous month (positive rank_gain = climbed) — the BI
+    "movers and shakers" report.
+
+    Plan: the data-sized work is ONE hash aggregate to (month, nation)
+    grain; the rank window PARTITIONS BY month over that bounded frame
+    (25 nations per partition — never an unpartitioned data-sized
+    window), and the month-over-month comparison is a self-equi-join of
+    the tiny ranked frame on (month-1, nation).  Revenue is rounded to
+    cents BEFORE ranking with an n_name tiebreak, so rank order is
+    deterministic and identical cross-engine."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nt = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    mi = (
+        (F.year("o_orderdate") - F.lit(1995)) * 12 + F.month("o_orderdate") - 1
+    ).alias("mi")
+    m = (
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nt), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(mi, F.col("n_name"))
+        .agg(
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(30,10)")), 2)
+            .cast("double")
+            .alias("rev")
+        )
+    )
+    w = Window.partitionBy("mi").orderBy(F.col("rev").desc(), "n_name")
+    r = m.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+    prev = r.select(
+        (F.col("mi") + 1).alias("mi"),
+        F.col("n_name"),
+        F.col("rnk").alias("prev_rnk"),
+    )
+    return r.join(prev, ["mi", "n_name"]).select(
+        F.col("mi").alias("month_idx"),
+        "n_name",
+        F.col("rev").alias("revenue"),
+        "rnk",
+        "prev_rnk",
+        (F.col("prev_rnk") - F.col("rnk")).cast("bigint").alias("rank_gain"),
+    )

@@ -1590,3 +1590,132 @@ def x_etl_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(h).cast("string").alias("checksum"),
         )
     )
+
+
+@register(
+    "x_etl_cdc_compact",
+    oracle="""
+    SELECT user_id, event_type, ts, event_id, value
+    FROM (
+        SELECT user_id, event_type, ts, event_id, value,
+               row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def x_etl_cdc_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC log compaction — the change-data-capture consumer's core
+    reduce: a stream of per-key change records collapses to each key's
+    LATEST record (last-writer-wins by the (ts, event_id) total order;
+    event_id breaks timestamp ties deterministically).  ``events`` plays
+    the change log, (user_id, event_type) the primary key — the same
+    shape compacts a Debezium topic into a snapshot or a Delta/Hudi
+    changefeed into its current table state.
+
+    Plan: argmax WITHOUT a window over the raw log — scalar HASH
+    aggregates only (max ts per key, then max event_id among that
+    timestamp's ties), joined back on the identity to fetch the winning
+    payload.  Deliberately NOT max(struct(ts, event_id)): a struct max
+    is not hash-aggregable in Spark and falls back to SortAggregate,
+    sorting every scan partition; the scalar maxes are map-side
+    combinable running maxes.  A row_number window (the oracle's
+    spelling) would sort every key group — at a 100 TB log the
+    aggregate form shuffles key-cardinality candidates instead of
+    sorting the log, and all three shuffles hash the same key prefix so
+    AQE reuses the exchange."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id", "value"
+    )
+    key = ["user_id", "event_type"]
+    mts = ev.groupBy(*key).agg(F.max("ts").alias("ts"))
+    mid = (
+        ev.join(mts, key + ["ts"])
+        .groupBy(*(key + ["ts"]))
+        .agg(F.max("event_id").alias("event_id"))
+    )
+    return mid.join(ev, key + ["ts", "event_id"]).select(
+        "user_id", "event_type", "ts", "event_id", "value"
+    )
+
+
+@register(
+    "x_etl_merge_upsert",
+    oracle="""
+    WITH src AS (
+        SELECT c_custkey AS k,
+               CASE WHEN c_custkey % 37 = 0 THEN 'D' ELSE 'U' END AS op,
+               c_name AS name,
+               round(c_acctbal + 100, 2) AS acctbal,
+               c_mktsegment AS seg
+        FROM customer WHERE c_custkey % 10 = 0 OR c_custkey % 37 = 0
+        UNION ALL
+        SELECT c_custkey + 1000000, 'I',
+               'new_' || (c_custkey + 1000000)::VARCHAR, 0.0, c_mktsegment
+        FROM customer WHERE c_custkey % 100 = 0
+    )
+    SELECT coalesce(k, c_custkey) AS c_custkey,
+           CASE WHEN op IN ('U', 'I') THEN name ELSE c_name END AS c_name,
+           round(CASE WHEN op IN ('U', 'I') THEN acctbal
+                      ELSE c_acctbal END, 2) AS c_acctbal,
+           CASE WHEN op IN ('U', 'I') THEN seg
+                ELSE c_mktsegment END AS c_mktsegment,
+           CASE WHEN op = 'U' THEN 'update' WHEN op = 'I' THEN 'insert'
+                ELSE 'keep' END AS action
+    FROM customer FULL OUTER JOIN src ON c_custkey = k
+    WHERE op IS DISTINCT FROM 'D'
+    """,
+)
+def x_etl_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics as one relational plan: apply a changeset of
+    upserts, inserts and deletes to a target dimension in a single pass
+    — the nightly-dim-refresh primitive every warehouse job needs (and
+    what Delta/Iceberg MERGE compiles to underneath).  The changeset is
+    derived deterministically from the target itself so both engines see
+    the identical source: every 10th key is updated (+100 balance),
+    every 37th deleted (delete wins on overlap), every 100th spawns an
+    insert under a shifted key that cannot collide.
+
+    Plan: the canonical MERGE lowering — ONE full outer join of target
+    and changeset on the key, then a codegen'd CASE projection picks the
+    surviving side and a null-safe filter drops deletes.  No second scan
+    of the target, no per-op passes: matched-update, not-matched-insert
+    and matched-delete all resolve in the same join.  At scale the join
+    shuffles on the merge key exactly once (AQE handles the
+    changeset's smaller size via broadcast when it fits)."""
+    c = table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    upserts = c.filter((k % 10 == 0) | (k % 37 == 0)).select(
+        k.alias("k"),
+        F.when(k % 37 == 0, "D").otherwise("U").alias("op"),
+        F.col("c_name").alias("name"),
+        F.round(F.col("c_acctbal") + 100, 2).alias("acctbal"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    inserts = c.filter(k % 100 == 0).select(
+        (k + 1000000).alias("k"),
+        F.lit("I").alias("op"),
+        F.concat(F.lit("new_"), (k + 1000000).cast("string")).alias("name"),
+        F.lit(0.0).alias("acctbal"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    src = upserts.unionByName(inserts)
+    from_src = F.col("op").isin("U", "I")
+    return (
+        c.join(src, F.col("c_custkey") == F.col("k"), "full_outer")
+        .filter(~F.col("op").eqNullSafe("D"))
+        .select(
+            F.coalesce("k", "c_custkey").alias("c_custkey"),
+            F.when(from_src, F.col("name")).otherwise(F.col("c_name")).alias("c_name"),
+            F.round(
+                F.when(from_src, F.col("acctbal")).otherwise(F.col("c_acctbal")), 2
+            ).alias("c_acctbal"),
+            F.when(from_src, F.col("seg"))
+            .otherwise(F.col("c_mktsegment"))
+            .alias("c_mktsegment"),
+            F.when(F.col("op") == "U", "update")
+            .when(F.col("op") == "I", "insert")
+            .otherwise("keep")
+            .alias("action"),
+        )
+    )

@@ -4499,3 +4499,229 @@ def flagship_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_tok").cast("bigint").alias("max_tokens"),
         )
     )
+
+
+@register(
+    "x_llm_dup_rate_by_source",
+    oracle="""
+    SELECT source, count(*)::BIGINT AS n_docs,
+           count(DISTINCT text)::BIGINT AS n_unique,
+           round(1.0 - count(DISTINCT text)::DOUBLE / count(*), 6)
+               AS dup_rate
+    FROM documents GROUP BY source
+    """,
+)
+def x_llm_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-duplicate rate — the curation dashboard's first
+    column: which ingestion sources are flooding the corpus with copies
+    (a high dup_rate source gets down-weighted or re-crawled).  The
+    source-grain rollup of ``x_llm_dedup_exact``.
+
+    Plan: one aggregate with a distinct-on-text inside: Spark expands
+    to the standard two-level plan (partial distinct on (source, text),
+    then the final counts) — both levels hash aggregates, map-side
+    combinable.  At 100 TB the text key would be xxhash64(text) first
+    (the exact-dedup two-phase trick); the fixture compares raw text so
+    the oracle is byte-exact."""
+    return (
+        table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.countDistinct("text").cast("bigint").alias("n_unique"),
+            F.round(
+                1.0 - F.countDistinct("text").cast("double") / F.count("*"), 6
+            ).alias("dup_rate"),
+        )
+    )
+
+
+@register(
+    "x_llm_sentence_split",
+    oracle=r"""
+    SELECT doc_id, i::BIGINT AS sent_idx, trim(part) AS sentence,
+           length(trim(part))::BIGINT AS n_chars
+    FROM (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(
+                   text, '[.!?]+\s+|\s+(?:the|a)\s+')) AS part,
+               generate_subscripts(regexp_split_to_array(
+                   text, '[.!?]+\s+|\s+(?:the|a)\s+'), 1) AS i
+        FROM documents
+    )
+    WHERE length(trim(part)) > 0
+    """,
+)
+def x_llm_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation with positional index: each document splits
+    on sentence delimiters into ordered sentence rows — the unit-of-work
+    producer for sentence-level dedup, quality filtering and sequence
+    packing.  Adaptation: the fixture corpus carries no punctuation, so
+    the delimiter class is punctuation-plus-whitespace OR the standalone
+    stop-tokens 'the'/'a' standing in for boundaries (a real corpus
+    keeps just the first alternative — same plan, same indexing).  The
+    regex sits in the shared Java/RE2 subset (alternation, non-capturing
+    group, greedy \\s+ — leftmost-first in both) so both engines segment
+    identically; empty/whitespace fragments are filtered AFTER indexing,
+    so surviving indices are stable regardless of how many empties a
+    document produces.
+
+    Plan: posexplode over the scan — a narrow, codegen-adjacent
+    expansion (no shuffle at all); downstream consumers group by doc_id
+    and get the sentence order back from sent_idx, never from row
+    order."""
+    part = F.col("part")
+    return (
+        table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.split("text", r"[.!?]+\s+|\s+(?:the|a)\s+")
+            ).alias("pos", "part"),
+        )
+        .filter(F.length(F.trim(part)) > 0)
+        .select(
+            "doc_id",
+            (F.col("pos") + 1).cast("bigint").alias("sent_idx"),
+            F.trim(part).alias("sentence"),
+            F.length(F.trim(part)).cast("bigint").alias("n_chars"),
+        )
+    )
+
+
+@register(
+    "x_llm_tokenizer_fertility",
+    oracle="""
+    SELECT lang,
+           count(*)::BIGINT AS n_docs,
+           sum(n_chars)::BIGINT AS total_chars,
+           sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+')))::BIGINT
+               AS total_tokens,
+           round(sum(n_chars)::DOUBLE
+                 / sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+')))
+                   ::DOUBLE, 4) AS chars_per_token
+    FROM documents GROUP BY lang
+    """,
+)
+def x_llm_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: characters consumed per emitted
+    token under the regex lexer — THE metric for spotting languages a
+    tokenizer serves badly (high chars/token = the vocabulary
+    under-covers that script, inflating sequence lengths and training
+    cost).  Uses the same shared-regex lexer as ``x_llm_token_count``.
+
+    Plan: one hash aggregate; the token count per row is an elementwise
+    regexp_extract_all size — scan-side, codegen, no explode (the
+    MATCHES are never materialized as rows)."""
+    toks = F.size(
+        F.regexp_extract_all("text", F.lit("[a-z]+|[0-9]+"), F.lit(0))
+    )
+    return (
+        table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.sum(toks).cast("bigint").alias("total_tokens"),
+            F.round(
+                F.sum("n_chars").cast("double") / F.sum(toks).cast("double"), 4
+            ).alias("chars_per_token"),
+        )
+    )
+
+
+#: Winnowing geometry (Schleimer, Wilkerson & Aiken, SIGMOD 2003): k-gram
+#: length and window size.  Guarantee: any match of length >= k + w - 1
+#: (= 11 chars here) shares at least one selected fingerprint.
+WINNOW_K = 8
+WINNOW_W = 4
+
+
+@register(
+    "x_llm_winnowing_fingerprint",
+    oracle=f"""
+    WITH g AS (
+        SELECT doc_id, i,
+               ('0x' || substr(md5(substr(text, i, {WINNOW_K})), 1, 13))
+                   ::BIGINT * 2048 + i AS key
+        FROM documents,
+             unnest(generate_series(1, length(text) - {WINNOW_K - 1}))
+                 AS r(i)
+        WHERE length(text) >= {WINNOW_K}
+    ),
+    wmin AS (
+        SELECT doc_id, i,
+               min(key) OVER (PARTITION BY doc_id ORDER BY i
+                              ROWS BETWEEN {WINNOW_W - 1} PRECEDING
+                                  AND CURRENT ROW) AS m
+        FROM g
+    ),
+    fp AS (SELECT DISTINCT doc_id, m FROM wmin WHERE i >= {WINNOW_W})
+    SELECT doc_id, count(*)::BIGINT AS n_fingerprints,
+           sum((m // 2048)::DECIMAL(38,0))::VARCHAR AS fp_checksum
+    FROM fp GROUP BY doc_id
+    """,
+)
+def x_llm_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every 8-char k-gram, slide a
+    4-gram window, select each window's minimal hash; the selected set
+    is a position-robust fingerprint with the guarantee that any shared
+    substring of length >= k+w-1 = 11 contributes at least one common
+    fingerprint — the local-similarity complement to MinHash's global
+    Jaccard.  Tie convention: minimal (hash, position) pair — the
+    leftmost-min variant — encoded as ONE comparable bigint
+    ``hash52 * 2048 + pos`` (the 52-bit md5-prefix hash and pos < 2048
+    pack into 63 bits; fixture docs cap at 577 chars, and a longer-doc
+    deployment widens the position field the same way).
+
+    Plan: the k-gram explode is scan-side and linear in corpus chars
+    (the shingle machinery's shape); the sliding min is a doc_id-
+    PARTITIONED window (never unpartitioned), the fingerprint set a
+    hash-distinct, and the per-doc rollup emits a count plus an
+    order-invariant exact-decimal checksum of the selected hashes —
+    fingerprint sets compare across corpora by joining on (doc, count,
+    checksum) without shipping the sets."""
+    docs = table(spark, sf_dir, "documents").filter(
+        F.length("text") >= WINNOW_K
+    )
+    g = docs.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.sequence(F.lit(1), F.length("text") - (WINNOW_K - 1))
+        ).alias("i"),
+    ).select(
+        "doc_id",
+        "i",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.expr(f"substring(text, i, {WINNOW_K})")), 1, 13
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            * 2048
+            + F.col("i")
+        ).alias("key"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(-(WINNOW_W - 1), 0)
+    )
+    fp = (
+        g.withColumn("m", F.min("key").over(w))
+        .filter(F.col("i") >= WINNOW_W)
+        .select("doc_id", "m")
+        .distinct()
+    )
+    return fp.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_fingerprints"),
+        # integer `div`, NOT `/`: float division of a 63-bit key loses
+        # bits above 2^53
+        F.sum(F.expr("m div 2048").cast("decimal(38,0)"))
+        .cast("string")
+        .alias("fp_checksum"),
+    )

@@ -2552,3 +2552,91 @@ def x_udf_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_kept("c_acctbal").alias("n_kept"),
         F.round(trimmed_mean("c_acctbal"), 6).alias("trimmed_mean"),
     )
+
+
+@register(
+    "x_agg_string_agg",
+    oracle="""
+    SELECT r_name,
+           count(*)::BIGINT AS n_nations,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations_csv
+    FROM region, nation
+    WHERE n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def x_agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG / string_agg): each region's
+    member nations as one deterministic comma-joined string — the
+    denormalization step that feeds labels, reports and prompt
+    templates.  Spark has no ordered listagg aggregate, so the portable
+    spelling is collect_list → array_sort → concat_ws, which is exactly
+    equivalent to ``string_agg(... ORDER BY ...)`` because the sort
+    happens AFTER collection (collection order — nondeterministic under
+    partitioning — never reaches the output).
+
+    Plan: one hash aggregate over the broadcast-joined dims; collect_list
+    is bounded by group fan-in (25 nations), the known LISTAGG scaling
+    caveat (a group's list must fit an executor — true of any engine's
+    string_agg)."""
+    r = table(spark, sf_dir, "region")
+    n = table(spark, sf_dir, "nation")
+    return (
+        n.join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+            F.count("*").cast("bigint").alias("n_nations"),
+            F.concat_ws(",", F.array_sort(F.collect_list("n_name"))).alias(
+                "nations_csv"
+            ),
+        )
+    )
+
+
+@register(
+    "x_set_symmetric_diff",
+    oracle="""
+    WITH a AS (
+        SELECT DISTINCT o_custkey AS k FROM orders
+        WHERE year(o_orderdate) = 1995
+    ),
+    b AS (
+        SELECT DISTINCT o_custkey AS k FROM orders
+        WHERE year(o_orderdate) = 2000
+    )
+    SELECT k AS c_custkey, 'only_1995' AS side
+    FROM (SELECT k FROM a EXCEPT SELECT k FROM b)
+    UNION ALL
+    SELECT k, 'only_2000'
+    FROM (SELECT k FROM b EXCEPT SELECT k FROM a)
+    """,
+)
+def x_set_symmetric_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric difference with provenance: customers who ordered in
+    1995 XOR in 2000, tagged by which side they belong to — the churn /
+    new-cohort split (EXCEPT each way + union), completing the set
+    family (union / intersect / except / except-all already
+    registered).
+
+    Plan: both year filters push into the orders scan; each side
+    reduces to a distinct on the key and the two EXCEPTs lower to hash
+    left-anti joins on already-distinct inputs — never a sort, and the
+    second side reuses the first's shuffle layout (same key)."""
+    o = table(spark, sf_dir, "orders")
+    a = (
+        o.filter(F.year("o_orderdate") == 1995)
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    b = (
+        o.filter(F.year("o_orderdate") == 2000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    only_a = a.join(b, "c_custkey", "left_anti").withColumn(
+        "side", F.lit("only_1995")
+    )
+    only_b = b.join(a, "c_custkey", "left_anti").withColumn(
+        "side", F.lit("only_2000")
+    )
+    return only_a.unionByName(only_b)

@@ -597,3 +597,222 @@ def x_ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("autocorr"),
     )
+
+
+@register(
+    "x_ts_anomaly_mad",
+    oracle="""
+    WITH d AS (
+        SELECT event_type, date_trunc('day', ts)::DATE AS day,
+               round(sum(value::DECIMAL(30,10)), 6)::DOUBLE AS total
+        FROM events GROUP BY 1, 2
+    ),
+    med AS (
+        SELECT event_type, quantile_cont(total, 0.5) AS med
+        FROM d GROUP BY 1
+    ),
+    dev AS (
+        SELECT d.event_type, day, total, med, abs(total - med) AS adev
+        FROM d JOIN med USING (event_type)
+    ),
+    mad AS (
+        SELECT event_type, quantile_cont(adev, 0.5) AS mad
+        FROM dev GROUP BY 1
+    )
+    SELECT dev.event_type, day, total,
+           round(med, 6) AS median_total, round(mad.mad, 6) AS mad,
+           (adev > 3 * mad.mad) AS is_anomaly
+    FROM dev JOIN mad USING (event_type)
+    """,
+)
+def x_ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation anomaly detection on daily volumes —
+    the robust alternative to z-scores (one huge outlier day inflates a
+    standard deviation and masks itself; the median and MAD barely
+    move).  Flags days whose deviation exceeds 3×MAD per event type,
+    the standard robust cutoff.
+
+    Plan: the data-sized work is ONE hash aggregate to day grain
+    (map-side combinable decimal sums); medians then run on the
+    day-grain frame — exact interpolated percentile per event type
+    (bounded: days × types rows), joined back broadcast-sized.  Exact
+    medians of IDENTICAL rounded doubles in both engines, compared
+    unrounded so the 3×MAD flag cannot straddle a rounding edge."""
+    d = (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date(F.date_trunc("day", "ts")).alias("day"))
+        .agg(
+            F.round(F.sum(F.col("value").cast("decimal(30,10)")), 6)
+            .cast("double")
+            .alias("total")
+        )
+    )
+    med = d.groupBy("event_type").agg(
+        F.expr("percentile(total, 0.5)").alias("med")
+    )
+    dev = d.join(med, "event_type").withColumn(
+        "adev", F.abs(F.col("total") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    return dev.join(mad, "event_type").select(
+        "event_type",
+        "day",
+        "total",
+        F.round("med", 6).alias("median_total"),
+        F.round("mad", 6).alias("mad"),
+        (F.col("adev") > 3 * F.col("mad")).alias("is_anomaly"),
+    )
+
+
+@register(
+    "x_ts_attribution_linear",
+    oracle=f"""
+    WITH conv AS (
+        SELECT event_id AS cid, user_id, ts AS cts, value
+        FROM events WHERE event_type = 'purchase'
+    ),
+    t AS (
+        SELECT c.cid, c.value, e.event_type AS channel
+        FROM conv c JOIN events e
+          ON e.user_id = c.user_id
+         AND e.event_type IN {TOUCH_TYPES!r}
+         AND e.ts <= c.cts
+         AND e.ts > c.cts - INTERVAL 7 DAY
+    ),
+    n AS (SELECT cid, count(*) AS n FROM t GROUP BY cid)
+    SELECT channel,
+           count(*)::BIGINT AS n_touches,
+           round(sum((t.value / n.n)::DECIMAL(30,12)), 4)::DOUBLE
+               AS credited_value
+    FROM t JOIN n USING (cid)
+    GROUP BY channel
+    """,
+)
+def x_ts_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear (equal-weight) multi-touch attribution: each purchase's
+    value splits evenly across ALL the user's touchpoints in the
+    preceding 7 days, credited per channel — the multi-touch complement
+    of ``x_ts_attribution_last_touch`` (last-touch hands the whole
+    conversion to one event; linear is the other standard model).
+
+    Plan: purchases join touches on user_id with the 7-day recency as a
+    join residual — per-user bounded fan-out, shuffled once on user_id;
+    the per-conversion touch count is a hash aggregate of that joined
+    frame re-joined on the conversion id (conversion-sized, not
+    event-sized).  Per-row credit value/n is elementwise; the channel
+    rollup accumulates it as exact decimal.  No window over raw events,
+    no driver-side state."""
+    ev = table(spark, sf_dir, "events")
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("cid"),
+        F.col("user_id").alias("cuid"),
+        F.col("ts").alias("cts"),
+        F.col("value").alias("cvalue"),
+    )
+    touches = ev.filter(F.col("event_type").isin(*TOUCH_TYPES)).select(
+        F.col("user_id").alias("tuid"),
+        F.col("ts").alias("tts"),
+        F.col("event_type").alias("channel"),
+    )
+    t = conv.join(
+        touches,
+        (F.col("tuid") == F.col("cuid"))
+        & (F.col("tts") <= F.col("cts"))
+        & (F.col("tts") > F.col("cts") - F.expr("INTERVAL 7 DAYS")),
+    )
+    n = t.groupBy("cid").agg(F.count("*").alias("n"))
+    return (
+        t.join(n, "cid")
+        .groupBy("channel")
+        .agg(
+            F.count("*").cast("bigint").alias("n_touches"),
+            F.round(
+                F.sum((F.col("cvalue") / F.col("n")).cast("decimal(30,12)")), 4
+            )
+            .cast("double")
+            .alias("credited_value"),
+        )
+    )
+
+
+#: EWMA geometry: trailing horizon (days) and per-day decay factor.
+EWMA_HORIZON = 7
+EWMA_DECAY = 0.5
+
+
+@register(
+    "x_ts_ewma",
+    oracle=f"""
+    WITH d AS (
+        SELECT date_diff('day', DATE '1995-01-01', o_orderdate) AS di,
+               round(sum(o_totalprice::DECIMAL(30,10)), 2)::DOUBLE AS rev
+        FROM orders GROUP BY 1
+    ),
+    j AS (
+        SELECT a.di, a.rev, b.rev AS rev_b, (a.di - b.di) AS g
+        FROM d a, unnest(generate_series(0, {EWMA_HORIZON - 1})) AS o(g0)
+        JOIN d b ON b.di = a.di - o.g0
+        WHERE a.di - b.di = o.g0
+    )
+    SELECT (DATE '1995-01-01' + INTERVAL (di) DAY)::DATE AS day, rev,
+           round(sum((power({EWMA_DECAY}, g) * rev_b)::DECIMAL(30,12))
+                     ::DOUBLE
+                 / sum(power({EWMA_DECAY}, g)::DECIMAL(30,12))::DOUBLE,
+                 6) AS ewma
+    FROM j GROUP BY di, rev
+    """,
+)
+def x_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of daily order revenue over
+    a trailing 7-day horizon (decay 0.5 per day, weights renormalized
+    over the days actually present) — the standard trend smoother whose
+    infinite-memory recursive form is replaced by a finite horizon so
+    it stays a closed-form aggregate (at decay 0.5 the truncation error
+    is < 2^-7 of the weight mass).
+
+    Plan: ONE hash aggregate to day grain does all data-sized work;
+    the trailing window is then an EQUI-join — each day joins its 7
+    offset rows through an exploded (0..6) offset key, never a
+    range/BNL join and never a window with data-dependent weights
+    (weights depend on the GAP, which no single window frame
+    expression can carry).  Weighted sums accumulate per-row
+    double-exact products (rev × 2^-g is an exact scaling) as decimals,
+    so the renormalized EWMA is bit-identical cross-engine."""
+    d = (
+        table(spark, sf_dir, "orders")
+        .groupBy(
+            F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).alias(
+                "di"
+            )
+        )
+        .agg(
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(30,10)")), 2)
+            .cast("double")
+            .alias("rev")
+        )
+    )
+    a = d.select(
+        "di", "rev", F.explode(F.sequence(F.lit(0), F.lit(EWMA_HORIZON - 1))).alias("g")
+    ).withColumn("bi", F.col("di") - F.col("g"))
+    b = d.select(F.col("di").alias("bi"), F.col("rev").alias("rev_b"))
+    j = a.join(b, "bi")
+    w = F.pow(F.lit(EWMA_DECAY), F.col("g"))
+    return (
+        j.groupBy("di", "rev")
+        .agg(
+            F.round(
+                F.sum((w * F.col("rev_b")).cast("decimal(30,12)")).cast("double")
+                / F.sum(w.cast("decimal(30,12)")).cast("double"),
+                6,
+            ).alias("ewma")
+        )
+        .select(
+            F.date_add(F.lit("1995-01-01").cast("date"), F.col("di").cast("int")).alias(
+                "day"
+            ),
+            "rev",
+            "ewma",
+        )
+    )

@@ -116,6 +116,19 @@ _PRIORITY_NAMES = (
     "x_tpch_q15_top_supplier",
     "x_tpch_q17_small_quantity_revenue",
     "x_tpch_q21_waiting_suppliers",
+    "x_etl_cdc_compact",
+    "x_etl_merge_upsert",
+    "x_ts_anomaly_mad",
+    "x_ts_attribution_linear",
+    "x_ts_ewma",
+    "x_agg_corr_matrix",
+    "x_win_rank_change",
+    "x_agg_string_agg",
+    "x_set_symmetric_diff",
+    "x_llm_dup_rate_by_source",
+    "x_llm_sentence_split",
+    "x_llm_tokenizer_fertility",
+    "x_llm_winnowing_fingerprint",
     # (4) stalest attestations: last driver-graded in r01
     "x_agg_rollup",
     "x_agg_sum_avg_min_max",

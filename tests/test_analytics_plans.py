@@ -35,6 +35,20 @@ def _physical(df) -> str:
         "x_win_period_over_period",
         "x_agg_market_basket",
         "x_win_cohort_revenue",
+        # round-9 additions
+        "x_tpch_q7_volume_shipping",
+        "x_tpch_q8_market_share",
+        "x_tpch_q15_top_supplier",
+        "x_tpch_q17_small_quantity_revenue",
+        "x_tpch_q21_waiting_suppliers",
+        "x_etl_cdc_compact",
+        "x_etl_merge_upsert",
+        "x_ts_anomaly_mad",
+        "x_ts_attribution_linear",
+        "x_ts_ewma",
+        "x_agg_corr_matrix",
+        "x_win_rank_change",
+        "x_llm_winnowing_fingerprint",
     ],
 )
 def test_no_cartesian_anywhere(name, spark, sf_dir):
@@ -110,3 +124,62 @@ def test_range_bucketized_join_is_equi_hash_not_nested_loop(spark, sf_dir):
         or "ShuffledHashJoin" in plan
         or "BroadcastHashJoin" in plan
     )
+
+
+def test_cdc_compact_is_argmax_aggregate_not_window(spark, sf_dir):
+    # last-writer-wins must be scalar hash-aggregate argmax + identity
+    # join: no row_number window sorting every key group of the raw log,
+    # and no SortAggregate fallback (max over a STRUCT would trigger it,
+    # sorting every scan partition)
+    plan = _physical(DEFS["x_etl_cdc_compact"].fn(spark, sf_dir))
+    assert "Window" not in plan
+    assert "SortAggregate" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_merge_upsert_is_one_full_outer_join(spark, sf_dir):
+    # the canonical MERGE lowering: exactly one full-outer join between
+    # target and changeset; no per-op passes re-joining the target
+    plan = _physical(DEFS["x_etl_merge_upsert"].fn(spark, sf_dir))
+    assert plan.count("FullOuter") == 1
+
+
+def test_ewma_trailing_window_is_equi_join(spark, sf_dir):
+    # the gap-weighted trailing join must ride the exploded offset key
+    # (hash/sort-merge equi join) — a range predicate would fall back to
+    # BroadcastNestedLoop over the day frame
+    plan = _physical(DEFS["x_ts_ewma"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_corr_matrix_is_single_scan_single_aggregate(spark, sf_dir):
+    # ten sufficient statistics in ONE pass: one lineitem scan, one
+    # logical aggregate (partial+final) — never a corr() pass per pair
+    df = DEFS["x_agg_corr_matrix"].fn(spark, sf_dir)
+    plan = _physical(df)
+    assert plan.count("Scan parquet") == 1
+
+
+def test_rank_change_windows_sit_above_monthly_aggregate(spark, sf_dir):
+    # the rank window partitions by month over the (month, nation)-grain
+    # aggregate — the aggregate must be BELOW the window in the plan
+    plan = _physical(DEFS["x_win_rank_change"].fn(spark, sf_dir))
+    assert "Window" in plan
+    assert "HashAggregate" in plan.split("Window", 1)[1]
+
+
+def test_q21_lowers_to_semi_plus_anti(spark, sf_dir):
+    plan = _physical(DEFS["x_tpch_q21_waiting_suppliers"].fn(spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_winnowing_window_is_doc_partitioned(spark, sf_dir):
+    # the sliding min must partition by doc_id (physical text shows the
+    # partition spec inside the Window operator line)
+    plan = _physical(DEFS["x_llm_winnowing_fingerprint"].fn(spark, sf_dir))
+    assert "Window" in plan
+    window_line = [l for l in plan.split("\n") if "Window" in l][0]
+    assert "doc_id" in window_line
