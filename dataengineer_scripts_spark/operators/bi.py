@@ -493,3 +493,101 @@ def x_win_rank_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         "prev_rnk",
         (F.col("prev_rnk") - F.col("rnk")).cast("bigint").alias("rank_gain"),
     )
+
+
+@register(
+    "x_agg_waterfall",
+    oracle="""
+    WITH cy AS (
+        SELECT o_custkey,
+               round(sum(CASE WHEN year(o_orderdate) = 1995
+                              THEN o_totalprice ELSE 0 END
+                         ::DECIMAL(30,10)), 2)::DOUBLE AS r95,
+               round(sum(CASE WHEN year(o_orderdate) = 1996
+                              THEN o_totalprice ELSE 0 END
+                         ::DECIMAL(30,10)), 2)::DOUBLE AS r96
+        FROM orders WHERE year(o_orderdate) IN (1995, 1996)
+        GROUP BY 1
+    )
+    SELECT n_name,
+           round(sum(r95::DECIMAL(30,10)), 2)::DOUBLE AS rev_1995,
+           round(sum(r96::DECIMAL(30,10)), 2)::DOUBLE AS rev_1996,
+           round(sum(CASE WHEN r95 = 0 THEN r96 ELSE 0 END
+                     ::DECIMAL(30,10)), 2)::DOUBLE AS new_rev,
+           round(sum(CASE WHEN r96 = 0 THEN r95 ELSE 0 END
+                     ::DECIMAL(30,10)), 2)::DOUBLE AS churned_rev,
+           round(sum(CASE WHEN r95 > 0 AND r96 > r95 THEN r96 - r95
+                          ELSE 0 END::DECIMAL(30,10)), 2)::DOUBLE
+               AS expansion_rev,
+           round(sum(CASE WHEN r96 > 0 AND r95 > r96 THEN r95 - r96
+                          ELSE 0 END::DECIMAL(30,10)), 2)::DOUBLE
+               AS contraction_rev
+    FROM cy, customer, nation
+    WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def x_agg_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-bridge waterfall between two years per nation: the
+    year-over-year delta decomposed into new-customer, churned,
+    expansion and contraction components (the identity
+    rev_1996 = rev_1995 + new − churned + expansion − contraction holds
+    row-by-row) — the board-deck "where did growth come from" chart as
+    one relational plan.
+
+    Plan: ONE conditional aggregate collapses orders to per-customer
+    (r95, r96) pairs — both years in the same pass, never a
+    join of two year slices; classification is a codegen'd CASE over
+    the pair; the nation rollup rides broadcast dims.  Per-customer
+    subtotals are rounded to cents before classification so the
+    zero/greater tests are exact cross-engine."""
+    o = table(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate").isin(1995, 1996)
+    )
+
+    def ysum(y):
+        return (
+            F.round(
+                F.sum(
+                    F.when(F.year("o_orderdate") == y, F.col("o_totalprice"))
+                    .otherwise(0.0)
+                    .cast("decimal(30,10)")
+                ),
+                2,
+            )
+            .cast("double")
+        )
+
+    cy = o.groupBy("o_custkey").agg(ysum(1995).alias("r95"), ysum(1996).alias("r96"))
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nt = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    r95, r96 = F.col("r95"), F.col("r96")
+
+    def dsum(c_, alias):
+        return (
+            F.round(F.sum(c_.cast("decimal(30,10)")), 2)
+            .cast("double")
+            .alias(alias)
+        )
+
+    return (
+        # customer is fact-sized at scale — shuffle join on the key
+        # (AQE may still broadcast at small SF); only nation broadcasts
+        cy.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nt), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            dsum(r95, "rev_1995"),
+            dsum(r96, "rev_1996"),
+            dsum(F.when(r95 == 0, r96).otherwise(0.0), "new_rev"),
+            dsum(F.when(r96 == 0, r95).otherwise(0.0), "churned_rev"),
+            dsum(
+                F.when((r95 > 0) & (r96 > r95), r96 - r95).otherwise(0.0),
+                "expansion_rev",
+            ),
+            dsum(
+                F.when((r96 > 0) & (r95 > r96), r95 - r96).otherwise(0.0),
+                "contraction_rev",
+            ),
+        )
+    )

@@ -4725,3 +4725,106 @@ def x_llm_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("string")
         .alias("fp_checksum"),
     )
+
+
+#: Dataset-split fractions (cumulative): train < 0.9, val < 0.95, test rest.
+SPLIT_TRAIN = 0.9
+SPLIT_VAL = 0.95
+
+
+@register(
+    "x_llm_dataset_split",
+    oracle=f"""
+    WITH u AS (
+        SELECT n_chars,
+               ('0x' || substr(md5(doc_id::VARCHAR), 1, 13))::BIGINT
+                   / 4503599627370496.0 AS u
+        FROM documents
+    ),
+    s AS (
+        SELECT CASE WHEN u < {SPLIT_TRAIN} THEN 'train'
+                    WHEN u < {SPLIT_VAL} THEN 'val'
+                    ELSE 'test' END AS split,
+               n_chars
+        FROM u
+    ),
+    agg AS (
+        SELECT split, count(*)::BIGINT AS n_docs,
+               sum(n_chars)::BIGINT AS total_chars
+        FROM s GROUP BY split
+    )
+    SELECT split, n_docs, total_chars,
+           round(n_docs::DOUBLE
+                 / (SELECT sum(n_docs) FROM agg)::DOUBLE, 6) AS share
+    FROM agg
+    """,
+)
+def x_llm_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test holdout assignment (90/5/5) by
+    content-free key hash — the split every training pipeline needs,
+    done the reproducible way: u = md5(doc_id)-derived uniform, split
+    by cumulative thresholds, so membership is a pure function of the
+    id (stable across runs, machines and partitionings — never
+    rand()), new documents land in splits at the target rates, and no
+    shuffle or global sort is involved in the assignment.
+
+    Plan: assignment is a codegen'd projection; the report is one hash
+    aggregate to three rows; the share denominator is a 1-row aggregate
+    OF the 3-row frame joined back broadcast-nested-loop (1-row build
+    side, zero data motion)."""
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10
+    ).cast("double")
+    u = h / 4503599627370496.0  # 2^52
+    s = table(spark, sf_dir, "documents").select(
+        F.when(u < SPLIT_TRAIN, "train")
+        .when(u < SPLIT_VAL, "val")
+        .otherwise("test")
+        .alias("split"),
+        "n_chars",
+    )
+    agg = s.groupBy("split").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+    total = agg.agg(F.sum("n_docs").alias("_total"))
+    return agg.join(F.broadcast(total)).select(
+        "split",
+        "n_docs",
+        "total_chars",
+        F.round(F.col("n_docs").cast("double") / F.col("_total").cast("double"), 6)
+        .alias("share"),
+    )
+
+
+@register(
+    "x_llm_dup_graph_degree",
+    oracle=f"""
+    WITH {_SQL_SHINGLES},
+    {_SQL_PAIR_JACCARD},
+    e AS (
+        SELECT doc_a AS doc_id FROM jac WHERE j >= 0.5
+        UNION ALL
+        SELECT doc_b FROM jac WHERE j >= 0.5
+    )
+    SELECT doc_id, count(*)::BIGINT AS degree
+    FROM e GROUP BY doc_id
+    """,
+)
+def x_llm_dup_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup graph degree per document: how many J >= 0.5 partners
+    each doc has — the triage view OVER the pair list (degree 1-2 =
+    simple re-post; degree 50 = template/boilerplate hub that deserves
+    a pattern fix, not pairwise dedup), and the input to the
+    cluster-size-distribution health metric.
+
+    Plan: reuses the skew-capped pair machinery (``_ngram_jaccard_pairs``
+    over the session-shared shingle frame — no re-shingling), then ONE
+    hash aggregate over the symmetrized pair list.  Degree counting adds
+    only pair-sized work to the pair generation it reuses."""
+    sh = _shingle_rows(spark, sf_dir)
+    pairs = _ngram_jaccard_pairs(spark, sf_dir, sh)
+    e = pairs.select(F.col("doc_a").alias("doc_id")).unionByName(
+        pairs.select(F.col("doc_b").alias("doc_id"))
+    )
+    return e.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("degree"))

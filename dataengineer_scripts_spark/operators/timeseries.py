@@ -816,3 +816,248 @@ def x_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ewma",
         )
     )
+
+
+#: CUSUM drift-flag multiple of the per-type total's standard deviation.
+CUSUM_SIGMA_BAR = 5.0
+
+
+@register(
+    "x_ts_cusum_drift",
+    oracle=f"""
+    WITH d AS (
+        SELECT event_type, date_trunc('day', ts)::DATE AS day,
+               round(sum(value::DECIMAL(30,10)), 6)::DOUBLE AS total
+        FROM events GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT event_type,
+               count(*)::BIGINT AS n,
+               sum(total::DECIMAL(30,10))::DOUBLE AS s,
+               sum((total * total)::DECIMAL(38,10))::DOUBLE AS s2
+        FROM d GROUP BY 1
+    ),
+    c AS (
+        SELECT d.event_type, day, total,
+               s / n AS mu,
+               sqrt((s2 - s * s / n) / (n - 1)) AS sigma,
+               sum((total - s / n)::DECIMAL(30,12))
+                   OVER (PARTITION BY d.event_type ORDER BY day
+                         ROWS UNBOUNDED PRECEDING)::DOUBLE AS cusum
+        FROM d JOIN m USING (event_type)
+    )
+    SELECT event_type, day, total,
+           round(cusum, 6) + 0 AS cusum,
+           (abs(cusum) > {CUSUM_SIGMA_BAR} * sigma) AS drift
+    FROM c
+    """,
+)
+def x_ts_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM drift detection on daily volumes: the running sum of
+    deviations from each event type's overall mean, flagged when it
+    wanders past 5σ — the change-point monitor that catches slow drifts
+    a per-day threshold never sees (each day looks normal; the
+    accumulated bias does not).
+
+    Plan: data-sized work is ONE hash aggregate to day grain; the mean
+    and σ come from a second aggregate over the day-grain frame
+    (decimal moments, type-count rows, broadcast back); the running sum
+    is a window PARTITIONED BY event_type over day grain — bounded
+    partitions, exact decimal accumulation of deterministic per-day
+    deviations, so the 5σ flag compares identical doubles in both
+    engines."""
+    d = (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date(F.date_trunc("day", "ts")).alias("day"))
+        .agg(
+            F.round(F.sum(F.col("value").cast("decimal(30,10)")), 6)
+            .cast("double")
+            .alias("total")
+        )
+    )
+    m = d.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("total").cast("decimal(30,10)")).cast("double").alias("s"),
+        F.sum((F.col("total") * F.col("total")).cast("decimal(38,10)"))
+        .cast("double")
+        .alias("s2"),
+    )
+    mu = F.col("s") / F.col("n")
+    sigma = F.sqrt(
+        (F.col("s2") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1)
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = (
+        d.join(F.broadcast(m), "event_type")
+        .withColumn(
+            "cusum",
+            F.sum((F.col("total") - mu).cast("decimal(30,12)"))
+            .over(w)
+            .cast("double"),
+        )
+        .withColumn("sigma", sigma)
+    )
+    return c.select(
+        "event_type",
+        "day",
+        "total",
+        # + 0.0 canonicalizes IEEE negative zero (the all-days CUSUM is
+        # exactly 0; -0.0 vs 0.0 would hash-differ cross-engine)
+        (F.round("cusum", 6) + F.lit(0.0)).alias("cusum"),
+        (F.abs(F.col("cusum")) > CUSUM_SIGMA_BAR * F.col("sigma")).alias("drift"),
+    )
+
+
+@register(
+    "x_ts_seasonal_decompose",
+    oracle="""
+    WITH d AS (
+        SELECT date_trunc('day', ts)::DATE AS day,
+               dayofweek(date_trunc('day', ts)::DATE) AS wd,
+               round(sum(value::DECIMAL(30,10)), 6)::DOUBLE AS total
+        FROM events GROUP BY 1, 2
+    ),
+    t AS (
+        SELECT day, wd, total,
+               CASE WHEN count(*) OVER fr = 7
+                    THEN sum(total::DECIMAL(30,10)) OVER fr::DOUBLE / 7
+               END AS trend
+        FROM d
+        WINDOW fr AS (ORDER BY day ROWS BETWEEN 3 PRECEDING
+                      AND 3 FOLLOWING)
+    ),
+    e AS (
+        SELECT wd,
+               sum((total - trend)::DECIMAL(30,12))::DOUBLE
+                   / count(*) AS effect
+        FROM t WHERE trend IS NOT NULL GROUP BY wd
+    )
+    SELECT day, total,
+           round(trend, 6) AS trend,
+           round(effect, 6) AS weekday_effect,
+           round(total - trend - effect, 6) AS residual
+    FROM t JOIN e USING (wd)
+    WHERE trend IS NOT NULL
+    """,
+)
+def x_ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of the daily volume
+    series: total = trend (centered 7-day moving average) + weekday
+    effect (mean detrended value per day-of-week) + residual — the
+    first-pass structure view behind capacity planning and
+    anomaly-baseline work (the residual is what MAD/CUSUM should watch
+    once seasonality is removed).
+
+    Plan: ONE hash aggregate to day grain does the data-sized work; the
+    centered average is an unpartitioned ROWS window over the bounded
+    day-grain frame (the ma_crossover precedent — guarded by the
+    window-above-aggregate plan test), defined only where the 7-day
+    frame is complete, so edges carry no truncated averages; the
+    weekday effect is a 7-row aggregate of exact decimal sums joined
+    back broadcast-sized.  dayofweek ≡ Spark's dayofweek (both
+    1=Sunday)."""
+    d = (
+        table(spark, sf_dir, "events")
+        .groupBy(F.to_date(F.date_trunc("day", "ts")).alias("day"))
+        .agg(
+            F.round(F.sum(F.col("value").cast("decimal(30,10)")), 6)
+            .cast("double")
+            .alias("total")
+        )
+        .withColumn("wd", F.dayofweek("day"))
+    )
+    fr = Window.orderBy("day").rowsBetween(-3, 3)
+    t = d.withColumn(
+        "trend",
+        F.when(
+            F.count("*").over(fr) == 7,
+            F.sum(F.col("total").cast("decimal(30,10)")).over(fr).cast("double")
+            / 7,
+        ),
+    )
+    e = (
+        t.filter(F.col("trend").isNotNull())
+        .groupBy("wd")
+        .agg(
+            (
+                F.sum((F.col("total") - F.col("trend")).cast("decimal(30,12)"))
+                .cast("double")
+                / F.count("*")
+            ).alias("effect")
+        )
+    )
+    return (
+        t.filter(F.col("trend").isNotNull())
+        .join(F.broadcast(e), "wd")
+        .select(
+            "day",
+            "total",
+            F.round("trend", 6).alias("trend"),
+            F.round("effect", 6).alias("weekday_effect"),
+            F.round(F.col("total") - F.col("trend") - F.col("effect"), 6).alias(
+                "residual"
+            ),
+        )
+    )
+
+
+@register(
+    "x_win_moving_median",
+    oracle="""
+    WITH d AS (
+        SELECT event_type, date_trunc('day', ts)::DATE AS day,
+               round(sum(value::DECIMAL(30,10)), 6)::DOUBLE AS total
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, day, total,
+           CASE WHEN count(*) OVER fr = 7
+                THEN list_sort(list(total) OVER fr)[4]
+           END AS med_7d
+    FROM d
+    WINDOW fr AS (PARTITION BY event_type ORDER BY day
+                  ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    """,
+)
+def x_win_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centered 7-day moving MEDIAN of daily volumes per event type —
+    the robust trend line (a single spike day drags a moving average
+    for a week; the moving median ignores it).  Median over a full
+    7-row frame is the 4th order statistic — a DISCRETE pick, no
+    interpolation, so cross-engine equality is element equality, and
+    the frame-incomplete edges are NULL rather than medians of
+    truncated windows.
+
+    Spark has no median window aggregate; the portable spelling is
+    collect_list over the frame → array_sort → element 4 — bounded by
+    the frame length (7), so the per-row state is constant-sized.
+
+    Plan: ONE hash aggregate to day grain, then ONE window pass
+    PARTITIONED BY event_type over the bounded day-grain frame (never
+    the raw events)."""
+    d = (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date(F.date_trunc("day", "ts")).alias("day"))
+        .agg(
+            F.round(F.sum(F.col("value").cast("decimal(30,10)")), 6)
+            .cast("double")
+            .alias("total")
+        )
+    )
+    fr = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-3, 3)
+    )
+    return d.select(
+        "event_type",
+        "day",
+        "total",
+        F.when(
+            F.count("*").over(fr) == 7,
+            F.element_at(F.array_sort(F.collect_list("total").over(fr)), 4),
+        ).alias("med_7d"),
+    )

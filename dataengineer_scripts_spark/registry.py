@@ -145,6 +145,14 @@ _PRIORITY_NAMES = (
     "x_agg_grouping_sets",
     "x_agg_hypertable_rollup",
     "x_agg_percentile",
+    # (5) new in r09, second wave — the ~50-id window reaches the first
+    # few; the rest carry local sweeps and lead the r10 rotation
+    "x_agg_waterfall",
+    "x_ts_cusum_drift",
+    "x_ts_seasonal_decompose",
+    "x_win_moving_median",
+    "x_llm_dataset_split",
+    "x_llm_dup_graph_degree",
     # last driver-graded in r05: flagships, then the reference-derived core
     "flagship_curation",
     "flagship_health",
