@@ -47,7 +47,6 @@ def main() -> None:
     text = open(survey).read()
     m = re.search(
         r"(### 2\.11 .*?REGENERATED from `registry\.definitions\(\)`.*?"
-        r"registry is the always-current source\.\n\n"
         r"\| id \| function \| check \|\n\|---\|---\|---\|\n)"
         r"((?:\|[^\n]*\n)+)",
         text,
