@@ -362,10 +362,13 @@ def _ngram_jaccard_pairs(
     # docs through their hot shingle rows, drop pairs the cold route already
     # produced, and compute full-set Jaccard candidate-linearly.  Empty
     # whenever the cap is inert (no hot shingles -> no mostly-hot docs).
-    cold_n = cold.groupBy("doc_id").agg(F.count("*").alias("n_cold"))
+    # qualifying count off the HOT rows (n_hot*2 >= n ⟺ n_cold*2 <= n):
+    # hot-row-sized instead of a corpus-sized cold-row aggregate, so the
+    # completion costs ~nothing when the cap is inert
+    hot_n = hot_sh.groupBy("doc_id").agg(F.count("*").alias("n_hot"))
     mostly_hot_docs = (
-        sizes.join(cold_n, "doc_id", "left")
-        .filter(F.coalesce(F.col("n_cold"), F.lit(0)) * 2 <= F.col("n"))
+        sizes.join(hot_n, "doc_id")
+        .filter(F.col("n_hot") * 2 >= F.col("n"))
         .select("doc_id")
     )
     mh_sh = hot_sh.join(mostly_hot_docs, "doc_id")
@@ -457,16 +460,18 @@ def x_llm_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    # Completion pass: candidate inners are docs whose cold-shingle count
-    # is <= (1-T) of their shingle set (the only docs that can reach
-    # C >= T through hot shingles alone); outers are any hot-shingle
-    # holders.  Anti-join removes pairs the cold route already scored.
-    cold_n = _cold.groupBy("doc_id").agg(F.count("*").alias("n_cold"))
+    # Completion pass: candidate inners are docs that can reach C >= T
+    # through hot shingles alone, i.e. n_hot >= T*n (equivalently
+    # n_cold <= (1-T)*n — counted off the HOT rows, not the cold rows,
+    # so the qualifying aggregate is hot-row-sized: near-empty when the
+    # cap is inert instead of a corpus-sized cold-row count); outers are
+    # any hot-shingle holders.  Anti-join removes pairs the cold route
+    # already scored.
+    hot_n = _hot_sh.groupBy("doc_id").agg(F.count("*").alias("n_hot"))
     mostly_hot = (
-        sizes.join(cold_n, "doc_id", "left")
+        sizes.join(hot_n, "doc_id")
         .filter(
-            F.coalesce(F.col("n_cold"), F.lit(0)).cast("double")
-            <= (1.0 - CONTAINMENT_THRESHOLD) * F.col("n")
+            F.col("n_hot").cast("double") >= CONTAINMENT_THRESHOLD * F.col("n")
         )
         .select("doc_id")
     )
@@ -4828,3 +4833,88 @@ def x_llm_dup_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("doc_b").alias("doc_id"))
     )
     return e.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("degree"))
+
+
+@register(
+    "x_llm_quality_filter_report",
+    oracle="""
+    WITH f AS (
+        SELECT count(*)::BIGINT AS n_checked,
+               sum(CASE WHEN n_chars < 60 THEN 1 ELSE 0 END)::BIGINT
+                   AS f_short,
+               sum(CASE WHEN length(regexp_replace(text, '[^a-z]', '', 'g'))
+                             ::DOUBLE / n_chars < 0.6
+                        THEN 1 ELSE 0 END)::BIGINT AS f_alpha,
+               sum(CASE WHEN len(list_distinct(string_split(text, ' ')))
+                             ::DOUBLE
+                             / len(string_split(text, ' ')) < 0.3
+                        THEN 1 ELSE 0 END)::BIGINT AS f_rep,
+               sum(CASE WHEN len(list_filter(string_split(text, ' '),
+                                             x -> x IN ('a', 'the')))::DOUBLE
+                             / len(string_split(text, ' ')) > 0.2
+                        THEN 1 ELSE 0 END)::BIGINT AS f_stop
+        FROM documents
+    )
+    SELECT 'too_short' AS rule_id, n_checked, f_short AS n_flagged,
+           round(f_short::DOUBLE / n_checked, 6) AS flag_rate FROM f
+    UNION ALL
+    SELECT 'low_alpha', n_checked, f_alpha,
+           round(f_alpha::DOUBLE / n_checked, 6) FROM f
+    UNION ALL
+    SELECT 'repetitive', n_checked, f_rep,
+           round(f_rep::DOUBLE / n_checked, 6) FROM f
+    UNION ALL
+    SELECT 'stopword_heavy', n_checked, f_stop,
+           round(f_stop::DOUBLE / n_checked, 6) FROM f
+    """,
+)
+def x_llm_quality_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus quality-gate report: the four standard cheap filters
+    (too-short, low alphabetic ratio, low distinct-token ratio =
+    repetitive, stopword-heavy) evaluated corpus-wide with per-rule
+    flag rates — the go/no-go dashboard a curation pipeline publishes
+    before the expensive dedup stages run (the documents-table sibling
+    of ``x_etl_dq_report``'s table contracts).
+
+    Plan: ALL four rules ride ONE conditional aggregate in a single
+    documents scan (each rule is an elementwise predicate summed), then
+    a stack() projection unpivots the 1-row frame to rule rows — four
+    rules cost one pass, not four."""
+    toks = F.split("text", " ")
+    alpha_ratio = (
+        F.length(F.regexp_replace("text", "[^a-z]", "")).cast("double")
+        / F.col("n_chars")
+    )
+    distinct_ratio = (
+        F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+    )
+    stop_ratio = (
+        F.size(F.filter(toks, lambda x: x.isin("a", "the"))).cast("double")
+        / F.size(toks)
+    )
+
+    def flag(cond, alias):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint").alias(alias)
+
+    f = table(spark, sf_dir, "documents").agg(
+        F.count("*").cast("bigint").alias("n_checked"),
+        flag(F.col("n_chars") < 60, "f_short"),
+        flag(alpha_ratio < 0.6, "f_alpha"),
+        flag(distinct_ratio < 0.3, "f_rep"),
+        flag(stop_ratio > 0.2, "f_stop"),
+    )
+    return f.select(
+        F.expr(
+            "stack(4, 'too_short', f_short, 'low_alpha', f_alpha,"
+            " 'repetitive', f_rep, 'stopword_heavy', f_stop)"
+            " AS (rule_id, n_flagged)"
+        ),
+        "n_checked",
+    ).select(
+        "rule_id",
+        "n_checked",
+        "n_flagged",
+        F.round(
+            F.col("n_flagged").cast("double") / F.col("n_checked"), 6
+        ).alias("flag_rate"),
+    )

@@ -2640,3 +2640,106 @@ def x_set_symmetric_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "side", F.lit("only_2000")
     )
     return only_a.unionByName(only_b)
+
+
+@register(
+    "x_join_scd2_pointintime",
+    oracle="""
+    WITH dim AS (
+        SELECT c_custkey, TIMESTAMP '1995-01-01' AS valid_from,
+               c_mktsegment AS seg
+        FROM customer
+        UNION ALL
+        SELECT c_custkey, TIMESTAMP '1998-01-01',
+               'MOVED_' || c_mktsegment
+        FROM customer WHERE c_custkey % 3 = 0
+    ),
+    merged AS (
+        SELECT c_custkey AS k, valid_from AS t, 0 AS typ,
+               seg, valid_from, NULL::BIGINT AS o_orderkey
+        FROM dim
+        UNION ALL
+        SELECT o_custkey, o_orderdate, 1, NULL, NULL, o_orderkey
+        FROM orders
+    ),
+    carried AS (
+        SELECT k, t, typ, o_orderkey,
+               last_value(seg IGNORE NULLS) OVER fr AS eff_segment,
+               last_value(valid_from IGNORE NULLS) OVER fr AS eff_from
+        FROM merged
+        WINDOW fr AS (PARTITION BY k ORDER BY t, typ, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT o_orderkey, k AS o_custkey, t AS o_orderdate,
+           eff_segment, eff_from
+    FROM carried WHERE typ = 1
+    """,
+)
+def x_join_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (SCD Type-2) dimension join: each order resolves
+    the dimension version that was valid ON ITS ORDER DATE — the
+    temporal-correctness join every warehouse needs once dims carry
+    history (joining today's segment onto 1996 orders silently rewrites
+    the past).  The versioned dim is synthesized deterministically from
+    customer (v1 from 1995-01-01; a changed v2 from 1998-01-01 for
+    every third customer) so both engines see identical history.
+
+    Plan: the merged-stream formulation (the ``x_join_asof`` shape on a
+    composite key): union dim-version rows and fact rows into one
+    stream, ONE window partitioned by the business key ordered by
+    (date, type, tiebreak) carries the last version attributes forward
+    (dim rows sort before same-date facts, so a version effective on
+    the order date applies), then facts filter out.  ONE shuffle on the
+    key — versus the naive range join (fact × every version, then
+    max-filter) which doubles the fact shuffle and risks BNL on the
+    range predicate.  At 100 TB the union's dim side is version-count-
+    sized, a rounding error against the fact stream."""
+    c = table(spark, sf_dir, "customer")
+    v1 = c.select(
+        F.col("c_custkey").alias("k"),
+        F.lit("1995-01-01").cast("timestamp").alias("t"),
+        F.lit(0).alias("typ"),
+        F.col("c_mktsegment").alias("seg"),
+        F.lit("1995-01-01").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("bigint").alias("o_orderkey"),
+    )
+    v2 = c.filter(F.col("c_custkey") % 3 == 0).select(
+        F.col("c_custkey").alias("k"),
+        F.lit("1998-01-01").cast("timestamp").alias("t"),
+        F.lit(0).alias("typ"),
+        F.concat(F.lit("MOVED_"), F.col("c_mktsegment")).alias("seg"),
+        F.lit("1998-01-01").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("bigint").alias("o_orderkey"),
+    )
+    facts = table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(1).alias("typ"),
+        F.lit(None).cast("string").alias("seg"),
+        F.lit(None).cast("timestamp").alias("valid_from"),
+        "o_orderkey",
+    )
+    fr = (
+        Window.partitionBy("k")
+        .orderBy("t", "typ", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    merged = v1.unionByName(v2).unionByName(facts)
+    return (
+        merged.select(
+            "k",
+            "t",
+            "typ",
+            "o_orderkey",
+            F.last("seg", ignorenulls=True).over(fr).alias("eff_segment"),
+            F.last("valid_from", ignorenulls=True).over(fr).alias("eff_from"),
+        )
+        .filter(F.col("typ") == 1)
+        .select(
+            "o_orderkey",
+            F.col("k").alias("o_custkey"),
+            F.col("t").alias("o_orderdate"),
+            "eff_segment",
+            "eff_from",
+        )
+    )

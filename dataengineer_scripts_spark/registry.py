@@ -153,6 +153,8 @@ _PRIORITY_NAMES = (
     "x_win_moving_median",
     "x_llm_dataset_split",
     "x_llm_dup_graph_degree",
+    "x_llm_quality_filter_report",
+    "x_join_scd2_pointintime",
     # last driver-graded in r05: flagships, then the reference-derived core
     "flagship_curation",
     "flagship_health",

@@ -49,6 +49,12 @@ def _physical(df) -> str:
         "x_agg_corr_matrix",
         "x_win_rank_change",
         "x_llm_winnowing_fingerprint",
+        "x_agg_waterfall",
+        "x_ts_cusum_drift",
+        "x_ts_seasonal_decompose",
+        "x_win_moving_median",
+        "x_llm_dup_graph_degree",
+        "x_join_scd2_pointintime",
     ],
 )
 def test_no_cartesian_anywhere(name, spark, sf_dir):
@@ -183,3 +189,19 @@ def test_winnowing_window_is_doc_partitioned(spark, sf_dir):
     assert "Window" in plan
     window_line = [l for l in plan.split("\n") if "Window" in l][0]
     assert "doc_id" in window_line
+
+
+def test_scd2_pointintime_is_one_shuffle_no_range_join(spark, sf_dir):
+    # merged-stream formulation: ONE exchange on the business key, one
+    # carry-forward window, and NO join at all (the naive fact-x-version
+    # range join would BNL or double-shuffle the facts)
+    plan = _physical(DEFS["x_join_scd2_pointintime"].fn(spark, sf_dir))
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1
+    assert "Window" in plan
+
+
+def test_quality_filter_report_is_single_scan(spark, sf_dir):
+    # four rules, one conditional aggregate, one documents scan
+    plan = _physical(DEFS["x_llm_quality_filter_report"].fn(spark, sf_dir))
+    assert plan.count("Scan parquet") == 1
