@@ -4918,3 +4918,73 @@ def x_llm_quality_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_flagged").cast("double") / F.col("n_checked"), 6
         ).alias("flag_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Flagship: the corpus-health report (round 9)
+# ---------------------------------------------------------------------------
+
+from ..registry import oracle_of as _oracle_of_llm  # noqa: E402
+
+
+def _flagship_corpus_health_oracle() -> str:
+    """Composite oracle: each member's REGISTERED oracle embedded as a
+    subquery (the ``flagship_analytics`` pattern) — the flagship's
+    ground truth is definitionally the members', no duplicated SQL to
+    drift.  All four members register earlier in this module, so their
+    oracles are available here."""
+    return f"""
+    SELECT 'dup_rate' AS metric, source AS key, dup_rate AS value
+    FROM ({_oracle_of_llm("x_llm_dup_rate_by_source")})
+    UNION ALL
+    SELECT 'fertility', lang, chars_per_token
+    FROM ({_oracle_of_llm("x_llm_tokenizer_fertility")})
+    UNION ALL
+    SELECT 'split_share', split, share
+    FROM ({_oracle_of_llm("x_llm_dataset_split")})
+    UNION ALL
+    SELECT 'quality_flag_rate', rule_id, flag_rate
+    FROM ({_oracle_of_llm("x_llm_quality_filter_report")})
+    """
+
+
+@register("flagship_corpus_health", oracle=_flagship_corpus_health_oracle())
+def flagship_corpus_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-health daily report: per-source duplicate rates,
+    per-language tokenizer fertility, holdout-split shares and the
+    quality-gate flag rates — four curation operators COMPOSED into one
+    (metric, key, value) frame, the datasheet a training-data pipeline
+    publishes before every ingestion cut (the corpus sibling of
+    ``flagship_analytics``; ``flagship_dataset_card`` summarizes the
+    corpus, this one gates it).
+
+    The Spark side calls the registered member operators and reshapes
+    their frames; the oracle embeds the members' REGISTERED oracle SQL
+    as subqueries, so one driver hash-match re-attests all four members
+    and their composition in a single row set.
+
+    Plan: a union of four independent subplans — each keeps its
+    standalone shape (documents-scan aggregates throughout; every
+    member is one pass); composition adds zero shuffles, and Spark
+    schedules the member stages concurrently."""
+    dup = x_llm_dup_rate_by_source(spark, sf_dir).select(
+        F.lit("dup_rate").alias("metric"),
+        F.col("source").alias("key"),
+        F.col("dup_rate").alias("value"),
+    )
+    fert = x_llm_tokenizer_fertility(spark, sf_dir).select(
+        F.lit("fertility").alias("metric"),
+        F.col("lang").alias("key"),
+        F.col("chars_per_token").alias("value"),
+    )
+    split = x_llm_dataset_split(spark, sf_dir).select(
+        F.lit("split_share").alias("metric"),
+        F.col("split").alias("key"),
+        F.col("share").alias("value"),
+    )
+    qual = x_llm_quality_filter_report(spark, sf_dir).select(
+        F.lit("quality_flag_rate").alias("metric"),
+        F.col("rule_id").alias("key"),
+        F.col("flag_rate").alias("value"),
+    )
+    return dup.unionByName(fert).unionByName(split).unionByName(qual)

@@ -155,6 +155,7 @@ _PRIORITY_NAMES = (
     "x_llm_dup_graph_degree",
     "x_llm_quality_filter_report",
     "x_join_scd2_pointintime",
+    "flagship_corpus_health",
     # last driver-graded in r05: flagships, then the reference-derived core
     "flagship_curation",
     "flagship_health",
