@@ -591,3 +591,58 @@ def x_agg_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "x_agg_benford_distribution",
+    oracle="""
+    WITH d AS (
+        SELECT substr(floor(o_totalprice)::BIGINT::VARCHAR, 1, 1)::BIGINT
+                   AS digit
+        FROM orders WHERE o_totalprice >= 1
+    ),
+    c AS (SELECT digit, count(*)::BIGINT AS n FROM d GROUP BY digit),
+    t AS (SELECT sum(n)::BIGINT AS total FROM c)
+    SELECT digit, n,
+           round(n::DOUBLE / total, 6) AS observed,
+           round(log10(1.0 + 1.0 / digit), 6) AS benford_expected,
+           round(n::DOUBLE / total - log10(1.0 + 1.0 / digit), 6)
+               AS deviation
+    FROM c, t
+    """,
+)
+def x_agg_benford_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order values: observed
+    leading-digit shares against the log10(1 + 1/d) expectation — the
+    classic fraud/data-fabrication screen (organically-generated
+    amounts follow Benford; invented or capped ones pile up on
+    specific digits).
+
+    Plan: the digit is a codegen'd string projection of the floored
+    value (substr of the integer text — no float log tricks whose
+    boundary cases could split across engines); one hash aggregate to
+    ≤ 9 rows; the total is a 1-row aggregate OF those rows joined back
+    broadcast-nested-loop.  Shares and the expectation are elementwise
+    doubles on identical inputs."""
+    d = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") >= 1)
+        .select(
+            F.substring(
+                F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+            )
+            .cast("bigint")
+            .alias("digit")
+        )
+    )
+    c = d.groupBy("digit").agg(F.count("*").cast("bigint").alias("n"))
+    t = c.agg(F.sum("n").cast("bigint").alias("total"))
+    obs = F.col("n").cast("double") / F.col("total")
+    exp_ = F.log10(1.0 + 1.0 / F.col("digit"))
+    return c.join(F.broadcast(t)).select(
+        "digit",
+        "n",
+        F.round(obs, 6).alias("observed"),
+        F.round(exp_, 6).alias("benford_expected"),
+        F.round(obs - exp_, 6).alias("deviation"),
+    )

@@ -1719,3 +1719,55 @@ def x_etl_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("action"),
         )
     )
+
+
+@register(
+    "x_etl_gap_detect",
+    oracle="""
+    WITH b AS (
+        SELECT event_type,
+               min(date_trunc('hour', ts)) AS h0,
+               max(date_trunc('hour', ts)) AS h1
+        FROM events GROUP BY event_type
+    ),
+    grid AS (
+        SELECT event_type,
+               unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+        FROM b
+    ),
+    present AS (
+        SELECT DISTINCT event_type, date_trunc('hour', ts) AS hour
+        FROM events
+    )
+    SELECT g.event_type, g.hour
+    FROM grid g LEFT JOIN present p
+      ON g.event_type = p.event_type AND g.hour = p.hour
+    WHERE p.hour IS NULL
+    """,
+)
+def x_etl_gap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline-gap detection: HOURS with zero events per event type
+    inside that type's active range — the monitoring primitive that
+    catches a silently-dead upstream (an hour that simply never arrives
+    triggers no error anywhere else; the reference's health checker
+    flags stale nodes the same way, `Job Cek Script/app.py:180-191`,
+    per-node instead of per-slot).
+
+    Plan: the expected grid is GENERATED from the per-type min/max
+    bounds (a type-count-sized aggregate + sequence explode — the
+    ``x_etl_resample_ffill`` trick), never joined out of the facts;
+    presence is the distinct hour aggregate; the gap set is a left-anti
+    join on (type, hour) grain — all frames slot-grain-bounded except
+    the one distinct pass over events."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    )
+    b = ev.groupBy("event_type").agg(
+        F.min("hour").alias("h0"), F.max("hour").alias("h1")
+    )
+    grid = b.select(
+        "event_type",
+        F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("hour"),
+    )
+    present = ev.distinct()
+    return grid.join(present, ["event_type", "hour"], "left_anti")

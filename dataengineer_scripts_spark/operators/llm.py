@@ -4988,3 +4988,79 @@ def flagship_corpus_health(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("flag_rate").alias("value"),
     )
     return dup.unionByName(fert).unionByName(split).unionByName(qual)
+
+
+#: Coverage-curve checkpoints (top-k vocabulary sizes) and the candidate
+#: cut — at web scale the checkpoints become (1e3, 1e4, 1e5) and the cut
+#: grows with them; the plan shape (TakeOrdered + bounded window) holds.
+COVERAGE_CHECKPOINTS = (5, 10, 20)
+COVERAGE_CUT = 1000
+
+
+@register(
+    "x_llm_ngram_coverage_curve",
+    oracle=f"""
+    WITH w AS (
+        SELECT t AS tok
+        FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+        WHERE t <> ''
+    ),
+    c AS (SELECT tok, count(*) AS n FROM w GROUP BY tok),
+    tot AS (SELECT sum(n)::BIGINT AS total FROM c),
+    top AS (
+        SELECT tok, n, row_number() OVER (ORDER BY n DESC, tok) AS rnk
+        FROM c ORDER BY n DESC, tok LIMIT {COVERAGE_CUT}
+    ),
+    cum AS (
+        SELECT rnk,
+               sum(n) OVER (ORDER BY rnk ROWS UNBOUNDED PRECEDING) AS cm
+        FROM top
+    )
+    SELECT rnk::BIGINT AS top_k, cm::BIGINT AS covered_tokens, total,
+           round(cm::DOUBLE / total, 6) AS coverage
+    FROM cum, tot WHERE rnk IN {COVERAGE_CHECKPOINTS!r}
+    """,
+)
+def x_llm_ngram_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: what fraction of the corpus token mass
+    the top-5/10/20 types cover — THE vocabulary-size planning tool (a
+    tokenizer budget is chosen where this curve flattens; the Zipf-fit
+    op models the same mass, this one measures it directly at the
+    candidate cut points).
+
+    Plan: one token-count hash aggregate (vocab-grain), then the
+    candidate set is a TakeOrdered top-1000 (count-desc, lexicographic
+    tiebreak) — the cumulative window runs over THAT bounded frame,
+    never the full vocabulary (the zipf_fit caveat, solved by
+    construction here); the total mass is a 1-row aggregate joined back
+    broadcast."""
+    toks = (
+        table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    c = toks.groupBy("tok").agg(F.count("*").alias("n"))
+    tot = c.agg(F.sum("n").cast("bigint").alias("total"))
+    top = c.orderBy(F.col("n").desc(), "tok").limit(COVERAGE_CUT)
+    w = Window.orderBy(F.col("n").desc(), "tok")
+    cum = top.select(
+        F.row_number().over(w).cast("bigint").alias("top_k"),
+        F.sum("n")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint")
+        .alias("covered_tokens"),
+    )
+    return (
+        cum.filter(F.col("top_k").isin(*COVERAGE_CHECKPOINTS))
+        .join(F.broadcast(tot))
+        .select(
+            "top_k",
+            "covered_tokens",
+            "total",
+            F.round(
+                F.col("covered_tokens").cast("double")
+                / F.col("total").cast("double"),
+                6,
+            ).alias("coverage"),
+        )
+    )

@@ -156,6 +156,9 @@ _PRIORITY_NAMES = (
     "x_llm_quality_filter_report",
     "x_join_scd2_pointintime",
     "flagship_corpus_health",
+    "x_agg_benford_distribution",
+    "x_etl_gap_detect",
+    "x_llm_ngram_coverage_curve",
     # last driver-graded in r05: flagships, then the reference-derived core
     "flagship_curation",
     "flagship_health",
