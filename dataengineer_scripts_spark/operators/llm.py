@@ -293,7 +293,20 @@ def x_llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``x_llm_dedup_exact`` first at scale, since their pair set is
     inherently quadratic in the class size.  On the fixture the cap is
     inert and output equals the exact all-pairs oracle."""
-    return _ngram_jaccard_pairs(spark, sf_dir, _shingle_rows(spark, sf_dir))
+    return _jaccard_pairs_shared(spark, sf_dir)
+
+
+def _jaccard_pairs_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The J >= 0.5 pair frame, session-shared like the shingle frame:
+    the dedup operator, the dup-graph degree rollup (and any future
+    pair consumer) read ONE materialized pair list instead of re-running
+    the inverted-index self-join per query."""
+    return _session_shared(
+        spark,
+        sf_dir,
+        "jaccard_pairs",
+        lambda: _ngram_jaccard_pairs(spark, sf_dir, _shingle_rows(spark, sf_dir)),
+    )
 
 
 def _overlap_counts(spark: SparkSession, sf_dir: str, sh: DataFrame):
@@ -4823,12 +4836,11 @@ def x_llm_dup_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     a pattern fix, not pairwise dedup), and the input to the
     cluster-size-distribution health metric.
 
-    Plan: reuses the skew-capped pair machinery (``_ngram_jaccard_pairs``
-    over the session-shared shingle frame — no re-shingling), then ONE
+    Plan: reads the SESSION-SHARED J >= 0.5 pair frame (built once per
+    session over the shared shingles — no re-shingling, no re-join), then ONE
     hash aggregate over the symmetrized pair list.  Degree counting adds
     only pair-sized work to the pair generation it reuses."""
-    sh = _shingle_rows(spark, sf_dir)
-    pairs = _ngram_jaccard_pairs(spark, sf_dir, sh)
+    pairs = _jaccard_pairs_shared(spark, sf_dir)
     e = pairs.select(F.col("doc_a").alias("doc_id")).unionByName(
         pairs.select(F.col("doc_b").alias("doc_id"))
     )
