@@ -646,3 +646,96 @@ def x_agg_benford_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(exp_, 6).alias("benford_expected"),
         F.round(obs - exp_, 6).alias("deviation"),
     )
+
+
+@register(
+    "x_agg_ab_test",
+    oracle="""
+    WITH u AS (
+        SELECT user_id,
+               CASE WHEN ('0x' || substr(md5(user_id::VARCHAR), 1, 13))
+                             ::BIGINT % 2 = 0
+                    THEN 'A' ELSE 'B' END AS arm,
+               max(CASE WHEN event_type = 'purchase' AND value > 50
+                        THEN 1 ELSE 0 END) AS conv
+        FROM events GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END)::BIGINT AS n_a,
+               sum(CASE WHEN arm = 'A' THEN conv ELSE 0 END)::BIGINT AS c_a,
+               sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END)::BIGINT AS n_b,
+               sum(CASE WHEN arm = 'B' THEN conv ELSE 0 END)::BIGINT AS c_b
+        FROM u
+    )
+    SELECT n_a, c_a, round(c_a::DOUBLE / n_a, 6) AS rate_a,
+           n_b, c_b, round(c_b::DOUBLE / n_b, 6) AS rate_b,
+           round((c_a::DOUBLE / n_a - c_b::DOUBLE / n_b)
+                 / sqrt(((c_a + c_b)::DOUBLE / (n_a + n_b))
+                        * (1.0 - (c_a + c_b)::DOUBLE / (n_a + n_b))
+                        * (1.0 / n_a + 1.0 / n_b)), 6) AS z_stat,
+           (abs((c_a::DOUBLE / n_a - c_b::DOUBLE / n_b)
+                / sqrt(((c_a + c_b)::DOUBLE / (n_a + n_b))
+                       * (1.0 - (c_a + c_b)::DOUBLE / (n_a + n_b))
+                       * (1.0 / n_a + 1.0 / n_b))) > 1.96) AS significant
+    FROM s
+    """,
+)
+def x_agg_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion A/B conversion test: users hash-split into arms
+    (md5 parity — deterministic, balanced, assignment-stable like the
+    dataset-split op), conversion = any purchase over 50 (a plain
+    any-purchase definition saturates p to 1.0 on the fixture and the
+    pooled variance degenerates to zero), pooled two-proportion
+    z-statistic with the 1.96 two-sided significance call — the
+    experimentation readout every product pipeline runs.
+
+    Plan: ONE user-keyed aggregate collapses events to (user, arm,
+    converted) — arm is a codegen'd hash projection, conversion a
+    conditional max; the arm totals are a second 4-column conditional
+    aggregate to ONE row, and the z algebra is elementwise double math
+    over exact integers (identical in both engines — no sampling, no
+    approximation)."""
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 13), 16, 10
+    ).cast("bigint")
+    u = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id", F.when(h % 2 == 0, "A").otherwise("B").alias("arm"))
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("value") > 50),
+                    1,
+                ).otherwise(0)
+            ).alias("conv")
+        )
+    )
+
+    def csum(cond, col_, alias):
+        return (
+            F.sum(F.when(cond, col_).otherwise(0)).cast("bigint").alias(alias)
+        )
+
+    a = F.col("arm") == "A"
+    s = u.agg(
+        csum(a, F.lit(1), "n_a"),
+        csum(a, F.col("conv"), "c_a"),
+        csum(~a, F.lit(1), "n_b"),
+        csum(~a, F.col("conv"), "c_b"),
+    )
+    ra = F.col("c_a").cast("double") / F.col("n_a")
+    rb = F.col("c_b").cast("double") / F.col("n_b")
+    p = (F.col("c_a") + F.col("c_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    z = (ra - rb) / F.sqrt(p * (1.0 - p) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b")))
+    return s.select(
+        "n_a",
+        "c_a",
+        F.round(ra, 6).alias("rate_a"),
+        "n_b",
+        "c_b",
+        F.round(rb, 6).alias("rate_b"),
+        F.round(z, 6).alias("z_stat"),
+        (F.abs(z) > 1.96).alias("significant"),
+    )

@@ -5076,3 +5076,63 @@ def x_llm_ngram_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("coverage"),
         )
     )
+
+
+#: Reweighting cap: no source's importance weight exceeds this multiple.
+MIXTURE_WEIGHT_CAP = 5.0
+
+
+@register(
+    "x_llm_mixture_reweight",
+    oracle=f"""
+    WITH s AS (
+        SELECT source, count(*)::BIGINT AS n_docs,
+               sum(len(string_split(text, ' ')))::BIGINT AS tokens
+        FROM documents GROUP BY source
+    ),
+    t AS (SELECT sum(tokens)::BIGINT AS total,
+                 count(*)::BIGINT AS n_sources FROM s)
+    SELECT source, n_docs, tokens,
+           round(tokens::DOUBLE / total, 6) AS actual_share,
+           round(least({MIXTURE_WEIGHT_CAP},
+                       (1.0 / n_sources) / (tokens::DOUBLE / total)), 6)
+               AS weight
+    FROM s, t
+    """,
+)
+def x_llm_mixture_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture importance reweighting: the per-source sampling
+    weight that moves the corpus from its ACTUAL token shares to a
+    target mixture (uniform here), capped at 5x so a tiny source cannot
+    be oversampled into memorization — the knob a training pipeline
+    turns after ``x_llm_source_mix`` reports the imbalance (that op
+    reports equalizing weights; this one emits the bounded sampling
+    plan).
+
+    Plan: one hash aggregate to source grain (token counts are
+    elementwise split sizes — no explode), a 1-row totals aggregate OF
+    that frame joined back broadcast; weights are elementwise doubles
+    over exact integers."""
+    s = (
+        table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.size(F.split("text", " "))).cast("bigint").alias("tokens"),
+        )
+    )
+    t = s.agg(
+        F.sum("tokens").cast("bigint").alias("total"),
+        F.count("*").cast("bigint").alias("n_sources"),
+    )
+    share = F.col("tokens").cast("double") / F.col("total")
+    return s.join(F.broadcast(t)).select(
+        "source",
+        "n_docs",
+        "tokens",
+        F.round(share, 6).alias("actual_share"),
+        F.round(
+            F.least(F.lit(MIXTURE_WEIGHT_CAP), (1.0 / F.col("n_sources")) / share),
+            6,
+        ).alias("weight"),
+    )

@@ -159,6 +159,8 @@ _PRIORITY_NAMES = (
     "x_agg_benford_distribution",
     "x_etl_gap_detect",
     "x_llm_ngram_coverage_curve",
+    "x_agg_ab_test",
+    "x_llm_mixture_reweight",
     # last driver-graded in r05: flagships, then the reference-derived core
     "flagship_curation",
     "flagship_health",
