@@ -621,9 +621,10 @@ def x_agg_benford_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: the digit is a codegen'd string projection of the floored
     value (substr of the integer text — no float log tricks whose
     boundary cases could split across engines); one hash aggregate to
-    ≤ 9 rows; the total is a 1-row aggregate OF those rows joined back
-    broadcast-nested-loop.  Shares and the expectation are elementwise
-    doubles on identical inputs."""
+    ≤ 9 rows; the total is an unpartitioned window over that bounded
+    frame (a second aggregate would re-scan orders to recompute the
+    counts).  Shares and the expectation are elementwise doubles on
+    identical inputs."""
     d = (
         table(spark, sf_dir, "orders")
         .filter(F.col("o_totalprice") >= 1)
@@ -636,10 +637,12 @@ def x_agg_benford_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     c = d.groupBy("digit").agg(F.count("*").cast("bigint").alias("n"))
-    t = c.agg(F.sum("n").cast("bigint").alias("total"))
+    # grand total as an unpartitioned window over the <=9-row aggregate —
+    # a second c.agg() would RE-SCAN orders to recompute the digit counts
+    t = c.withColumn("total", F.sum("n").over(Window.partitionBy()))
     obs = F.col("n").cast("double") / F.col("total")
     exp_ = F.log10(1.0 + 1.0 / F.col("digit"))
-    return c.join(F.broadcast(t)).select(
+    return t.select(
         "digit",
         "n",
         F.round(obs, 6).alias("observed"),

@@ -4787,9 +4787,9 @@ def x_llm_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle or global sort is involved in the assignment.
 
     Plan: assignment is a codegen'd projection; the report is one hash
-    aggregate to three rows; the share denominator is a 1-row aggregate
-    OF the 3-row frame joined back broadcast-nested-loop (1-row build
-    side, zero data motion)."""
+    aggregate to three rows; the share denominator is an unpartitioned
+    window over that 3-row frame (a second aggregate would re-scan
+    documents to recompute the counts)."""
     h = F.conv(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10
     ).cast("double")
@@ -4805,8 +4805,11 @@ def x_llm_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("total_chars"),
     )
-    total = agg.agg(F.sum("n_docs").alias("_total"))
-    return agg.join(F.broadcast(total)).select(
+    # share denominator via an unpartitioned window over the 3-row frame
+    # (a second aggregate would re-scan documents)
+    return agg.withColumn(
+        "_total", F.sum("n_docs").over(Window.partitionBy())
+    ).select(
         "split",
         "n_docs",
         "total_chars",
@@ -5051,7 +5054,10 @@ def x_llm_ngram_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode(F.split("text", " ")).alias("tok"))
         .filter(F.col("tok") != "")
     )
-    c = toks.groupBy("tok").agg(F.count("*").alias("n"))
+    # the counts frame feeds BOTH the cut and the total: materialize the
+    # vocab-grain frame once (keep_best's localCheckpoint pattern) so the
+    # corpus explode+aggregate runs a single time
+    c = toks.groupBy("tok").agg(F.count("*").alias("n")).localCheckpoint()
     tot = c.agg(F.sum("n").cast("bigint").alias("total"))
     top = c.orderBy(F.col("n").desc(), "tok").limit(COVERAGE_CUT)
     w = Window.orderBy(F.col("n").desc(), "tok")
@@ -5110,9 +5116,10 @@ def x_llm_mixture_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan).
 
     Plan: one hash aggregate to source grain (token counts are
-    elementwise split sizes — no explode), a 1-row totals aggregate OF
-    that frame joined back broadcast; weights are elementwise doubles
-    over exact integers."""
+    elementwise split sizes — no explode); totals ride an unpartitioned
+    window over the source-count-sized frame (a second aggregate would
+    re-scan documents); weights are elementwise doubles over exact
+    integers."""
     s = (
         table(spark, sf_dir, "documents")
         .groupBy("source")
@@ -5121,12 +5128,12 @@ def x_llm_mixture_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.size(F.split("text", " "))).cast("bigint").alias("tokens"),
         )
     )
-    t = s.agg(
-        F.sum("tokens").cast("bigint").alias("total"),
-        F.count("*").cast("bigint").alias("n_sources"),
+    w_all = Window.partitionBy()
+    t = s.withColumn("total", F.sum("tokens").over(w_all)).withColumn(
+        "n_sources", F.count("*").over(w_all)
     )
     share = F.col("tokens").cast("double") / F.col("total")
-    return s.join(F.broadcast(t)).select(
+    return t.select(
         "source",
         "n_docs",
         "tokens",

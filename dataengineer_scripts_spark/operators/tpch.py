@@ -778,17 +778,24 @@ def x_tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= _ts("1996-01-01"))
         & (F.col("l_shipdate") < _ts("1996-04-01"))
     )
-    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.round(
-            F.sum(
-                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-                    "decimal(30,10)"
-                )
-            ),
-            2,
+    rev = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(30,10)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("total_revenue")
         )
-        .cast("double")
-        .alias("total_revenue")
+        # rev feeds both the max subquery and the final join: materialize
+        # the supplier-grain frame once so the quarter's lineitem really
+        # IS scanned a single time (as the docstring promises)
+        .localCheckpoint()
     )
     mx = rev.agg(F.max("total_revenue").alias("max_revenue"))
     s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")

@@ -205,3 +205,58 @@ def test_quality_filter_report_is_single_scan(spark, sf_dir):
     # four rules, one conditional aggregate, one documents scan
     plan = _physical(DEFS["x_llm_quality_filter_report"].fn(spark, sf_dir))
     assert plan.count("Scan parquet") == 1
+
+
+def test_benford_is_single_scan_tiny_aggregate(spark, sf_dir):
+    # digit histogram: ONE orders scan; the grand total is a window over
+    # the <=9-row digit frame, never a second aggregate re-scanning orders
+    plan = _physical(DEFS["x_agg_benford_distribution"].fn(spark, sf_dir))
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["x_llm_dataset_split", "x_llm_mixture_reweight"]
+)
+def test_share_denominators_do_not_rescan_documents(name, spark, sf_dir):
+    # totals ride an unpartitioned window over the bounded aggregate
+    # frame — a second aggregate would double the documents scans
+    plan = _physical(DEFS[name].fn(spark, sf_dir))
+    assert plan.count("Scan parquet") == 1, name
+    assert "Join" not in plan, name
+
+
+def test_coverage_curve_cut_is_takeordered(spark, sf_dir):
+    # the candidate set must be a TakeOrdered top-k, and the cumulative
+    # window must run over it (below it in print order), never over the
+    # full vocabulary aggregate
+    plan = _physical(DEFS["x_llm_ngram_coverage_curve"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "TakeOrderedAndProject" in plan.split("Window", 1)[1]
+
+
+def test_gap_detect_grid_is_generated_not_joined_from_facts(spark, sf_dir):
+    # the expected grid explodes from per-type bounds; the only join is
+    # the final left-anti against the distinct present slots
+    plan = _physical(DEFS["x_etl_gap_detect"].fn(spark, sf_dir))
+    assert "LeftAnti" in plan
+    assert "Explode" in plan or "Generate" in plan
+
+
+def test_ab_test_is_aggregates_only(spark, sf_dir):
+    # arm assignment is a projection; the whole test is two aggregates —
+    # no join, no window
+    plan = _physical(DEFS["x_agg_ab_test"].fn(spark, sf_dir))
+    assert "Join" not in plan
+    assert "Window" not in plan
+
+
+def test_tpch_q7_q8_push_filters_and_broadcast_dims(spark, sf_dir):
+    for name in ("x_tpch_q7_volume_shipping", "x_tpch_q8_market_share"):
+        df = DEFS[name].fn(spark, sf_dir)
+        meta = df._jdf.queryExecution().toString()
+        # the ship/order date range must reach a parquet scan
+        assert "PushedFilters: [IsNotNull" in meta, name
+        plan = _physical(df)
+        assert "BroadcastHashJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
