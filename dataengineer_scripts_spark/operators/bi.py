@@ -742,3 +742,133 @@ def x_agg_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 6).alias("z_stat"),
         (F.abs(z) > 1.96).alias("significant"),
     )
+
+
+#: PageRank geometry: damping factor and unrolled iteration count.
+PAGERANK_DAMPING = 0.85
+PAGERANK_ITERS = 3
+
+
+def _pagerank_iter_sql(i: int) -> str:
+    """One unrolled PageRank iteration as a DuckDB CTE (r{i-1} -> r{i})."""
+    return f"""r{i} AS (
+        SELECT e.dst AS brand,
+               round(0.15 / min(nn.n)
+                     + 0.85 * sum((r{i - 1}.r / deg.d)::DECIMAL(38,18))
+                           ::DOUBLE, 12) AS r
+        FROM edges e
+        JOIN r{i - 1} ON e.src = r{i - 1}.brand
+        JOIN deg ON e.src = deg.src, nn
+        GROUP BY e.dst
+    )"""
+
+
+@register(
+    "x_graph_pagerank",
+    oracle=f"""
+    WITH ob AS (
+        SELECT DISTINCT l_orderkey, p_brand
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+    ),
+    e0 AS (
+        SELECT a.p_brand AS src, b.p_brand AS dst
+        FROM ob a JOIN ob b
+          ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+        GROUP BY 1, 2 HAVING count(*) >= 5
+    ),
+    edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+    deg AS (SELECT src, count(*)::BIGINT AS d FROM edges GROUP BY src),
+    nodes AS (SELECT DISTINCT src AS brand FROM edges),
+    nn AS (SELECT count(*)::BIGINT AS n FROM nodes),
+    r0 AS (SELECT brand, 1.0 / n AS r FROM nodes, nn),
+    {", ".join(_pagerank_iter_sql(i) for i in range(1, PAGERANK_ITERS + 1))}
+    SELECT r{PAGERANK_ITERS}.brand,
+           round(r{PAGERANK_ITERS}.r, 6) AS pagerank,
+           deg.d AS degree
+    FROM r{PAGERANK_ITERS} JOIN deg ON r{PAGERANK_ITERS}.brand = deg.src
+    """,
+)
+def x_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the brand co-occurrence graph (edges = brand pairs
+    sharing >= 5 order baskets), 3 unrolled power iterations at damping
+    0.85 — the iterative-graph-algorithm shape on Spark: each iteration
+    is a bounded join-aggregate over the SAME materialized edge frame,
+    exactly how label propagation runs in the dedup cluster family (and
+    how a full PageRank would run to convergence; 3 iterations keep the
+    oracle finitely unrollable).
+
+    Determinism: neighbor contributions accumulate as exact
+    DECIMAL(38,18) of elementwise doubles, and every iteration's rank
+    is rounded to 12 decimals in BOTH engines before the next — ranks
+    are bit-identical cross-engine at each step by induction.  The
+    co-occurrence graph is symmetric, so there are no dangling nodes
+    and every node has in-edges.
+
+    Plan: pair generation reuses the market-basket shape (DISTINCT
+    (order, brand) first — quadratic per basket, linear in orders);
+    edges/degrees/nodes are brand-grain bounded and localCheckpointed
+    once; each iteration adds ONE small join-aggregate (broadcast
+    edges), never re-reading the fact table."""
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    a = ob.select("l_orderkey", F.col("p_brand").alias("src"))
+    b = ob.select("l_orderkey", F.col("p_brand").alias("dst"))
+    e0 = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= BASKET_MIN_SUPPORT)
+        .select("src", "dst")
+    )
+    edges = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    deg = edges.groupBy("src").agg(F.count("*").cast("bigint").alias("d"))
+    nodes = (
+        edges.select(F.col("src").alias("brand"))
+        .distinct()
+        .withColumn("n", F.count("*").over(Window.partitionBy()))
+        .localCheckpoint()
+    )
+    r = nodes.select("brand", (1.0 / F.col("n")).alias("r"))
+    for _ in range(PAGERANK_ITERS):
+        contrib = (
+            edges.join(r, edges["src"] == r["brand"])
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("brand"),
+                (F.col("r") / F.col("d")).alias("contrib"),
+            )
+        )
+        r = (
+            contrib.groupBy("brand")
+            .agg(
+                F.sum(F.col("contrib").cast("decimal(38,18)"))
+                .cast("double")
+                .alias("s")
+            )
+            .join(F.broadcast(nodes.select("brand", "n")), "brand")
+            .select(
+                "brand",
+                F.round(0.15 / F.col("n") + PAGERANK_DAMPING * F.col("s"), 12).alias(
+                    "r"
+                ),
+            )
+        )
+    return (
+        r.join(
+            F.broadcast(deg.select(F.col("src").alias("brand"), "d")), "brand"
+        )
+        .select(
+            "brand",
+            F.round("r", 6).alias("pagerank"),
+            F.col("d").alias("degree"),
+        )
+    )

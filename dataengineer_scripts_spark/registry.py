@@ -161,6 +161,7 @@ _PRIORITY_NAMES = (
     "x_llm_ngram_coverage_curve",
     "x_agg_ab_test",
     "x_llm_mixture_reweight",
+    "x_graph_pagerank",
     # last driver-graded in r05: flagships, then the reference-derived core
     "flagship_curation",
     "flagship_health",
