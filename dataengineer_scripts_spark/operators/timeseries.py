@@ -1061,3 +1061,135 @@ def x_win_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at(F.array_sort(F.collect_list("total").over(fr)), 4),
         ).alias("med_7d"),
     )
+
+
+#: Kaplan-Meier censoring horizon: users whose last activity falls within
+#: this many hours of the observation end are censored (still active).
+KM_CENSOR_HOURS = 72
+
+
+@register(
+    "x_ts_survival_km",
+    oracle=f"""
+    WITH ud AS (
+        SELECT DISTINCT user_id, date_trunc('hour', ts) AS d
+        FROM events
+    ),
+    life AS (
+        SELECT user_id,
+               date_diff('hour', min(d), max(d)) AS t,
+               max(d) AS last_d
+        FROM ud GROUP BY user_id
+    ),
+    horizon AS (SELECT max(d) AS end_d FROM ud),
+    obs AS (
+        SELECT t,
+               CASE WHEN date_diff('hour', last_d, end_d)
+                         >= {KM_CENSOR_HOURS} THEN 1 ELSE 0 END AS ev
+        FROM life, horizon
+    ),
+    grid AS (
+        SELECT t,
+               sum(ev)::BIGINT AS d_t,
+               sum(1 - ev)::BIGINT AS c_t,
+               count(*)::BIGINT AS leaving
+        FROM obs GROUP BY t
+    ),
+    risk AS (
+        SELECT t, d_t, c_t,
+               (sum(leaving) OVER (ORDER BY t DESC
+                                   ROWS UNBOUNDED PRECEDING))::BIGINT
+                   AS n_t
+        FROM grid
+    )
+    SELECT t AS lifetime_hours, d_t AS n_churned, c_t AS n_censored, n_t
+               AS n_at_risk,
+           round(exp(sum(CASE WHEN d_t > 0
+                              THEN ln(1.0 - d_t::DOUBLE / n_t)
+                              ELSE 0 END::DECIMAL(30,18))
+                     OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+                         ::DOUBLE), 6) AS survival
+    FROM risk
+    """,
+)
+def x_ts_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve of user lifetime (hours between first
+    and last activity; the fixture's 30-day window makes day-grain
+    lifetimes nearly constant, hour grain gives the curve real support):
+    S(t) = prod over churn times <= t of (1 - d/n) —
+    the retention-analysis standard that handles CENSORING correctly
+    (users still active near the observation end are censored, not
+    counted as churned — naive churn curves understate survival).
+
+    Determinism: the cumulative PRODUCT is computed as exp of a
+    running sum of ln(1 - d/n) terms — each term is elementwise double
+    math of two exact integers, the running sum accumulates exact
+    decimal, so the curve is partition-order independent and
+    bit-identical cross-engine (a float product would be
+    order-dependent; no product aggregate exists anyway).
+
+    Plan: data-sized work is the distinct (user, day) pass + one
+    user-grain aggregate; the grid, risk counts (a DESC running sum)
+    and the curve are lifetime-grain (<= observation days) windows over
+    bounded frames — the grain-bounded-window pattern, never a window
+    over raw events."""
+    ud = (
+        table(spark, sf_dir, "events")
+        .select("user_id", F.date_trunc("hour", "ts").alias("d"))
+        .distinct()
+    )
+    life = ud.groupBy("user_id").agg(
+        (
+            (F.unix_timestamp(F.max("d")) - F.unix_timestamp(F.min("d")))
+            / 3600
+        )
+        .cast("bigint")
+        .alias("t"),
+        F.max("d").alias("last_d"),
+    )
+    # observation end via an unpartitioned window over the user-grain
+    # frame (bounded); a separate .agg() would re-run the distinct pass
+    obs = life.withColumn(
+        "end_d", F.max("last_d").over(Window.partitionBy())
+    ).select(
+        "t",
+        F.when(
+            (F.unix_timestamp(F.col("end_d")) - F.unix_timestamp(F.col("last_d")))
+            / 3600
+            >= KM_CENSOR_HOURS,
+            1,
+        )
+        .otherwise(0)
+        .alias("ev"),
+    )
+    grid = obs.groupBy("t").agg(
+        F.sum("ev").cast("bigint").alias("d_t"),
+        F.sum(1 - F.col("ev")).cast("bigint").alias("c_t"),
+        F.count("*").cast("bigint").alias("leaving"),
+    )
+    w_desc = (
+        Window.orderBy(F.col("t").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    risk = grid.withColumn(
+        "n_t", F.sum("leaving").over(w_desc).cast("bigint")
+    )
+    w_asc = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    log_term = F.when(
+        F.col("d_t") > 0,
+        F.log(1.0 - F.col("d_t").cast("double") / F.col("n_t")),
+    ).otherwise(0.0)
+    return risk.select(
+        F.col("t").alias("lifetime_hours"),
+        F.col("d_t").alias("n_churned"),
+        F.col("c_t").alias("n_censored"),
+        F.col("n_t").alias("n_at_risk"),
+        F.round(
+            F.exp(
+                F.sum(log_term.cast("decimal(30,18)"))
+                .over(w_asc)
+                .cast("double")
+            ),
+            6,
+        ).alias("survival"),
+    )

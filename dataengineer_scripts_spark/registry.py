@@ -162,6 +162,7 @@ _PRIORITY_NAMES = (
     "x_agg_ab_test",
     "x_llm_mixture_reweight",
     "x_graph_pagerank",
+    "x_ts_survival_km",
     # last driver-graded in r05: flagships, then the reference-derived core
     "flagship_curation",
     "flagship_health",
