@@ -872,3 +872,93 @@ def x_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("d").alias("degree"),
         )
     )
+
+
+#: The recursive walk, shared verbatim by both engines (the engine-side
+#: SQL reads a materialized `brand_edges` view; the oracle inlines the
+#: same edge definition as CTEs — _EDGES_SQL below).
+RECURSIVE_WALK_SQL = """
+WITH RECURSIVE walk (brand, depth) AS (
+    SELECT CAST('Brand#1' AS STRING), 0
+    UNION ALL
+    SELECT e.dst, w.depth + 1
+    FROM walk w JOIN brand_edges e ON e.src = w.brand
+    WHERE w.depth < 6
+)
+SELECT brand, CAST(min(depth) AS BIGINT) AS hops
+FROM walk GROUP BY brand
+"""
+
+#: Edge definition (top-2-affinity brand digraph) as oracle CTEs.
+_EDGES_SQL = """
+    ob AS (
+        SELECT DISTINCT l_orderkey, p_brand
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+    ),
+    co AS (
+        SELECT a.p_brand AS src, b.p_brand AS dst, count(*) AS c
+        FROM ob a JOIN ob b
+          ON a.l_orderkey = b.l_orderkey AND a.p_brand <> b.p_brand
+        GROUP BY a.p_brand, b.p_brand
+    ),
+    brand_edges AS (
+        SELECT src, dst FROM (
+            SELECT src, dst,
+                   row_number() OVER (PARTITION BY src
+                                      ORDER BY c DESC, dst) AS rk
+            FROM co
+        ) ranked WHERE rk <= 2
+    )
+"""
+
+
+@register(
+    "x_sql_recursive_cte",
+    oracle="WITH RECURSIVE " + _EDGES_SQL.strip() + ",\n"
+    + RECURSIVE_WALK_SQL.strip().removeprefix("WITH RECURSIVE "),
+)
+def x_sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE through the SQL-text surface (Spark 4's WITH
+    RECURSIVE): BFS hop counts from a seed brand over the
+    top-2-affinity brand digraph — the recursive walk text is ONE
+    shared constant run through ``spark.sql()`` and embedded verbatim
+    in the DuckDB oracle (the ``x_sql_text_api`` contract extended to
+    iteration), attesting parser, recursion loop and fixpoint
+    semantics end-to-end.
+
+    The graph is each brand's top-2 co-occurrence partners (a rank cut,
+    not a fixed support cut, so it stays sparse and the walk
+    non-trivial at EVERY scale factor); the walk is depth-capped at 6,
+    bounding the recursion frontier regardless of corpus size.
+
+    Plan: the data-sized work (the co-occurrence count) is materialized
+    ONCE as a localCheckpointed view BEFORE the loop — Spark inlines
+    CTEs into every recursion step, so leaving the edge definition
+    inside the recursive query would re-run the corpus aggregate per
+    iteration (measured 6x the cost); each UnionLoop step is then a
+    bounded join against the checkpoint."""
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    a = ob.select("l_orderkey", F.col("p_brand").alias("src"))
+    b = ob.select("l_orderkey", F.col("p_brand").alias("dst"))
+    co = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("c"))
+    )
+    rk = Window.partitionBy("src").orderBy(F.col("c").desc(), "dst")
+    edges = (
+        co.withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") <= 2)
+        .select("src", "dst")
+        .localCheckpoint()
+    )
+    edges.createOrReplaceTempView("brand_edges")
+    return spark.sql(RECURSIVE_WALK_SQL)

@@ -163,6 +163,7 @@ _PRIORITY_NAMES = (
     "x_llm_mixture_reweight",
     "x_graph_pagerank",
     "x_ts_survival_km",
+    "x_sql_recursive_cte",
     # last driver-graded in r05: flagships, then the reference-derived core
     "flagship_curation",
     "flagship_health",
