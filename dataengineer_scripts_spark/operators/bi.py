@@ -672,14 +672,18 @@ def x_agg_benford_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT n_a, c_a, round(c_a::DOUBLE / n_a, 6) AS rate_a,
            n_b, c_b, round(c_b::DOUBLE / n_b, 6) AS rate_b,
-           round((c_a::DOUBLE / n_a - c_b::DOUBLE / n_b)
-                 / sqrt(((c_a + c_b)::DOUBLE / (n_a + n_b))
-                        * (1.0 - (c_a + c_b)::DOUBLE / (n_a + n_b))
-                        * (1.0 / n_a + 1.0 / n_b)), 6) AS z_stat,
-           (abs((c_a::DOUBLE / n_a - c_b::DOUBLE / n_b)
-                / sqrt(((c_a + c_b)::DOUBLE / (n_a + n_b))
-                       * (1.0 - (c_a + c_b)::DOUBLE / (n_a + n_b))
-                       * (1.0 / n_a + 1.0 / n_b))) > 1.96) AS significant
+           CASE WHEN c_a + c_b > 0 AND c_a + c_b < n_a + n_b
+                THEN round((c_a::DOUBLE / n_a - c_b::DOUBLE / n_b)
+                     / sqrt(((c_a + c_b)::DOUBLE / (n_a + n_b))
+                            * (1.0 - (c_a + c_b)::DOUBLE / (n_a + n_b))
+                            * (1.0 / n_a + 1.0 / n_b)), 6)
+           END AS z_stat,
+           coalesce(abs(CASE WHEN c_a + c_b > 0 AND c_a + c_b < n_a + n_b
+                THEN (c_a::DOUBLE / n_a - c_b::DOUBLE / n_b)
+                     / sqrt(((c_a + c_b)::DOUBLE / (n_a + n_b))
+                            * (1.0 - (c_a + c_b)::DOUBLE / (n_a + n_b))
+                            * (1.0 / n_a + 1.0 / n_b))
+                END) > 1.96, FALSE) AS significant
     FROM s
     """,
 )
@@ -731,7 +735,17 @@ def x_agg_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = (F.col("c_a") + F.col("c_b")).cast("double") / (
         F.col("n_a") + F.col("n_b")
     )
-    z = (ra - rb) / F.sqrt(p * (1.0 - p) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b")))
+    # degenerate pooled proportion (nobody / everybody converted) has
+    # zero variance: z is NULL, significant false — and the guard keeps
+    # the op ANSI-safe at any scale factor
+    nondegen = ((F.col("c_a") + F.col("c_b")) > 0) & (
+        (F.col("c_a") + F.col("c_b")) < (F.col("n_a") + F.col("n_b"))
+    )
+    z = F.when(
+        nondegen,
+        (ra - rb)
+        / F.sqrt(p * (1.0 - p) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))),
+    )
     return s.select(
         "n_a",
         "c_a",
@@ -740,7 +754,7 @@ def x_agg_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_b",
         F.round(rb, 6).alias("rate_b"),
         F.round(z, 6).alias("z_stat"),
-        (F.abs(z) > 1.96).alias("significant"),
+        F.coalesce(F.abs(z) > 1.96, F.lit(False)).alias("significant"),
     )
 
 
