@@ -164,6 +164,8 @@ _PRIORITY_NAMES = (
     "x_graph_pagerank",
     "x_ts_survival_km",
     "x_sql_recursive_cte",
+    "x_src_csv_roundtrip",
+    "x_src_orc_roundtrip",
     # last driver-graded in r05: flagships, then the reference-derived core
     "flagship_curation",
     "flagship_health",
