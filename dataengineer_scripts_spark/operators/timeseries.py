@@ -1147,11 +1147,17 @@ def x_ts_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("t"),
         F.max("d").alias("last_d"),
     )
-    # observation end via an unpartitioned window over the user-grain
-    # frame (bounded); a separate .agg() would re-run the distinct pass
-    obs = life.withColumn(
-        "end_d", F.max("last_d").over(Window.partitionBy())
-    ).select(
+    # observation end as a 1-ROW aggregate broadcast-joined in — NOT an
+    # unpartitioned window over `life`: users are data-sized at scale
+    # (hundreds of millions at 100 TB), so a global window there would
+    # funnel the whole user frame through one task.  The 1-row max costs
+    # a second column-pruned scan-only pass over events, which is
+    # scan-linear and shuffle-free — the right trade.
+    end = (
+        table(spark, sf_dir, "events")
+        .agg(F.date_trunc("hour", F.max("ts")).alias("end_d"))
+    )
+    obs = life.join(F.broadcast(end)).select(
         "t",
         F.when(
             (F.unix_timestamp(F.col("end_d")) - F.unix_timestamp(F.col("last_d")))

@@ -402,7 +402,13 @@ def test_weighted_sample_cut_is_takeordered(spark, sf_dir):
 
 
 @pytest.mark.parametrize(
-    "name", ["x_ts_ma_crossover", "x_win_period_over_period", "x_llm_zipf_fit"]
+    "name",
+    [
+        "x_ts_ma_crossover",
+        "x_win_period_over_period",
+        "x_llm_zipf_fit",
+        "x_ts_seasonal_decompose",
+    ],
 )
 def test_grain_bounded_windows_sit_above_aggregates(spark, sf_dir, name):
     # These ops deliberately run an UNPARTITIONED Window — bounded because
