@@ -976,3 +976,57 @@ def x_sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges.createOrReplaceTempView("brand_edges")
     return spark.sql(RECURSIVE_WALK_SQL)
+
+
+@register(
+    "x_agg_weighted_stats",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum((l_quantity * l_extendedprice)::DECIMAL(38,10))
+                     ::DOUBLE
+                 / sum(l_quantity::DECIMAL(30,10))::DOUBLE, 6)
+               AS wmean_price,
+           round(sqrt(
+               sum((l_quantity * l_extendedprice * l_extendedprice)
+                   ::DECIMAL(38,10))::DOUBLE
+                   / sum(l_quantity::DECIMAL(30,10))::DOUBLE
+               - pow(sum((l_quantity * l_extendedprice)::DECIMAL(38,10))
+                         ::DOUBLE
+                     / sum(l_quantity::DECIMAL(30,10))::DOUBLE, 2)), 6)
+               AS wstddev_price,
+           round(sum(l_quantity::DECIMAL(30,10)), 2)::DOUBLE
+               AS total_weight
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def x_agg_weighted_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted mean and standard deviation of unit price per
+    return flag — the weighted-moments aggregate (every averaged metric
+    over transactions of unequal size needs it; the unweighted mean
+    over-counts small lots).  Three exact decimal moment sums
+    (Σw, Σwx, Σwx²) and closed-form algebra — the
+    ``x_agg_corr_matrix`` sufficient-statistics pattern specialized to
+    weights.
+
+    Plan: ONE hash aggregate, map-side combinable; the mean/stddev
+    algebra is a codegen'd projection over the per-group moment row."""
+    w_, x = F.col("l_quantity"), F.col("l_extendedprice")
+
+    def dsum(c, alias):
+        return F.sum(c.cast("decimal(38,10)")).cast("double").alias(alias)
+
+    m = table(spark, sf_dir, "lineitem").groupBy("l_returnflag").agg(
+        dsum(w_ * x, "swx"),
+        dsum(w_ * x * x, "swxx"),
+        F.sum(w_.cast("decimal(30,10)")).alias("sw_dec"),
+    )
+    sw = F.col("sw_dec").cast("double")
+    wmean = F.col("swx") / sw
+    return m.select(
+        "l_returnflag",
+        F.round(wmean, 6).alias("wmean_price"),
+        F.round(F.sqrt(F.col("swxx") / sw - F.pow(wmean, 2)), 6).alias(
+            "wstddev_price"
+        ),
+        F.round(F.col("sw_dec"), 2).cast("double").alias("total_weight"),
+    )

@@ -2743,3 +2743,99 @@ def x_join_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
             "eff_from",
         )
     )
+
+
+@register(
+    "x_agg_bitmask_usage",
+    oracle="""
+    WITH m AS (
+        SELECT user_id,
+               bit_or(CASE event_type
+                      WHEN 'click' THEN 1 WHEN 'view' THEN 2
+                      WHEN 'purchase' THEN 4 WHEN 'signup' THEN 8
+                      ELSE 16 END)::BIGINT AS feature_mask
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id, feature_mask,
+           (bit_count(feature_mask))::BIGINT AS n_features,
+           ((feature_mask & 4) > 0) AS has_purchased
+    FROM m
+    """,
+)
+def x_agg_bitmask_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-usage bitmask per user: each event type maps to a bit,
+    BIT_OR folds a user's history into one integer, POPCOUNT gives the
+    breadth score — the compact set-membership encoding behind
+    segment-targeting filters ('used purchase AND signup') that at
+    warehouse scale replaces five boolean columns (or a slow
+    array_distinct) with single-integer bitwise algebra.
+
+    Plan: ONE hash aggregate; bit_or partials fold map-side (bitwise OR
+    is commutative/associative — ideal combine), and the popcount /
+    membership tests are codegen'd projections above it."""
+    m = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.bit_or(
+                F.when(F.col("event_type") == "click", 1)
+                .when(F.col("event_type") == "view", 2)
+                .when(F.col("event_type") == "purchase", 4)
+                .when(F.col("event_type") == "signup", 8)
+                .otherwise(16)
+            )
+            .cast("bigint")
+            .alias("feature_mask")
+        )
+    )
+    return m.select(
+        "user_id",
+        "feature_mask",
+        F.bit_count("feature_mask").cast("bigint").alias("n_features"),
+        (F.col("feature_mask").bitwiseAND(4) > 0).alias("has_purchased"),
+    )
+
+
+@register(
+    "x_win_first_last_value",
+    oracle="""
+    SELECT DISTINCT user_id,
+           first_value(value) OVER fr AS first_val,
+           last_value(value) OVER fr AS last_val,
+           nth_value(value, 2) OVER fr AS second_val,
+           count(*) OVER fr AS n_events
+    FROM events
+    WINDOW fr AS (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND UNBOUNDED FOLLOWING)
+    """,
+)
+def x_win_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIRST_VALUE / LAST_VALUE / NTH_VALUE over the full per-user frame
+    — the value-navigation window family (first touch, latest state,
+    second observation) completing the rank/lag/running/range/frame
+    coverage.  The frame is explicitly UNBOUNDED-to-UNBOUNDED: the
+    default RANGE..CURRENT ROW frame silently makes last_value mean
+    'current row', the classic window gotcha this operator pins
+    correctly in both engines; ordering carries the (ts, event_id)
+    total order so nth_value is deterministic under timestamp ties.
+
+    Plan: one user-keyed sort window; DISTINCT collapses the
+    event-sized window output to user grain (all four values are
+    frame-constant per user, so the distinct is exact)."""
+    fr = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.first("value").over(fr).alias("first_val"),
+            F.last("value").over(fr).alias("last_val"),
+            F.nth_value("value", 2).over(fr).alias("second_val"),
+            F.count("*").over(fr).alias("n_events"),
+        )
+        .distinct()
+    )

@@ -1199,3 +1199,61 @@ def x_ts_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("survival"),
     )
+
+
+@register(
+    "x_ts_peak_detection",
+    oracle="""
+    WITH d AS (
+        SELECT event_type, date_trunc('day', ts)::DATE AS day,
+               round(sum(value::DECIMAL(30,10)), 6)::DOUBLE AS total
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, day, total
+    FROM (
+        SELECT event_type, day, total,
+               lag(total) OVER w AS prev_t,
+               lead(total) OVER w AS next_t
+        FROM d
+        WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    )
+    WHERE prev_t IS NOT NULL AND next_t IS NOT NULL
+      AND total > prev_t AND total > next_t
+    """,
+)
+def x_ts_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-maximum detection on the daily series: days strictly above
+    BOTH neighbors — the spike-candidate pass feeding alerting and
+    seasonality analysis (interior peaks only: series edges have one
+    neighbor and are excluded rather than trivially flagged).
+
+    Strict inequalities make the result tie-stable: a plateau of equal
+    totals produces no peak in either engine, so float-identical
+    rounded totals guarantee an identical peak set.
+
+    Plan: one hash aggregate to day grain, then a single
+    event_type-partitioned window pass supplies both neighbors — two
+    frame navigations, one sort, bounded partitions."""
+    d = (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date(F.date_trunc("day", "ts")).alias("day"))
+        .agg(
+            F.round(F.sum(F.col("value").cast("decimal(30,10)")), 6)
+            .cast("double")
+            .alias("total")
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    n = d.select(
+        "event_type",
+        "day",
+        "total",
+        F.lag("total").over(w).alias("prev_t"),
+        F.lead("total").over(w).alias("next_t"),
+    )
+    return n.filter(
+        F.col("prev_t").isNotNull()
+        & F.col("next_t").isNotNull()
+        & (F.col("total") > F.col("prev_t"))
+        & (F.col("total") > F.col("next_t"))
+    ).select("event_type", "day", "total")

@@ -166,6 +166,10 @@ _PRIORITY_NAMES = (
     "x_sql_recursive_cte",
     "x_src_csv_roundtrip",
     "x_src_orc_roundtrip",
+    "x_agg_bitmask_usage",
+    "x_win_first_last_value",
+    "x_ts_peak_detection",
+    "x_agg_weighted_stats",
     # last driver-graded in r05: flagships, then the reference-derived core
     "flagship_curation",
     "flagship_health",
