@@ -1030,3 +1030,131 @@ def x_agg_weighted_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.col("sw_dec"), 2).cast("double").alias("total_weight"),
     )
+
+
+@register(
+    "x_agg_decile_edges",
+    oracle="""
+    WITH q AS (
+        SELECT l_returnflag,
+               quantile_cont(l_extendedprice,
+                             [0.1, 0.2, 0.3, 0.4, 0.5,
+                              0.6, 0.7, 0.8, 0.9]) AS qs
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           generate_subscripts(qs, 1)::BIGINT AS decile,
+           round(unnest(qs), 6) AS edge
+    FROM q
+    """,
+)
+def x_agg_decile_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact decile edges of extended price per return flag, one row per
+    (group, decile) — the banding table that length-stratified sampling,
+    price banding and SLA tiering consume (compute edges ONCE on the
+    aggregate path, band rows later with a broadcast when-chain — never
+    an ntile window over the fact table).
+
+    Exact interpolated percentiles (Spark ``percentile`` ≡ DuckDB
+    ``quantile_cont``) over identical doubles; the nine requests share
+    ONE sort per group inside the aggregate, and posexplode unpivots the
+    array result to scalar rows for the driver's comparator.
+
+    Plan: one hash aggregate (percentile buffers merge map-side), then
+    a codegen'd posexplode of the 9-element array — group-grain
+    everywhere after the scan."""
+    q = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "percentile(l_extendedprice,"
+                " array(0.1D, 0.2D, 0.3D, 0.4D, 0.5D,"
+                " 0.6D, 0.7D, 0.8D, 0.9D))"
+            ).alias("qs")
+        )
+    )
+    return q.select(
+        "l_returnflag",
+        F.posexplode("qs").alias("pos", "edge_raw"),
+    ).select(
+        "l_returnflag",
+        (F.col("pos") + 1).cast("bigint").alias("decile"),
+        F.round("edge_raw", 6).alias("edge"),
+    )
+
+
+@register(
+    "x_etl_outlier_iqr",
+    oracle="""
+    WITH q AS (
+        SELECT l_returnflag,
+               quantile_cont(l_extendedprice, 0.25) AS q1,
+               quantile_cont(l_extendedprice, 0.75) AS q3
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag,
+           round(q1, 6) AS q1, round(q3, 6) AS q3,
+           round(q3 - q1, 6) AS iqr,
+           sum(CASE WHEN l_extendedprice < q1 - 1.5 * (q3 - q1)
+                    THEN 1 ELSE 0 END)::BIGINT AS n_low,
+           sum(CASE WHEN l_extendedprice > q3 + 1.5 * (q3 - q1)
+                    THEN 1 ELSE 0 END)::BIGINT AS n_high,
+           count(*)::BIGINT AS n_rows
+    FROM lineitem l JOIN q ON l.l_returnflag = q.l_returnflag
+    GROUP BY l.l_returnflag, q1, q3
+    """,
+)
+def x_etl_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier report: per-group quartiles, IQR and the
+    count of rows beyond 1.5×IQR each side — the data-quality screen
+    run before any statistical aggregate is trusted (the robust
+    complement to ``x_ts_anomaly_mad``, on value distributions instead
+    of time series).
+
+    Two passes by necessity: exact quartiles need the value
+    distribution before fences can be tested (the group-grain fence
+    frame then broadcasts onto the counting scan — at 100 TB the second
+    pass is scan+broadcast, no extra shuffle; an approx-quantile
+    single-pass variant trades this for the GK sketch, the
+    ``x_agg_approx_quantile`` path).  Fences compare UNROUNDED in both
+    engines so a boundary row cannot flip on a rounding edge.
+
+    Plan: aggregate 1 (percentile) → broadcast join → aggregate 2
+    (conditional counts) — both aggregates map-side combinable."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    q = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.25D)").alias("q1"),
+        F.expr("percentile(l_extendedprice, 0.75D)").alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    j = li.join(F.broadcast(q), "l_returnflag")
+    return (
+        j.groupBy("l_returnflag", "q1", "q3")
+        .agg(
+            F.sum(
+                F.when(F.col("l_extendedprice") < F.col("q1") - 1.5 * iqr, 1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_low"),
+            F.sum(
+                F.when(F.col("l_extendedprice") > F.col("q3") + 1.5 * iqr, 1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_high"),
+            F.count("*").cast("bigint").alias("n_rows"),
+        )
+        .select(
+            "l_returnflag",
+            F.round("q1", 6).alias("q1"),
+            F.round("q3", 6).alias("q3"),
+            F.round(iqr, 6).alias("iqr"),
+            "n_low",
+            "n_high",
+            "n_rows",
+        )
+    )

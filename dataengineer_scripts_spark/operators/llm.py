@@ -5143,3 +5143,56 @@ def x_llm_mixture_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("weight"),
     )
+
+
+@register(
+    "x_llm_lang_confusion",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               {_lang_score_sql(LANG_MARKERS["de"])} AS s_de,
+               {_lang_score_sql(LANG_MARKERS["en"])} AS s_en,
+               {_lang_score_sql(LANG_MARKERS["es"])} AS s_es,
+               {_lang_score_sql(LANG_MARKERS["fr"])} AS s_fr,
+               {_lang_score_sql(LANG_MARKERS["zh"])} AS s_zh
+        FROM documents
+    ),
+    pred AS (
+        SELECT lang,
+               CASE greatest(s_de, s_en, s_es, s_fr, s_zh)
+                    WHEN s_de THEN 'de' WHEN s_en THEN 'en'
+                    WHEN s_es THEN 'es' WHEN s_fr THEN 'fr'
+                    ELSE 'zh' END AS pred_lang
+        FROM scored
+    )
+    SELECT lang AS actual, pred_lang AS predicted,
+           count(*)::BIGINT AS n_docs
+    FROM pred GROUP BY 1, 2
+    """,
+)
+def x_llm_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-evaluation confusion matrix for the language-ID
+    heuristic: (labeled lang, predicted lang) cell counts — the
+    model-eval shape every curation classifier report needs (per-class
+    precision/recall fall straight out of the cells); ``x_llm_lang_id``
+    emits predictions, this scores them against the labels.
+
+    Plan: the scoring pass is the lang_id projection (narrow, no
+    shuffle); the matrix is ONE hash aggregate to at most |langs|²
+    rows."""
+    toks = F.split("text", " ")
+    scores = {
+        lang: F.size(F.filter(toks, _marker_filter(ms)))
+        for lang, ms in LANG_MARKERS.items()
+    }
+    best = F.greatest(*scores.values())
+    pred = F.when(scores["de"] == best, "de")
+    for lang in ("en", "es", "fr"):
+        pred = pred.when(scores[lang] == best, lang)
+    pred = pred.otherwise("zh")
+    return (
+        table(spark, sf_dir, "documents")
+        .select(F.col("lang").alias("actual"), pred.alias("predicted"))
+        .groupBy("actual", "predicted")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+    )

@@ -170,6 +170,9 @@ _PRIORITY_NAMES = (
     "x_win_first_last_value",
     "x_ts_peak_detection",
     "x_agg_weighted_stats",
+    "x_llm_lang_confusion",
+    "x_agg_decile_edges",
+    "x_etl_outlier_iqr",
     # last driver-graded in r05: flagships, then the reference-derived core
     "flagship_curation",
     "flagship_health",
