@@ -55,6 +55,15 @@ def _physical(df) -> str:
         "x_win_moving_median",
         "x_llm_dup_graph_degree",
         "x_join_scd2_pointintime",
+        "x_graph_pagerank",
+        "x_ts_survival_km",
+        "x_agg_weighted_stats",
+        "x_ts_peak_detection",
+        "x_agg_decile_edges",
+        "x_etl_outlier_iqr",
+        "x_llm_lang_confusion",
+        "x_agg_bitmask_usage",
+        "x_win_first_last_value",
     ],
 )
 def test_no_cartesian_anywhere(name, spark, sf_dir):
@@ -260,3 +269,26 @@ def test_tpch_q7_q8_push_filters_and_broadcast_dims(spark, sf_dir):
         plan = _physical(df)
         assert "BroadcastHashJoin" in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_decile_edges_is_one_scan_one_aggregate(spark, sf_dir):
+    # nine percentiles share one aggregate (one sort per group inside the
+    # buffer); the unpivot is a codegen'd posexplode — never an ntile
+    # window over the fact table
+    plan = _physical(DEFS["x_agg_decile_edges"].fn(spark, sf_dir))
+    assert plan.count("Scan parquet") == 1
+    assert "Window" not in plan
+
+
+def test_outlier_iqr_fences_broadcast_onto_counting_scan(spark, sf_dir):
+    # pass 2 must join the group-grain fence frame broadcast-side; the
+    # counting scan itself is never shuffled for the join
+    plan = _physical(DEFS["x_etl_outlier_iqr"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_weighted_stats_single_aggregate(spark, sf_dir):
+    plan = _physical(DEFS["x_agg_weighted_stats"].fn(spark, sf_dir))
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan and "Window" not in plan
