@@ -353,3 +353,51 @@ def x_fn_regexp_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("other"))
         .alias("shape"),
     )
+
+
+@register(
+    "x_fn_struct_pack_extract",
+    oracle="""
+    WITH s AS (
+        SELECT c_custkey,
+               struct_pack(seg := c_mktsegment,
+                           band := (floor(c_acctbal / 1000) * 1000)::BIGINT,
+                           neg := c_acctbal < 0) AS profile
+        FROM customer
+    )
+    SELECT c_custkey,
+           profile.seg AS seg,
+           profile.band AS band,
+           profile.neg AS neg
+    FROM s WHERE profile.band >= 5000
+    """,
+)
+def x_fn_struct_pack_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct construction and field access through the nested-type
+    surface: pack three derived attributes into a STRUCT, filter on a
+    nested field, project the fields back out — the round-trip that
+    proves the engine's nested types compose (``proj_nested_field``
+    reads nesting the source provides; this op CREATES it).  Completes
+    the complex-type trio: arrays (``x_fn_array_map``), maps
+    (``fn_map_lookup``), structs (here).
+
+    Plan: pure Project + Filter over the scan — Catalyst prunes the
+    struct away entirely (the nested filter rewrites to the flat
+    expression), so the nested abstraction costs nothing at
+    execution."""
+    profile = F.struct(
+        F.col("c_mktsegment").alias("seg"),
+        (F.floor(F.col("c_acctbal") / 1000) * 1000)
+        .cast("bigint")
+        .alias("band"),
+        (F.col("c_acctbal") < 0).alias("neg"),
+    )
+    s = table(spark, sf_dir, "customer").select(
+        "c_custkey", profile.alias("profile")
+    )
+    return s.filter(F.col("profile.band") >= 5000).select(
+        "c_custkey",
+        F.col("profile.seg").alias("seg"),
+        F.col("profile.band").alias("band"),
+        F.col("profile.neg").alias("neg"),
+    )

@@ -5196,3 +5196,134 @@ def x_llm_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("actual", "predicted")
         .agg(F.count("*").cast("bigint").alias("n_docs"))
     )
+
+
+@register(
+    "x_llm_dedup_suffix",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, text, len(text) AS n,
+               substr(text, len(text) - {PREFIX_BLOCK_CHARS - 1},
+                      {PREFIX_BLOCK_CHARS}) AS blk
+        FROM documents WHERE len(text) >= {PREFIX_BLOCK_CHARS}
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.n::BIGINT AS len_a, b.n::BIGINT AS len_b, a.blk AS tail_block,
+           (a.n < b.n AND suffix(b.text, a.text)) AS is_proper_suffix
+    FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+    """,
+)
+def x_llm_dedup_suffix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suffix-duplicate candidate detection — the mirror of
+    ``x_llm_dedup_prefix`` for the other truncation mode real corpora
+    exhibit (prepended boilerplate banners, injected headers,
+    quoted-reply chains where the original survives as the tail): pairs
+    sharing the SAME last-16-char tail block, each verified with an
+    exact ``endswith`` containment verdict.  Candidates are emitted
+    (not just verified containments) because the shared-tail signal
+    itself routes to review/template-extraction — on the fixture
+    corpus the tail blocks collide without full containment, which is
+    exactly what the verdict column reports.
+
+    Plan: the prefix op's shape mirrored end-for-end — blocked
+    candidate generation on a 16-byte tail-block equi-join key (never
+    n²), the ``endswith`` check a codegen'd residual projection inside
+    the join."""
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.length("text") >= PREFIX_BLOCK_CHARS)
+        .select(
+            "doc_id",
+            "text",
+            F.length("text").cast("bigint").alias("n"),
+            F.substring("text", -PREFIX_BLOCK_CHARS, PREFIX_BLOCK_CHARS).alias(
+                "blk"
+            ),
+        )
+    )
+    a = d.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("text").alias("_ta"),
+        F.col("n").alias("len_a"),
+        "blk",
+    )
+    b = d.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("text").alias("_tb"),
+        F.col("n").alias("len_b"),
+        "blk",
+    )
+    return (
+        a.join(b, "blk")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "len_a",
+            "len_b",
+            F.col("blk").alias("tail_block"),
+            (
+                (F.col("len_a") < F.col("len_b"))
+                & F.col("_tb").endswith(F.col("_ta"))
+            ).alias("is_proper_suffix"),
+        )
+    )
+
+
+@register(
+    "x_llm_template_extract",
+    oracle=f"""
+    WITH heads AS (
+        SELECT source, substr(text, 1, {PREFIX_BLOCK_CHARS}) AS head
+        FROM documents
+    ),
+    c AS (
+        SELECT source, head, count(*) AS n
+        FROM heads GROUP BY source, head
+    ),
+    m AS (SELECT source, max(n) AS nmax FROM c GROUP BY source),
+    pick AS (
+        SELECT c.source, min(head) AS template_head, min(nmax) AS n_docs
+        FROM c JOIN m ON c.source = m.source AND c.n = m.nmax
+        GROUP BY c.source
+    ),
+    tot AS (SELECT source, count(*) AS total FROM heads GROUP BY source)
+    SELECT p.source, template_head, n_docs::BIGINT AS n_docs,
+           round(n_docs::DOUBLE / total, 6) AS head_share
+    FROM pick p JOIN tot ON p.source = tot.source
+    """,
+)
+def x_llm_template_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source boilerplate-template detection: the modal document
+    head (first 16 chars) per source and its share — a high share means
+    the source injects a banner/header that dedup and quality scoring
+    should strip FIRST (the pattern-level fix the dup-graph degree op
+    points at; this op names the pattern).
+
+    Plan: the ``x_agg_mode`` argmax-as-aggregates shape on head grain —
+    counts → per-source max → lexicographic-min winner — all hash
+    aggregates on the source key (no sort window), totals rejoined on
+    the same key."""
+    heads = table(spark, sf_dir, "documents").select(
+        "source", F.substring("text", 1, PREFIX_BLOCK_CHARS).alias("head")
+    )
+    c = heads.groupBy("source", "head").agg(F.count("*").alias("n"))
+    m = c.groupBy("source").agg(F.max("n").alias("nmax"))
+    pick = (
+        c.join(m, "source")
+        .filter(F.col("n") == F.col("nmax"))
+        .groupBy("source")
+        .agg(
+            F.min("head").alias("template_head"),
+            F.min("nmax").cast("bigint").alias("n_docs"),
+        )
+    )
+    tot = heads.groupBy("source").agg(F.count("*").alias("total"))
+    return pick.join(tot, "source").select(
+        "source",
+        "template_head",
+        "n_docs",
+        F.round(F.col("n_docs").cast("double") / F.col("total"), 6).alias(
+            "head_share"
+        ),
+    )

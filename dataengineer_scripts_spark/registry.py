@@ -173,6 +173,9 @@ _PRIORITY_NAMES = (
     "x_llm_lang_confusion",
     "x_agg_decile_edges",
     "x_etl_outlier_iqr",
+    "x_llm_dedup_suffix",
+    "x_llm_template_extract",
+    "x_fn_struct_pack_extract",
     # last driver-graded in r05: flagships, then the reference-derived core
     "flagship_curation",
     "flagship_health",
