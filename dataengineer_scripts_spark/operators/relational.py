@@ -2839,3 +2839,50 @@ def x_win_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+@register(
+    "x_agg_grouping_id",
+    oracle="""
+    SELECT coalesce(source, '(all)') AS source,
+           coalesce(lang, '(all)') AS lang,
+           grouping(source)::BIGINT AS g_source,
+           grouping(lang)::BIGINT AS g_lang,
+           count(*)::BIGINT AS n_docs
+    FROM documents
+    GROUP BY GROUPING SETS ((source, lang), (source), (lang), ())
+    """,
+)
+def x_agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING() markers over grouping sets: the per-row flags that
+    tell a report renderer which NULLs mean 'aggregated over' versus
+    data NULLs — without them a cube/rollup consumer cannot distinguish
+    a subtotal row from a row whose key is genuinely NULL (the
+    companion surface to ``x_agg_rollup``/``x_agg_cube``/
+    ``x_agg_grouping_sets``, which exercise the set expansion but not
+    the markers).  Keys are coalesced to '(all)' AFTER the marker is
+    taken, the rendering the markers exist to make safe.
+
+    Plan: one expand + hash aggregate (the standard grouping-sets
+    lowering); markers are virtual columns of the expand, costing
+    nothing."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.groupingSets(
+            [["source", "lang"], ["source"], ["lang"], []],
+            "source",
+            "lang",
+        )
+        .agg(
+            F.grouping("source").cast("bigint").alias("g_source"),
+            F.grouping("lang").cast("bigint").alias("g_lang"),
+            F.count("*").cast("bigint").alias("n_docs"),
+        )
+        .select(
+            F.coalesce("source", F.lit("(all)")).alias("source"),
+            F.coalesce("lang", F.lit("(all)")).alias("lang"),
+            "g_source",
+            "g_lang",
+            "n_docs",
+        )
+    )

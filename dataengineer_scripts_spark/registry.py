@@ -176,6 +176,7 @@ _PRIORITY_NAMES = (
     "x_llm_dedup_suffix",
     "x_llm_template_extract",
     "x_fn_struct_pack_extract",
+    "x_agg_grouping_id",
     # last driver-graded in r05: flagships, then the reference-derived core
     "flagship_curation",
     "flagship_health",
