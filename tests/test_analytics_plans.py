@@ -64,6 +64,11 @@ def _physical(df) -> str:
         "x_llm_lang_confusion",
         "x_agg_bitmask_usage",
         "x_win_first_last_value",
+        "x_llm_dedup_suffix",
+        "x_llm_template_extract",
+        "x_agg_grouping_id",
+        "x_src_csv_roundtrip",
+        "x_src_orc_roundtrip",
     ],
 )
 def test_no_cartesian_anywhere(name, spark, sf_dir):
