@@ -1862,3 +1862,78 @@ def x_src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_acctbal"),
     )
+
+
+@register(
+    "x_etl_profile_table",
+    oracle="""
+    WITH p AS (
+        SELECT count(*)::BIGINT AS n_rows,
+               count(c_name)::BIGINT AS nn_name,
+               count(DISTINCT c_name)::BIGINT AS nd_name,
+               count(c_acctbal)::BIGINT AS nn_acctbal,
+               count(DISTINCT c_acctbal)::BIGINT AS nd_acctbal,
+               count(c_mktsegment)::BIGINT AS nn_seg,
+               count(DISTINCT c_mktsegment)::BIGINT AS nd_seg,
+               count(c_nationkey)::BIGINT AS nn_nation,
+               count(DISTINCT c_nationkey)::BIGINT AS nd_nation
+        FROM customer
+    )
+    SELECT col, n_rows, n_nonnull, n_distinct,
+           round(1.0 - n_nonnull::DOUBLE / n_rows, 6) AS null_rate,
+           round(n_distinct::DOUBLE / n_rows, 6) AS distinct_ratio
+    FROM (
+        SELECT 'c_name' AS col, n_rows, nn_name AS n_nonnull,
+               nd_name AS n_distinct FROM p
+        UNION ALL SELECT 'c_acctbal', n_rows, nn_acctbal, nd_acctbal FROM p
+        UNION ALL SELECT 'c_mktsegment', n_rows, nn_seg, nd_seg FROM p
+        UNION ALL SELECT 'c_nationkey', n_rows, nn_nation, nd_nation FROM p
+    )
+    """,
+)
+def x_etl_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profile report (the dbt-docs / Deequ shape): per column,
+    row count, non-null count, exact distinct count, null rate and
+    distinct ratio — the first thing a data engineer runs against an
+    unfamiliar table, and the drift baseline a pipeline snapshots per
+    load.
+
+    Plan: ALL columns profile in ONE aggregate pass (count + count(col)
+    + count(distinct col) per column share the scan; Spark plans the
+    multi-distinct via a single expand — one table read, not one per
+    column), then a stack() projection unpivots the 1-row frame to
+    column rows.  At 100 TB the exact distincts swap for
+    approx_count_distinct (the ``x_agg_approx_distinct`` trade) without
+    changing the shape."""
+    c = table(spark, sf_dir, "customer")
+    agg = c.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.count("c_name").cast("bigint").alias("nn_name"),
+        F.countDistinct("c_name").cast("bigint").alias("nd_name"),
+        F.count("c_acctbal").cast("bigint").alias("nn_acctbal"),
+        F.countDistinct("c_acctbal").cast("bigint").alias("nd_acctbal"),
+        F.count("c_mktsegment").cast("bigint").alias("nn_seg"),
+        F.countDistinct("c_mktsegment").cast("bigint").alias("nd_seg"),
+        F.count("c_nationkey").cast("bigint").alias("nn_nation"),
+        F.countDistinct("c_nationkey").cast("bigint").alias("nd_nation"),
+    )
+    rows = agg.select(
+        "n_rows",
+        F.expr(
+            "stack(4, 'c_name', nn_name, nd_name,"
+            " 'c_acctbal', nn_acctbal, nd_acctbal,"
+            " 'c_mktsegment', nn_seg, nd_seg,"
+            " 'c_nationkey', nn_nation, nd_nation)"
+            " AS (col, n_nonnull, n_distinct)"
+        ),
+    )
+    return rows.select(
+        "col",
+        "n_rows",
+        "n_nonnull",
+        "n_distinct",
+        F.round(1.0 - F.col("n_nonnull").cast("double") / F.col("n_rows"), 6)
+        .alias("null_rate"),
+        F.round(F.col("n_distinct").cast("double") / F.col("n_rows"), 6)
+        .alias("distinct_ratio"),
+    )

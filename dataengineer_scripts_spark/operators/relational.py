@@ -2886,3 +2886,99 @@ def x_agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs",
         )
     )
+
+
+@register(
+    "x_agg_bool_logic",
+    oracle="""
+    SELECT c_nationkey,
+           bool_and(c_acctbal > 0) AS all_positive,
+           bool_or(c_acctbal < 0) AS any_negative,
+           sum(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END)
+               ::BIGINT AS n_building,
+           count(*)::BIGINT AS n_customers
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def x_agg_bool_logic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregate surface: EVERY/ANY (bool_and/bool_or) plus a
+    conditional count per group — the predicate-rollup family behind
+    contract checks ('every row in the partition satisfies X') and
+    segment flags, completing the aggregate surface next to the
+    numeric/distinct/sketch families.
+
+    Plan: one hash aggregate; boolean AND/OR partials are single-bit
+    map-side combines (the cheapest aggregate Spark has)."""
+    return (
+        table(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(
+            F.every(F.col("c_acctbal") > 0).alias("all_positive"),
+            F.some(F.col("c_acctbal") < 0).alias("any_negative"),
+            F.sum(F.when(F.col("c_mktsegment") == "BUILDING", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_building"),
+            F.count("*").cast("bigint").alias("n_customers"),
+        )
+    )
+
+
+@register(
+    "x_agg_audience_overlap",
+    oracle="""
+    WITH ut AS (
+        SELECT DISTINCT user_id, event_type FROM events
+    ),
+    n1 AS (SELECT event_type, count(*)::BIGINT AS n FROM ut GROUP BY 1)
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           count(*)::BIGINT AS n_both,
+           na.n AS n_a, nb.n AS n_b,
+           round(count(*)::DOUBLE / (na.n + nb.n - count(*)), 6)
+               AS jaccard
+    FROM ut a
+    JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+    JOIN n1 na ON na.event_type = a.event_type
+    JOIN n1 nb ON nb.event_type = b.event_type
+    GROUP BY a.event_type, b.event_type, na.n, nb.n
+    """,
+)
+def x_agg_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix: for every pair of event types, the
+    exact distinct-user intersection and Jaccard — the
+    campaign/feature-overlap question ('do purchasers also click?')
+    and the exact ground truth the sketch-based path
+    (``x_agg_hll_merge``'s union algebra) approximates at 100 TB.
+
+    Plan: the market-basket shape on users — DISTINCT (user, type)
+    FIRST (one hash aggregate), so the self-join is quadratic only in a
+    user's type set (≤ 5 here), linear in users; per-type audience
+    sizes are a types-sized frame joined broadcast; one final pair
+    aggregate."""
+    ut = table(spark, sf_dir, "events").select("user_id", "event_type").distinct()
+    n1 = ut.groupBy("event_type").agg(F.count("*").cast("bigint").alias("n"))
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").cast("bigint").alias("n_both"))
+    )
+    na = n1.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    nb = n1.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(na), "type_a")
+        .join(F.broadcast(nb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_both").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

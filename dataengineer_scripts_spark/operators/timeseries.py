@@ -1257,3 +1257,60 @@ def x_ts_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("total") > F.col("prev_t"))
         & (F.col("total") > F.col("next_t"))
     ).select("event_type", "day", "total")
+
+
+@register(
+    "x_ts_week_over_week",
+    oracle="""
+    WITH d AS (
+        SELECT event_type, date_trunc('day', ts)::DATE AS day,
+               round(sum(value::DECIMAL(30,10)), 6)::DOUBLE AS total
+        FROM events GROUP BY 1, 2
+    )
+    SELECT a.event_type, a.day, a.total,
+           b.total AS total_prev_week,
+           round(a.total - b.total, 6) AS wow_delta,
+           round(100.0 * (a.total - b.total) / b.total, 4) AS wow_pct
+    FROM d a JOIN d b
+      ON a.event_type = b.event_type AND b.day = a.day - 7
+    """,
+)
+def x_ts_week_over_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week same-weekday comparison: each day against the
+    SAME weekday one week earlier — the seasonality-honest growth
+    readout (day-over-day compares Monday to Sunday and reads weekly
+    rhythm as change; WoW cancels it by construction, no decomposition
+    needed).
+
+    Plan: one hash aggregate to day grain, then a self-EQUI-join of the
+    bounded day frame on (type, day−7) — an exact key, not a window
+    (lag(7) over day rows would silently compare across GAPS if a day
+    is missing; the equi-join inner-drops those pairs instead of
+    mismatching them)."""
+    d = (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date(F.date_trunc("day", "ts")).alias("day"))
+        .agg(
+            F.round(F.sum(F.col("value").cast("decimal(30,10)")), 6)
+            .cast("double")
+            .alias("total")
+        )
+    )
+    prev = d.select(
+        "event_type",
+        (F.date_add("day", 7)).alias("day"),
+        F.col("total").alias("total_prev_week"),
+    )
+    return d.join(prev, ["event_type", "day"]).select(
+        "event_type",
+        "day",
+        "total",
+        "total_prev_week",
+        F.round(F.col("total") - F.col("total_prev_week"), 6).alias("wow_delta"),
+        F.round(
+            100.0
+            * (F.col("total") - F.col("total_prev_week"))
+            / F.col("total_prev_week"),
+            4,
+        ).alias("wow_pct"),
+    )

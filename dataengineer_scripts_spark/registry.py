@@ -177,6 +177,10 @@ _PRIORITY_NAMES = (
     "x_llm_template_extract",
     "x_fn_struct_pack_extract",
     "x_agg_grouping_id",
+    "x_etl_profile_table",
+    "x_ts_week_over_week",
+    "x_agg_bool_logic",
+    "x_agg_audience_overlap",
     # last driver-graded in r05: flagships, then the reference-derived core
     "flagship_curation",
     "flagship_health",
