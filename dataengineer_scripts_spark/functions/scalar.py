@@ -401,3 +401,84 @@ def x_fn_struct_pack_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("profile.band").alias("band"),
         F.col("profile.neg").alias("neg"),
     )
+
+
+@register(
+    "x_fn_date_arith",
+    oracle="""
+    SELECT o_orderkey,
+           (o_orderdate + INTERVAL 3 MONTH)::DATE AS due_date,
+           last_day(o_orderdate)::DATE AS month_end,
+           date_trunc('quarter', o_orderdate)::DATE AS quarter_start,
+           date_diff('day', o_orderdate::DATE, DATE '2000-01-01')
+               ::BIGINT AS days_to_y2k
+    FROM orders WHERE o_orderkey % 100 = 0
+    """,
+)
+def x_fn_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar arithmetic surface: month addition (clamping at
+    month-end, the semantic both engines share: Jan 31 + 1 month =
+    Feb 28), last-day-of-month, quarter truncation and signed day
+    differences — the due-date/billing-period toolkit on top of the
+    timestamp layer (§2.7 covers parse/format/extract; this covers
+    calendar MATH).
+
+    Plan: pure Project over the scan with the key filter pushed down —
+    every function is a codegen'd intrinsic."""
+    return (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 100 == 0)
+        .select(
+            "o_orderkey",
+            F.add_months("o_orderdate", 3).alias("due_date"),
+            F.last_day("o_orderdate").alias("month_end"),
+            F.date_trunc("quarter", "o_orderdate").cast("date").alias(
+                "quarter_start"
+            ),
+            F.datediff(
+                F.lit("2000-01-01").cast("date"), F.to_date("o_orderdate")
+            )
+            .cast("bigint")
+            .alias("days_to_y2k"),
+        )
+    )
+
+
+@register(
+    "x_agg_percentile_cont_disc",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 6) AS median_cont,
+           round(quantile_disc(l_extendedprice, 0.5), 6) AS median_disc,
+           count(*)::BIGINT AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def x_agg_percentile_cont_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCENTILE_CONT vs PERCENTILE_DISC side by side: the interpolated
+    median versus the discrete one (an actually-occurring value) per
+    group — the two ANSI quantile semantics whose silent confusion
+    skews every 'median order value' report with even-sized groups
+    (cont invents a value between the two middles; disc picks the
+    lower middle).
+
+    Plan: both medians ride ONE hash aggregate (shared sort inside the
+    buffer); Spark's `percentile` is the cont semantic, and disc is
+    `percentile_disc` through the SQL function surface."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_extendedprice, 0.5D)"), 6).alias(
+                "median_cont"
+            ),
+            F.round(
+                F.expr(
+                    "percentile_disc(0.5) WITHIN GROUP (ORDER BY"
+                    " l_extendedprice)"
+                ),
+                6,
+            ).alias("median_disc"),
+            F.count("*").cast("bigint").alias("n_rows"),
+        )
+    )

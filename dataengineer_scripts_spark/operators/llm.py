@@ -5327,3 +5327,96 @@ def x_llm_template_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             "head_share"
         ),
     )
+
+
+@register(
+    "x_llm_cluster_purity",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_SHINGLES},
+    {_SQL_PAIR_JACCARD},
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM jac
+        WHERE j >= {CLUSTER_J_THRESHOLD}
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM jac
+        WHERE j >= {CLUSTER_J_THRESHOLD}
+    ),
+    reach(node, root) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    labels AS (
+        SELECT node AS doc_id, min(root) AS cluster_id
+        FROM reach GROUP BY node
+    ),
+    j2 AS (
+        SELECT l.cluster_id, d.source
+        FROM labels l JOIN documents d ON l.doc_id = d.doc_id
+    ),
+    per_src AS (
+        SELECT cluster_id, source, count(*) AS n
+        FROM j2 GROUP BY cluster_id, source
+    ),
+    tot AS (
+        SELECT cluster_id, sum(n)::BIGINT AS n_members,
+               count(*)::BIGINT AS n_sources, max(n) AS nmax
+        FROM per_src GROUP BY cluster_id
+    ),
+    win AS (
+        SELECT p.cluster_id, min(p.source) AS top_source
+        FROM per_src p JOIN tot t
+          ON p.cluster_id = t.cluster_id AND p.n = t.nmax
+        GROUP BY p.cluster_id
+    )
+    SELECT t.cluster_id, n_members, n_sources, top_source,
+           nmax::BIGINT AS n_top,
+           round(nmax::DOUBLE / n_members, 6) AS purity
+    FROM tot t JOIN win w ON t.cluster_id = w.cluster_id
+    WHERE n_members >= 2
+    """,
+)
+def x_llm_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster purity against the source attribute: for every
+    multi-member dup class, the dominant source and its share — the
+    cluster-quality readout (purity 1.0 = within-source re-posts, the
+    easy case; low purity = CROSS-source syndication, the class that
+    needs canonical-source policy, and the aggregate view of what
+    ``x_llm_source_overlap`` measures pairwise).
+
+    Plan: cluster labels come from the session-shared component frame
+    (computed once per session, like the shingle and pair frames);
+    everything added here is cluster-grain — per-(cluster, source)
+    counts, argmax-as-aggregates for the dominant source (no sort
+    window), all hash aggregates keyed on cluster_id."""
+    labels = _cluster_labels(spark, sf_dir).select("doc_id", "cluster_id")
+    d = table(spark, sf_dir, "documents").select("doc_id", "source")
+    per_src = (
+        labels.join(d, "doc_id")
+        .groupBy("cluster_id", "source")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = per_src.groupBy("cluster_id").agg(
+        F.sum("n").cast("bigint").alias("n_members"),
+        F.count("*").cast("bigint").alias("n_sources"),
+        F.max("n").alias("nmax"),
+    )
+    win = (
+        per_src.join(tot, "cluster_id")
+        .filter(F.col("n") == F.col("nmax"))
+        .groupBy("cluster_id")
+        .agg(F.min("source").alias("top_source"))
+    )
+    return (
+        tot.join(win, "cluster_id")
+        .filter(F.col("n_members") >= 2)
+        .select(
+            "cluster_id",
+            "n_members",
+            "n_sources",
+            "top_source",
+            F.col("nmax").cast("bigint").alias("n_top"),
+            F.round(F.col("nmax").cast("double") / F.col("n_members"), 6)
+            .alias("purity"),
+        )
+    )

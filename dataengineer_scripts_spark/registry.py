@@ -181,6 +181,9 @@ _PRIORITY_NAMES = (
     "x_ts_week_over_week",
     "x_agg_bool_logic",
     "x_agg_audience_overlap",
+    "x_llm_cluster_purity",
+    "x_fn_date_arith",
+    "x_agg_percentile_cont_disc",
     # last driver-graded in r05: flagships, then the reference-derived core
     "flagship_curation",
     "flagship_health",
