@@ -69,6 +69,12 @@ def _physical(df) -> str:
         "x_agg_grouping_id",
         "x_src_csv_roundtrip",
         "x_src_orc_roundtrip",
+        "x_etl_profile_table",
+        "x_ts_week_over_week",
+        "x_agg_bool_logic",
+        "x_agg_audience_overlap",
+        "x_fn_date_arith",
+        "x_agg_percentile_cont_disc",
     ],
 )
 def test_no_cartesian_anywhere(name, spark, sf_dir):
