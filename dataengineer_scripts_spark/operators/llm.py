@@ -5301,13 +5301,21 @@ def x_llm_template_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     points at; this op names the pattern).
 
     Plan: the ``x_agg_mode`` argmax-as-aggregates shape on head grain —
-    counts → per-source max → lexicographic-min winner — all hash
-    aggregates on the source key (no sort window), totals rejoined on
-    the same key."""
+    counts → per-source max → lexicographic-min winner — aggregates on
+    the source key only (no sort window); the head-grain count frame is
+    localCheckpointed (it feeds max/winner/totals, and totals derive as
+    sum(n) of the counts), so documents is scanned once."""
     heads = table(spark, sf_dir, "documents").select(
         "source", F.substring("text", 1, PREFIX_BLOCK_CHARS).alias("head")
     )
-    c = heads.groupBy("source", "head").agg(F.count("*").alias("n"))
+    # the head-grain counts feed three consumers (max, winner, totals):
+    # materialize once, and derive the totals as sum(n) of the counts
+    # rather than re-counting the raw heads — documents is scanned once
+    c = (
+        heads.groupBy("source", "head")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint()
+    )
     m = c.groupBy("source").agg(F.max("n").alias("nmax"))
     pick = (
         c.join(m, "source")
@@ -5318,7 +5326,7 @@ def x_llm_template_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("nmax").cast("bigint").alias("n_docs"),
         )
     )
-    tot = heads.groupBy("source").agg(F.count("*").alias("total"))
+    tot = c.groupBy("source").agg(F.sum("n").alias("total"))
     return pick.join(tot, "source").select(
         "source",
         "template_head",

@@ -2623,15 +2623,19 @@ def x_set_symmetric_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     left-anti joins on already-distinct inputs — never a sort, and the
     second side reuses the first's shuffle layout (same key)."""
     o = table(spark, sf_dir, "orders")
+    # each key set feeds BOTH anti-joins: materialize them once or the
+    # orders scan re-executes per consumption (4 scans without this)
     a = (
         o.filter(F.year("o_orderdate") == 1995)
         .select(F.col("o_custkey").alias("c_custkey"))
         .distinct()
+        .localCheckpoint()
     )
     b = (
         o.filter(F.year("o_orderdate") == 2000)
         .select(F.col("o_custkey").alias("c_custkey"))
         .distinct()
+        .localCheckpoint()
     )
     only_a = a.join(b, "c_custkey", "left_anti").withColumn(
         "side", F.lit("only_1995")
@@ -2953,8 +2957,18 @@ def x_agg_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     FIRST (one hash aggregate), so the self-join is quadratic only in a
     user's type set (≤ 5 here), linear in users; per-type audience
     sizes are a types-sized frame joined broadcast; one final pair
-    aggregate."""
-    ut = table(spark, sf_dir, "events").select("user_id", "event_type").distinct()
+    aggregate.  The deduped frame is localCheckpointed — it feeds the
+    sizes and both join sides, and without the barrier each consumer
+    would re-scan events."""
+    # ut feeds THREE consumers (sizes + both join sides): materialize the
+    # deduped frame once (keep_best's localCheckpoint pattern) so events
+    # is scanned a single time, not once per consumer
+    ut = (
+        table(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .distinct()
+        .localCheckpoint()
+    )
     n1 = ut.groupBy("event_type").agg(F.count("*").cast("bigint").alias("n"))
     a = ut.select("user_id", F.col("event_type").alias("type_a"))
     b = ut.select("user_id", F.col("event_type").alias("type_b"))

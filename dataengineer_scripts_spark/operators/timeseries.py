@@ -638,6 +638,9 @@ def x_ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     (bounded: days × types rows), joined back broadcast-sized.  Exact
     medians of IDENTICAL rounded doubles in both engines, compared
     unrounded so the 3×MAD flag cannot straddle a rounding edge."""
+    # the day-grain frame feeds the median, the deviation join and the
+    # final projection: materialize it once or events is re-scanned per
+    # consumer (measured 4 scans without the barrier)
     d = (
         table(spark, sf_dir, "events")
         .groupBy("event_type", F.to_date(F.date_trunc("day", "ts")).alias("day"))
@@ -646,6 +649,7 @@ def x_ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("total")
         )
+        .localCheckpoint()
     )
     med = d.groupBy("event_type").agg(
         F.expr("percentile(total, 0.5)").alias("med")
@@ -699,9 +703,10 @@ def x_ts_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: purchases join touches on user_id with the 7-day recency as a
     join residual — per-user bounded fan-out, shuffled once on user_id;
-    the per-conversion touch count is a hash aggregate of that joined
-    frame re-joined on the conversion id (conversion-sized, not
-    event-sized).  Per-row credit value/n is elementwise; the channel
+    the per-conversion touch count is a cid-partitioned window over
+    the joined frame (bounded per conversion — and consuming the frame
+    ONCE, where an aggregate re-joined on cid would re-execute the
+    events join per consumer).  Per-row credit value/n is elementwise; the channel
     rollup accumulates it as exact decimal.  No window over raw events,
     no driver-side state."""
     ev = table(spark, sf_dir, "events")
@@ -722,9 +727,12 @@ def x_ts_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("tts") <= F.col("cts"))
         & (F.col("tts") > F.col("cts") - F.expr("INTERVAL 7 DAYS")),
     )
-    n = t.groupBy("cid").agg(F.count("*").alias("n"))
+    # per-conversion touch count as a cid-partitioned window (bounded
+    # per conversion) — an aggregate re-joined on cid would consume the
+    # joined frame twice and re-scan events for each consumption
+    n_w = F.count("*").over(Window.partitionBy("cid"))
     return (
-        t.join(n, "cid")
+        t.withColumn("n", n_w)
         .groupBy("channel")
         .agg(
             F.count("*").cast("bigint").alias("n_touches"),
@@ -1287,6 +1295,8 @@ def x_ts_week_over_week(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lag(7) over day rows would silently compare across GAPS if a day
     is missing; the equi-join inner-drops those pairs instead of
     mismatching them)."""
+    # the day frame joins against itself: materialize once so events is
+    # scanned a single time, not once per join side
     d = (
         table(spark, sf_dir, "events")
         .groupBy("event_type", F.to_date(F.date_trunc("day", "ts")).alias("day"))
@@ -1295,6 +1305,7 @@ def x_ts_week_over_week(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("total")
         )
+        .localCheckpoint()
     )
     prev = d.select(
         "event_type",

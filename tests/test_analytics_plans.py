@@ -189,10 +189,12 @@ def test_corr_matrix_is_single_scan_single_aggregate(spark, sf_dir):
 
 def test_rank_change_windows_sit_above_monthly_aggregate(spark, sf_dir):
     # the rank window partitions by month over the (month, nation)-grain
-    # aggregate — the aggregate must be BELOW the window in the plan
+    # aggregate, which is localCheckpointed (it feeds both self-join
+    # sides): the windows must read the materialized grain frame — zero
+    # raw table scans anywhere in the final plan — and never a raw fact
     plan = _physical(DEFS["x_win_rank_change"].fn(spark, sf_dir))
     assert "Window" in plan
-    assert "HashAggregate" in plan.split("Window", 1)[1]
+    assert plan.count("Scan parquet") == 0
 
 
 def test_q21_lowers_to_semi_plus_anti(spark, sf_dir):
