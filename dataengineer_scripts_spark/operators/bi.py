@@ -788,11 +788,19 @@ def _pagerank_iter_sql(i: int) -> str:
         SELECT DISTINCT l_orderkey, p_brand
         FROM lineitem JOIN part ON l_partkey = p_partkey
     ),
-    e0 AS (
-        SELECT a.p_brand AS src, b.p_brand AS dst
+    co AS (
+        SELECT a.p_brand AS src, b.p_brand AS dst, count(*) AS c
         FROM ob a JOIN ob b
-          ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
-        GROUP BY 1, 2 HAVING count(*) >= 5
+          ON a.l_orderkey = b.l_orderkey AND a.p_brand <> b.p_brand
+        GROUP BY 1, 2
+    ),
+    e0 AS (
+        SELECT src, dst FROM (
+            SELECT src, dst,
+                   row_number() OVER (PARTITION BY src
+                                      ORDER BY c DESC, dst) AS rk
+            FROM co
+        ) ranked WHERE rk <= 2
     ),
     edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
     deg AS (SELECT src, count(*)::BIGINT AS d FROM edges GROUP BY src),
@@ -807,13 +815,17 @@ def _pagerank_iter_sql(i: int) -> str:
     """,
 )
 def x_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PageRank over the brand co-occurrence graph (edges = brand pairs
-    sharing >= 5 order baskets), 3 unrolled power iterations at damping
-    0.85 — the iterative-graph-algorithm shape on Spark: each iteration
-    is a bounded join-aggregate over the SAME materialized edge frame,
+    """PageRank over the brand-affinity digraph (each brand's top-2
+    co-occurrence partners, symmetrized — a RANK cut, not a support
+    cut: a fixed support threshold makes the dense basket graph
+    COMPLETE, on which PageRank is uniformly 1/n and the output
+    vacuous), 3 unrolled power iterations at damping 0.85 — the
+    iterative-graph-algorithm shape on Spark: each iteration is a
+    bounded join-aggregate over the SAME materialized edge frame,
     exactly how label propagation runs in the dedup cluster family (and
     how a full PageRank would run to convergence; 3 iterations keep the
-    oracle finitely unrollable).
+    oracle finitely unrollable).  Checked against a loop-free pure-
+    Python reference in ``tests/test_iterative_refs.py``.
 
     Determinism: neighbor contributions accumulate as exact
     DECIMAL(38,18) of elementwise doubles, and every iteration's rank
@@ -837,12 +849,16 @@ def x_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = ob.select("l_orderkey", F.col("p_brand").alias("src"))
     b = ob.select("l_orderkey", F.col("p_brand").alias("dst"))
-    e0 = (
+    co = (
         a.join(b, "l_orderkey")
-        .filter(F.col("src") < F.col("dst"))
+        .filter(F.col("src") != F.col("dst"))
         .groupBy("src", "dst")
         .agg(F.count("*").alias("c"))
-        .filter(F.col("c") >= BASKET_MIN_SUPPORT)
+    )
+    rk = Window.partitionBy("src").orderBy(F.col("c").desc(), "dst")
+    e0 = (
+        co.withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") <= 2)
         .select("src", "dst")
     )
     edges = e0.unionByName(

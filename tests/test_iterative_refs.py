@@ -1,0 +1,84 @@
+"""Independent Python references for the round-9 iterative/statistical
+operators: PageRank re-run in pure Python over the same edge set, and the
+Kaplan-Meier curve recomputed from raw events with pandas — both checked
+against the operators' Spark output (the DuckDB oracle already checks
+cross-engine parity; these check the MATH against a third, loop-free
+implementation)."""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+
+from dataengineer_scripts_spark import registry
+
+DEFS = registry.definitions()
+
+
+def test_pagerank_matches_pure_python(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").toPandas()
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").toPandas()
+    ob = (
+        li.merge(part, left_on="l_partkey", right_on="p_partkey")[
+            ["l_orderkey", "p_brand"]
+        ]
+        .drop_duplicates()
+    )
+    co = ob.merge(ob, on="l_orderkey")
+    co = co[co.p_brand_x != co.p_brand_y]
+    cnt = co.groupby(["p_brand_x", "p_brand_y"]).size().reset_index(name="c")
+    # top-2 per src, count desc then dst asc
+    cnt = cnt.sort_values(["p_brand_x", "c", "p_brand_y"],
+                          ascending=[True, False, True])
+    edges = cnt.groupby("p_brand_x").head(2)[["p_brand_x", "p_brand_y"]]
+    edges = edges.rename(columns={"p_brand_x": "src", "p_brand_y": "dst"})
+    both = pd.concat([edges, edges.rename(columns={"src": "dst", "dst": "src"})])
+    deg = both.groupby("src").size().to_dict()
+    nodes = sorted(set(both.src) | set(both.dst))
+    n = len(nodes)
+    r = {b: 1.0 / n for b in nodes}
+    for _ in range(3):
+        s = {b: 0.0 for b in nodes}
+        for _, row in both.iterrows():
+            s[row.dst] += r[row.src] / deg[row.src]
+        r = {b: round(0.15 / n + 0.85 * s[b], 12) for b in nodes}
+    out = {
+        row["brand"]: row["pagerank"]
+        for row in DEFS["x_graph_pagerank"].fn(spark, sf_dir).collect()
+    }
+    assert set(out) == set(nodes)
+    for b in nodes:
+        assert abs(out[b] - round(r[b], 6)) < 2e-6, (b, out[b], r[b])
+
+
+def test_survival_km_matches_pandas_reference(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").toPandas()
+    ev["h"] = pd.to_datetime(ev.ts).dt.floor("h")
+    ud = ev[["user_id", "h"]].drop_duplicates()
+    life = ud.groupby("user_id")["h"].agg(["min", "max"])
+    life["t"] = ((life["max"] - life["min"]).dt.total_seconds() // 3600).astype(int)
+    end = ud.h.max()
+    life["ev"] = (
+        (end - life["max"]).dt.total_seconds() // 3600 >= 72
+    ).astype(int)
+    grid = (
+        life.groupby("t")
+        .agg(d_t=("ev", "sum"), leaving=("ev", "size"))
+        .sort_index()
+    )
+    n_at_risk = grid.leaving[::-1].cumsum()[::-1]
+    surv, acc = {}, 0.0
+    for t in grid.index:
+        d, nrisk = grid.d_t[t], n_at_risk[t]
+        if d > 0:
+            acc += math.log(1.0 - d / nrisk)
+        surv[t] = round(math.exp(acc), 6)
+    out = {
+        r["lifetime_hours"]: r
+        for r in DEFS["x_ts_survival_km"].fn(spark, sf_dir).collect()
+    }
+    assert set(out) == set(surv)
+    for t in surv:
+        assert out[t]["n_at_risk"] == int(n_at_risk[t]), t
+        assert abs(out[t]["survival"] - surv[t]) < 2e-6, t
