@@ -81,75 +81,18 @@ def _load_all() -> None:
 
 
 # The grading driver only records CORRECTNESS rows for the first ~50 ids it
-# sees; the window ROTATES each round to keep attestations fresh.  Round 9
-# fronts, per the r08 verdict's priority list: (1) the 12 round-8 extras
-# that have NEVER been driver-graded (they overflowed the r08 window; one,
-# x_etl_sample_weighted, also had its global-window rank rewritten to a
-# TakeOrdered this round — fix and attest in one motion); (2) the two ops
-# whose implementations changed this round and so need re-attestation
-# (flagship_analytics: funnel reshape via stack(); x_llm_dedup_containment:
-# hot-shingle completion pass; x_fn_regexp_extract is already in group 1);
-# (3) the new round-9 operators; (4) the stalest attestations (r01 joins/
-# aggs, then r02).  Purely an ordering change: same keys, same callables,
-# same oracles.
+# sees; the window ROTATES each round to keep attestations fresh.  Round 10
+# is the attestation-completion round (r09 verdict item 1): (1) the 34 ops
+# that have NEVER been driver-graded — they carry three-configuration local
+# sweeps but no driver attestation; fronting all 34 closes the last evidence
+# gap (236 -> 270 ever-graded).  Then (2) ops whose implementations changed
+# in r10 and need re-attestation (zipf_fit's vocab rank went two-level, the
+# ngram-LM context-mass window got the same treatment), (3) the new r10
+# exact-score oracle companions for the ANN ops, and (4) the stalest
+# attestations (the r05 flagship/reference core) to fill the window.
+# Purely an ordering change: same keys, same callables, same oracles.
 _PRIORITY_NAMES = (
-    # (1) never driver-graded — must lead the r09 window
-    "x_etl_sample_weighted",
-    "x_fn_regexp_extract",
-    "x_agg_entropy",
-    "x_etl_mask_pii",
-    "x_etl_table_checksum",
-    "x_etl_unpivot",
-    "x_set_except_all",
-    "x_ts_autocorrelation",
-    "x_ts_hour_of_day_profile",
-    "x_ts_ma_crossover",
-    "x_ts_time_to_convert",
-    "x_win_period_over_period",
-    # (2) implementation changed in r09 — re-attest
-    "flagship_analytics",
-    "x_llm_dedup_containment",
-    # (3) new in r09
-    "x_tpch_q7_volume_shipping",
-    "x_tpch_q8_market_share",
-    "x_tpch_q12_shipmode_priority",
-    "x_tpch_q15_top_supplier",
-    "x_tpch_q17_small_quantity_revenue",
-    "x_tpch_q21_waiting_suppliers",
-    "x_etl_cdc_compact",
-    "x_etl_merge_upsert",
-    "x_ts_anomaly_mad",
-    "x_ts_attribution_linear",
-    "x_ts_ewma",
-    "x_agg_corr_matrix",
-    "x_win_rank_change",
-    "x_agg_string_agg",
-    "x_set_symmetric_diff",
-    "x_llm_dup_rate_by_source",
-    "x_llm_sentence_split",
-    "x_llm_tokenizer_fertility",
-    "x_llm_winnowing_fingerprint",
-    # (4) stalest attestations: last driver-graded in r01
-    "x_agg_rollup",
-    "x_agg_sum_avg_min_max",
-    "x_fn_array_map",
-    "x_join_anti",
-    "x_join_cross",
-    "x_join_inner",
-    "x_join_left",
-    "x_join_range",
-    "x_join_semi",
-    # last driver-graded in r02
-    "x_agg_count_distinct",
-    "x_agg_cube",
-    "x_agg_grouping_sets",
-    "x_agg_hypertable_rollup",
-    "x_agg_percentile",
-    # (5) new in r09, second wave — the ~50-id window reaches the first
-    # few; the rest carry local sweeps and lead the r10 rotation
-    "x_agg_waterfall",
-    "x_ts_cusum_drift",
-    "x_ts_seasonal_decompose",
+    # (1) never driver-graded — all 34 lead the r10 window
     "x_win_moving_median",
     "x_llm_dataset_split",
     "x_llm_dup_graph_degree",
@@ -184,7 +127,16 @@ _PRIORITY_NAMES = (
     "x_llm_cluster_purity",
     "x_fn_date_arith",
     "x_agg_percentile_cont_disc",
-    # last driver-graded in r05: flagships, then the reference-derived core
+    # (2) implementation changed in r10 — re-attest under the driver gate
+    "x_llm_zipf_fit",
+    "x_llm_ngram_lm_counts",
+    "x_llm_lm_doc_score",
+    # (3) new in r10: exact-score oracle companions for the ANN top-k ops
+    "x_llm_ann_ivf_scores",
+    "x_llm_ann_lsh_scores",
+    # (4) stalest attestations: last driver-graded in r05 — flagships first,
+    # then the reference-derived core; the ~50-id window reaches the first
+    # dozen or so
     "flagship_curation",
     "flagship_health",
     "flagship_sync",
