@@ -768,11 +768,16 @@ PAGERANK_ITERS = 3
 
 
 def _pagerank_iter_sql(i: int) -> str:
-    """One unrolled PageRank iteration as a DuckDB CTE (r{i-1} -> r{i})."""
+    """One unrolled PageRank iteration as a DuckDB CTE (r{i-1} -> r{i}).
+
+    PAGERANK_DAMPING (and its teleport complement) is interpolated here
+    AND in the Spark expression below — one source of truth, so changing
+    the constant cannot desync engine and oracle."""
     return f"""r{i} AS (
         SELECT e.dst AS brand,
-               round(0.15 / min(nn.n)
-                     + 0.85 * sum((r{i - 1}.r / deg.d)::DECIMAL(38,18))
+               round({1.0 - PAGERANK_DAMPING!r} / min(nn.n)
+                     + {PAGERANK_DAMPING!r}
+                       * sum((r{i - 1}.r / deg.d)::DECIMAL(38,18))
                            ::DOUBLE, 12) AS r
         FROM edges e
         JOIN r{i - 1} ON e.src = r{i - 1}.brand
@@ -891,9 +896,11 @@ def x_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(F.broadcast(nodes.select("brand", "n")), "brand")
             .select(
                 "brand",
-                F.round(0.15 / F.col("n") + PAGERANK_DAMPING * F.col("s"), 12).alias(
-                    "r"
-                ),
+                F.round(
+                    (1.0 - PAGERANK_DAMPING) / F.col("n")
+                    + PAGERANK_DAMPING * F.col("s"),
+                    12,
+                ).alias("r"),
             )
         )
     return (

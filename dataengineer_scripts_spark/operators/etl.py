@@ -1639,9 +1639,16 @@ def x_etl_cdc_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# High-bit shift for synthesized insert keys: far above any real int64
+# custkey at any realistic scale factor, so inserts can never collide with
+# target rows.  Interpolated into BOTH the Spark plan and the oracle SQL —
+# one source of truth.
+MERGE_INSERT_SHIFT = 1 << 40
+
+
 @register(
     "x_etl_merge_upsert",
-    oracle="""
+    oracle=f"""
     WITH src AS (
         SELECT c_custkey AS k,
                CASE WHEN c_custkey % 37 = 0 THEN 'D' ELSE 'U' END AS op,
@@ -1650,8 +1657,9 @@ def x_etl_cdc_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
                c_mktsegment AS seg
         FROM customer WHERE c_custkey % 10 = 0 OR c_custkey % 37 = 0
         UNION ALL
-        SELECT c_custkey + 1000000, 'I',
-               'new_' || (c_custkey + 1000000)::VARCHAR, 0.0, c_mktsegment
+        SELECT c_custkey + {MERGE_INSERT_SHIFT}, 'I',
+               'new_' || (c_custkey + {MERGE_INSERT_SHIFT})::VARCHAR,
+               0.0, c_mktsegment
         FROM customer WHERE c_custkey % 100 = 0
     )
     SELECT coalesce(k, c_custkey) AS c_custkey,
@@ -1674,7 +1682,10 @@ def x_etl_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     derived deterministically from the target itself so both engines see
     the identical source: every 10th key is updated (+100 balance),
     every 37th deleted (delete wins on overlap), every 100th spawns an
-    insert under a shifted key that cannot collide.
+    insert under a high-bit-shifted key (+2^40, MERGE_INSERT_SHIFT —
+    one constant interpolated into BOTH the Spark plan and the oracle
+    SQL) that cannot collide with real int64 custkeys at any realistic
+    scale factor (TPC-H SF 10k tops out near 1.5e9 << 2^40).
 
     Plan: the canonical MERGE lowering — ONE full outer join of target
     and changeset on the key, then a codegen'd CASE projection picks the
@@ -1693,9 +1704,11 @@ def x_etl_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_mktsegment").alias("seg"),
     )
     inserts = c.filter(k % 100 == 0).select(
-        (k + 1000000).alias("k"),
+        (k + MERGE_INSERT_SHIFT).alias("k"),
         F.lit("I").alias("op"),
-        F.concat(F.lit("new_"), (k + 1000000).cast("string")).alias("name"),
+        F.concat(F.lit("new_"), (k + MERGE_INSERT_SHIFT).cast("string")).alias(
+            "name"
+        ),
         F.lit(0.0).alias("acctbal"),
         F.col("c_mktsegment").alias("seg"),
     )

@@ -966,8 +966,11 @@ def x_ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     window-above-aggregate plan test), defined only where the 7-day
     frame is complete, so edges carry no truncated averages; the
     weekday effect is a 7-row aggregate of exact decimal sums joined
-    back broadcast-sized.  dayofweek ≡ Spark's dayofweek (both
-    1=Sunday)."""
+    back broadcast-sized.  The wd key's LABELS differ across engines
+    (DuckDB dayofweek is 0=Sunday..6=Saturday; Spark's is 1..7) but wd
+    is only an internal join/group key, never emitted, so only
+    partition identity matters — the seven weekday classes line up
+    regardless of labeling."""
     d = (
         table(spark, sf_dir, "events")
         .groupBy(F.to_date(F.date_trunc("day", "ts")).alias("day"))
