@@ -39,6 +39,8 @@ BM25_B = 0.75
 #: Fixed query-term set for the registered BM25 ranking (high-df corpus
 #: terms so every sf produces a dense, non-degenerate ranking).
 BM25_QUERY = ("hash", "join", "vector")
+#: Parallelism of the two-level Zipf vocabulary rank (sort tasks).
+ZIPF_RANK_PARTS = 8
 
 
 @register(
@@ -192,6 +194,28 @@ def x_llm_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _zipf_numbered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-barrier stage of the two-level Zipf rank: the vocabulary
+    aggregate, range-partitioned on the rank key with per-partition
+    ``row_number`` — the ``x_etl_global_row_number`` shape.  Factored
+    out so the plan test can assert on the PRE-checkpoint plan (the
+    operator checkpoints it, which hides the range shuffle from the
+    final plan text)."""
+    v = (
+        rebalanced(table(spark, sf_dir, "documents"))
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    parts = v.repartitionByRange(
+        ZIPF_RANK_PARTS, F.col("c").desc(), "w"
+    ).withColumn("pid", F.spark_partition_id())
+    local_rn = F.row_number().over(
+        Window.partitionBy("pid").orderBy(F.col("c").desc(), "w")
+    )
+    return parts.withColumn("local_rn", local_rn)
+
+
 @register(
     "x_llm_zipf_fit",
     oracle="""
@@ -234,19 +258,36 @@ def x_llm_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     are elementwise doubles of exact counts, and all six moments
     accumulate DECIMAL — both engines produce the same single row.
 
-    Plan: one token explode → vocabulary hash aggregate; the rank
-    window runs over vocabulary-sized data (a single partition is
-    acceptable there — vocabulary is sublinear in corpus size); the
-    moments collapse to one row."""
-    v = (
-        rebalanced(table(spark, sf_dir, "documents"))
-        .select(F.explode(F.split("text", " ")).alias("w"))
-        .groupBy("w")
-        .agg(F.count("*").alias("c"))
+    Plan: one token explode → vocabulary hash aggregate; the rank is
+    TWO-LEVEL (the ``x_etl_zorder_stats_sharded`` pattern): the vocab
+    frame is ``repartitionByRange`` on the rank key ``(c desc, w)``,
+    ranks are per-partition ``row_number``, and per-partition counts
+    broadcast back as offsets — global rank = offset + local rank,
+    bit-identical to a single global window (rank recovery is
+    boundary-placement-independent) but the sort runs as
+    ZIPF_RANK_PARTS parallel tasks instead of funneling a 10⁷–10⁸-row
+    vocabulary through one partition at 100 TB.  The localCheckpoint is
+    the usual consistency barrier: counts/offsets/join must read ONE
+    pid assignment since range-boundary sampling differs per execution.
+    The moments then collapse to one row."""
+    numbered = _zipf_numbered(spark, sf_dir).localCheckpoint()
+    offsets = (
+        numbered.groupBy("pid")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            "pid",
+            F.coalesce(
+                F.sum("cnt").over(
+                    Window.orderBy("pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ).alias("offset"),
+        )
     )
-    w = Window.orderBy(F.col("c").desc(), "w")
-    r = v.select(
-        F.log(F.row_number().over(w).cast("double")).alias("lx"),
+    r = numbered.join(F.broadcast(offsets), "pid").select(
+        F.log((F.col("offset") + F.col("local_rn")).cast("double")).alias("lx"),
         F.log(F.col("c").cast("double")).alias("ly"),
     )
     lx, ly = F.col("lx"), F.col("ly")

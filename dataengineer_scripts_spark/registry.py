@@ -128,11 +128,10 @@ _PRIORITY_NAMES = (
     "x_fn_date_arith",
     "x_agg_percentile_cont_disc",
     # (2) implementation changed in r10 — re-attest under the driver gate
-    # (zipf/ngram-LM: two-level vocab rank; merge_upsert: high-bit insert
-    # key; pagerank — damping single-sourced — is already in group 1)
+    # (zipf_fit: two-level vocab rank; merge_upsert: high-bit insert key;
+    # pagerank — damping single-sourced — is already in group 1; the
+    # ngram-LM window was documented-with-bound, not changed)
     "x_llm_zipf_fit",
-    "x_llm_ngram_lm_counts",
-    "x_llm_lm_doc_score",
     "x_etl_merge_upsert",
     # (3) new in r10: exact-score oracle companions for the ANN top-k ops
     "x_llm_ann_ivf_scores",

@@ -401,12 +401,28 @@ def test_weighted_sample_cut_is_takeordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in below_window
 
 
+def test_zipf_rank_is_two_level(spark, sf_dir):
+    # The vocab rank must be the distributed-prefix-sum shape (range
+    # shuffle + pid-partitioned row_number), NOT a single-partition
+    # window over the whole vocabulary — at 100 TB a word vocab is
+    # 10^7-10^8 rows through one task (the r09 verdict's weak item).
+    # Assert on the PRE-barrier stage; the operator checkpoints it.
+    from dataengineer_scripts_spark.operators.relevance import _zipf_numbered
+
+    plan = _physical(_zipf_numbered(spark, sf_dir))
+    assert "rangepartitioning" in plan  # the sampled range shuffle
+    assert "SinglePartition" not in plan  # window is pid-partitioned
+    final = _physical(DEFS["x_llm_zipf_fit"].fn(spark, sf_dir))
+    # post-barrier: only the P-row offsets window and the 1-row moments
+    # aggregate may funnel
+    assert final.count("SinglePartition") <= 2
+
+
 @pytest.mark.parametrize(
     "name",
     [
         "x_ts_ma_crossover",
         "x_win_period_over_period",
-        "x_llm_zipf_fit",
         "x_ts_seasonal_decompose",
     ],
 )
