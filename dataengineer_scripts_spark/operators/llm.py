@@ -1445,6 +1445,254 @@ def x_llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "x_llm_ann_ivf_scores",
+    oracle=f"""
+    WITH {_SQL_NORMED},
+    cents AS (
+        SELECT vec_id AS cell_id, e AS c FROM normed
+        WHERE vec_id < {IVF_CELLS}
+    ),
+    sim AS (
+        SELECT n.vec_id, c.cell_id,
+               round(list_sum(list_transform(generate_series(1, len(n.e)),
+                     i -> n.e[i] * c.c[i])), 6) AS s
+        FROM normed n CROSS JOIN cents c
+    ),
+    assigned AS (
+        SELECT vec_id, cell_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                      ORDER BY s DESC, cell_id) AS rn
+            FROM sim)
+        WHERE rn = 1
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, cell_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                      ORDER BY s DESC, cell_id) AS rn
+            FROM sim WHERE vec_id < {KNN_N_QUERIES})
+        WHERE rn <= {IVF_PROBES}
+    )
+    SELECT p.query_id, a.vec_id AS neighbor_id, a.cell_id,
+           round(list_sum(list_transform(generate_series(1, len(q.e)),
+                 i -> q.e[i] * v.e[i])), 6) AS cosine
+    FROM probes p
+    JOIN assigned a ON a.cell_id = p.cell_id
+    JOIN normed q ON q.vec_id = p.query_id
+    JOIN normed v ON v.vec_id = a.vec_id
+    WHERE a.vec_id <> p.query_id
+    """,
+)
+def x_llm_ann_ivf_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked companion of ``x_llm_ann_ivf`` (the pq_adc_scores
+    pattern): the FULL exact cosine matrix over the probed cells — every
+    (query, candidate) pair the IVF search would score, with the cell
+    that admitted the candidate — where the top-k op is rows-only
+    (recall < 1 has no SQL twin).  A hash-matched driver row here attests
+    the whole IVF search math end to end: round-6 argmax cell assignment
+    (ties to the lowest cell id), per-query probe planning (top
+    IVF_PROBES cells by rounded sim, cell-id tiebreak), the
+    candidates-in-probed-cells join geometry, and the exact rounded
+    candidate scoring.  The ONE piece not replayed is the production
+    op's xxhash64 seed sample (no DuckDB twin); this companion freezes
+    the quantizer with the SQL-expressible rule ``vec_id < IVF_CELLS``
+    (cell_id = seed vec_id), exactly how pq_adc_scores freezes its
+    codebook — the arithmetic downstream of the frozen model is
+    identical code.
+
+    Plan shape is the production one: the quantizer is a driver-held
+    model closed over by ONE narrow ``mapInPandas`` assignment pass (no
+    join, no shuffle), the tiny probe set broadcasts against the
+    assigned corpus, and scoring is a second narrow pass over the
+    surviving candidates — the corpus itself is never shuffled."""
+    e = _normalized(spark, sf_dir)
+    seeds = sorted(
+        e.filter(F.col("vec_id") < IVF_CELLS).collect(), key=lambda r: r.vec_id
+    )
+    cmat = np.array([r.e for r in seeds])  # row index == cell_id == vec_id
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            sim = np.round(np.vstack(pdf["e"].to_numpy()) @ cmat.T, 6)
+            yield pdf.assign(cell_id=sim.argmax(1).astype("int32"))
+
+    assigned = e.mapInPandas(assign, "vec_id long, e array<double>, cell_id int")
+
+    qrows = sorted(
+        e.filter(F.col("vec_id") < KNN_N_QUERIES).collect(),
+        key=lambda r: r.vec_id,
+    )
+    probe_rows = []
+    for r in qrows:
+        qsim = np.round(np.array(r.e) @ cmat.T, 6)
+        order = np.lexsort((np.arange(len(qsim)), -qsim))  # sim desc, cell asc
+        for cell in order[:IVF_PROBES]:
+            probe_rows.append((int(r.vec_id), int(cell), list(r.e)))
+    probes = spark.createDataFrame(
+        probe_rows, "query_id long, cell_id int, qe array<double>"
+    )
+    cand = assigned.join(F.broadcast(probes), "cell_id").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            qe = np.vstack(pdf["qe"].to_numpy())
+            ce = np.vstack(pdf["e"].to_numpy())
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    "neighbor_id": pdf["vec_id"],
+                    "cell_id": pdf["cell_id"],
+                    "cosine": np.round(np.einsum("ij,ij->i", qe, ce), 6),
+                }
+            )
+
+    return cand.mapInPandas(
+        score, "query_id long, neighbor_id long, cell_id int, cosine double"
+    )
+
+
+@register(
+    "x_llm_ann_lsh_scores",
+    oracle=f"""
+    WITH {_SQL_NORMED},
+    planes AS (
+        SELECT vec_id AS p, e AS pe FROM normed
+        WHERE vec_id < {LSH_PLANES}
+    ),
+    bits AS (
+        SELECT n.vec_id, pl.p,
+               CASE WHEN round(list_sum(list_transform(
+                         generate_series(1, len(n.e)),
+                         i -> n.e[i] * pl.pe[i])), 6) > 0
+                    THEN 1 ELSE 0 END AS bit
+        FROM normed n CROSS JOIN planes pl
+    ),
+    keys AS (
+        SELECT vec_id,
+               (p // {LSH_PLANES // LSH_BANDS})::INT AS band_id,
+               sum(bit * (1 << (p % {LSH_PLANES // LSH_BANDS})))::BIGINT
+                   AS band_key
+        FROM bits GROUP BY vec_id, p // {LSH_PLANES // LSH_BANDS}
+    ),
+    cand AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               count(*)::BIGINT AS n_shared_bands
+        FROM keys q JOIN keys c
+          ON q.band_id = c.band_id AND q.band_key = c.band_key
+        WHERE q.vec_id < {KNN_N_QUERIES} AND c.vec_id <> q.vec_id
+        GROUP BY 1, 2
+    )
+    SELECT cand.query_id, cand.neighbor_id, cand.n_shared_bands,
+           round(list_sum(list_transform(generate_series(1, len(q.e)),
+                 i -> q.e[i] * v.e[i])), 6) AS cosine
+    FROM cand
+    JOIN normed q ON q.vec_id = cand.query_id
+    JOIN normed v ON v.vec_id = cand.neighbor_id
+    """,
+)
+def x_llm_ann_lsh_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked companion of ``x_llm_ann_lsh``: every (query,
+    candidate) pair the banded LSH search admits, with HOW MANY bands
+    matched and the exact rounded cosine — value-level attestation of
+    the sign-signature → band-key packing → bucket-join → scoring
+    pipeline that the top-k op runs rows-only (recall < 1 by design).
+    The ONE piece not replayed is the production op's seeded-randn
+    hyperplane matrix (no DuckDB twin); this companion draws the
+    hyperplanes from the data instead — the first LSH_PLANES normalized
+    corpus vectors — the same model-freezing move as
+    ``x_llm_ann_ivf_scores``.  Sign bits threshold the ROUND-6 dot (a
+    raw double dot could flip sign across engines near zero); band keys
+    pack LSH_PLANES/LSH_BANDS bits little-endian, matching the
+    production op's weight vector.
+
+    Plan shape is the production one: plane matrix is a driver-held
+    model closed over by ONE narrow ``mapInPandas`` signature pass; the
+    (query × band) probe set broadcasts; the per-pair band count is one
+    hash aggregate on the (already tiny) candidate rows and scoring is
+    a final narrow pass — the corpus is never shuffled."""
+    band_bits = LSH_PLANES // LSH_BANDS
+    e = _normalized(spark, sf_dir)
+    prows = sorted(
+        e.filter(F.col("vec_id") < LSH_PLANES).collect(), key=lambda r: r.vec_id
+    )
+    planes = np.array([r.e for r in prows])  # row index == plane id
+
+    def band_keys(mat: np.ndarray) -> np.ndarray:
+        bits = np.round(mat @ planes.T, 6) > 0  # n × LSH_PLANES sign bits
+        weights = 1 << np.arange(band_bits)
+        return np.stack(
+            [
+                bits[:, b * band_bits : (b + 1) * band_bits] @ weights
+                for b in range(LSH_BANDS)
+            ],
+            axis=1,
+        )
+
+    def sig(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            keys = band_keys(np.vstack(pdf["e"].to_numpy()))
+            out = pdf.loc[pdf.index.repeat(LSH_BANDS)].reset_index(drop=True)
+            out["band_id"] = np.tile(np.arange(LSH_BANDS), len(pdf))
+            out["band_key"] = keys.reshape(-1)
+            yield out[["vec_id", "e", "band_id", "band_key"]]
+
+    corpus = e.mapInPandas(
+        sig, "vec_id long, e array<double>, band_id int, band_key int"
+    )
+
+    qrows = sorted(
+        e.filter(F.col("vec_id") < KNN_N_QUERIES).collect(), key=lambda r: r.vec_id
+    )
+    qmat = np.array([r.e for r in qrows])
+    qkeys = band_keys(qmat)
+    probes = spark.createDataFrame(
+        [
+            (int(r.vec_id), int(b), int(qkeys[i, b]), list(r.e))
+            for i, r in enumerate(qrows)
+            for b in range(LSH_BANDS)
+        ],
+        "query_id long, band_id int, band_key int, qe array<double>",
+    )
+    cand = (
+        corpus.join(F.broadcast(probes), ["band_id", "band_key"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(
+            F.count("*").alias("n_shared_bands"),
+            F.first("qe").alias("qe"),
+            F.first("e").alias("e"),
+        )
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            qe = np.vstack(pdf["qe"].to_numpy())
+            ce = np.vstack(pdf["e"].to_numpy())
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    "neighbor_id": pdf["vec_id"],
+                    "n_shared_bands": pdf["n_shared_bands"],
+                    "cosine": np.round(np.einsum("ij,ij->i", qe, ce), 6),
+                }
+            )
+
+    return cand.mapInPandas(
+        score,
+        "query_id long, neighbor_id long, n_shared_bands long, cosine double",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
