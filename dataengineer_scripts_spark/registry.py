@@ -133,9 +133,11 @@ _PRIORITY_NAMES = (
     # ngram-LM window was documented-with-bound, not changed)
     "x_llm_zipf_fit",
     "x_etl_merge_upsert",
-    # (3) new in r10: exact-score oracle companions for the ANN top-k ops
+    # (3) new in r10: exact-score oracle companions for the ANN top-k ops,
+    # plus the run-to-fixpoint PageRank twin (rows-only by design)
     "x_llm_ann_ivf_scores",
     "x_llm_ann_lsh_scores",
+    "x_graph_pagerank_converged",
     # (4) stalest attestations: last driver-graded in r05 — flagships first,
     # then the reference-derived core; the ~50-id window reaches the first
     # dozen or so

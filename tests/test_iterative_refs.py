@@ -52,6 +52,63 @@ def test_pagerank_matches_pure_python(spark, sf_dir):
         assert abs(out[b] - round(r[b], 6)) < 2e-6, (b, out[b], r[b])
 
 
+def _pure_python_pagerank_graph(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").toPandas()
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").toPandas()
+    ob = (
+        li.merge(part, left_on="l_partkey", right_on="p_partkey")[
+            ["l_orderkey", "p_brand"]
+        ]
+        .drop_duplicates()
+    )
+    co = ob.merge(ob, on="l_orderkey")
+    co = co[co.p_brand_x != co.p_brand_y]
+    cnt = co.groupby(["p_brand_x", "p_brand_y"]).size().reset_index(name="c")
+    cnt = cnt.sort_values(["p_brand_x", "c", "p_brand_y"],
+                          ascending=[True, False, True])
+    edges = cnt.groupby("p_brand_x").head(2)[["p_brand_x", "p_brand_y"]]
+    edges = edges.rename(columns={"p_brand_x": "src", "p_brand_y": "dst"})
+    both = pd.concat([edges, edges.rename(columns={"src": "dst", "dst": "src"})])
+    deg = both.groupby("src").size().to_dict()
+    nodes = sorted(set(both.src) | set(both.dst))
+    return both, deg, nodes
+
+
+def test_pagerank_converged_matches_pure_python_fixpoint(spark, sf_dir):
+    from dataengineer_scripts_spark.operators.bi import (
+        PAGERANK_EPS,
+        PAGERANK_MAX_ITERS,
+    )
+
+    both, deg, nodes = _pure_python_pagerank_graph(spark, sf_dir)
+    n = len(nodes)
+    r = {b: 1.0 / n for b in nodes}
+    iters = 0
+    for _ in range(PAGERANK_MAX_ITERS):
+        s = {b: 0.0 for b in nodes}
+        for _, row in both.iterrows():
+            s[row.dst] += r[row.src] / deg[row.src]
+        new_r = {b: round(0.15 / n + 0.85 * s[b], 12) for b in nodes}
+        iters += 1
+        delta = max(abs(new_r[b] - r[b]) for b in nodes)
+        r = new_r
+        if delta < PAGERANK_EPS:
+            break
+    rows = DEFS["x_graph_pagerank_converged"].fn(spark, sf_dir).collect()
+    out = {row["brand"]: row for row in rows}
+    assert set(out) == set(nodes)
+    # the loop must actually have converged, not hit the cap, and in
+    # MORE iterations than the unrolled twin's 3 (else the fixpoint op
+    # attests nothing the unrolled one doesn't)
+    n_iters = {row["n_iters"] for row in rows}
+    assert n_iters == {iters}, (n_iters, iters)
+    assert 3 < iters < PAGERANK_MAX_ITERS, iters
+    for b in nodes:
+        assert abs(out[b]["pagerank"] - round(r[b], 6)) < 2e-6, (
+            b, out[b]["pagerank"], r[b],
+        )
+
+
 def test_survival_km_matches_pandas_reference(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").toPandas()
     ev["h"] = pd.to_datetime(ev.ts).dt.floor("h")
