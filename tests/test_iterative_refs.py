@@ -76,6 +76,7 @@ def _pure_python_pagerank_graph(spark, sf_dir):
 
 def test_pagerank_converged_matches_pure_python_fixpoint(spark, sf_dir):
     from dataengineer_scripts_spark.operators.bi import (
+        PAGERANK_CHECK_EVERY,
         PAGERANK_EPS,
         PAGERANK_MAX_ITERS,
     )
@@ -84,15 +85,17 @@ def test_pagerank_converged_matches_pure_python_fixpoint(spark, sf_dir):
     n = len(nodes)
     r = {b: 1.0 / n for b in nodes}
     iters = 0
-    for _ in range(PAGERANK_MAX_ITERS):
-        s = {b: 0.0 for b in nodes}
-        for _, row in both.iterrows():
-            s[row.dst] += r[row.src] / deg[row.src]
-        new_r = {b: round(0.15 / n + 0.85 * s[b], 12) for b in nodes}
-        iters += 1
-        delta = max(abs(new_r[b] - r[b]) for b in nodes)
-        r = new_r
-        if delta < PAGERANK_EPS:
+    # mirror the operator's block cadence: probe the delta across each
+    # PAGERANK_CHECK_EVERY-step block, not per step
+    while iters < PAGERANK_MAX_ITERS:
+        block_start = dict(r)
+        for _ in range(PAGERANK_CHECK_EVERY):
+            s = {b: 0.0 for b in nodes}
+            for _, row in both.iterrows():
+                s[row.dst] += r[row.src] / deg[row.src]
+            r = {b: round(0.15 / n + 0.85 * s[b], 12) for b in nodes}
+        iters += PAGERANK_CHECK_EVERY
+        if max(abs(r[b] - block_start[b]) for b in nodes) < PAGERANK_EPS:
             break
     rows = DEFS["x_graph_pagerank_converged"].fn(spark, sf_dir).collect()
     out = {row["brand"]: row for row in rows}
@@ -102,7 +105,7 @@ def test_pagerank_converged_matches_pure_python_fixpoint(spark, sf_dir):
     # attests nothing the unrolled one doesn't)
     n_iters = {row["n_iters"] for row in rows}
     assert n_iters == {iters}, (n_iters, iters)
-    assert 3 < iters < PAGERANK_MAX_ITERS, iters
+    assert PAGERANK_CHECK_EVERY < iters < PAGERANK_MAX_ITERS, iters
     for b in nodes:
         assert abs(out[b]["pagerank"] - round(r[b], 6)) < 2e-6, (
             b, out[b]["pagerank"], r[b],

@@ -54,6 +54,8 @@ HEADLINERS = [
     ("x_agg_market_basket", "DISTINCT (order,brand) collapses multiplicity BEFORE the order-keyed self-join: pair generation quadratic in basket size, linear in orders; stats broadcast back"),
     ("x_etl_sample_weighted", "weighted sampling as deterministic top-k by hash-derived exponential key: TakeOrderedAndProject (partial per-partition top-k) — the r08 verdict's unpartitioned row_number window is gone; the only Window ranks the k-row result"),
     ("x_join_range_bucketed", "fact-fact interval join bucketized to an equi hash join (3x build-side bucket explode, |dt| residual) — no nested loop, no cartesian"),
+    ("x_llm_zipf_fit", "two-level vocab rank (range shuffle + pid-partitioned row_number + broadcast offsets) — the r09 verdict's full-vocabulary single-partition sort is gone; only the P-row offsets window and the 1-row moments aggregate funnel"),
+    ("x_llm_ann_ivf_scores", "oracle companion of the IVF search: driver-held quantizer + two narrow mapInPandas passes with a broadcast probe join between them — corpus never shuffled"),
 ]
 
 
