@@ -201,11 +201,17 @@ def _zipf_numbered(spark: SparkSession, sf_dir: str) -> DataFrame:
     out so the plan test can assert on the PRE-checkpoint plan (the
     operator checkpoints it, which hides the range shuffle from the
     final plan text)."""
+    # Materialize the vocab aggregate BEFORE the range shuffle:
+    # repartitionByRange SAMPLES its child to place boundaries, so an
+    # unmaterialized child would run the corpus explode+aggregate twice
+    # (measured ~2x the op's cost); checkpointed, both the sampling and
+    # the shuffle read the vocab-grain frame.
     v = (
         rebalanced(table(spark, sf_dir, "documents"))
         .select(F.explode(F.split("text", " ")).alias("w"))
         .groupBy("w")
         .agg(F.count("*").alias("c"))
+        .localCheckpoint()
     )
     parts = v.repartitionByRange(
         ZIPF_RANK_PARTS, F.col("c").desc(), "w"
