@@ -86,6 +86,24 @@ def test_knn_batch_never_shuffles_the_corpus(spark, sf_dir):
     assert plan.index("Exchange") < plan.index("MapInPandas")
 
 
+def test_ann_score_companions_never_shuffle_the_corpus(spark, sf_dir):
+    # The r10 oracle companions must keep the production ANN geometry:
+    # probe set broadcasts (BroadcastHashJoin), corpus flows through
+    # narrow mapInPandas passes — no corpus-sized hash exchange.  IVF
+    # has none at all; LSH gets exactly one for the tiny per-pair
+    # band-count aggregate (candidate rows, not corpus rows).
+    ivf = _physical(DEFS["x_llm_ann_ivf_scores"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in ivf
+    assert ivf.count("Exchange hashpartitioning") == 0
+    assert "CartesianProduct" not in ivf
+    assert "BroadcastNestedLoopJoin" not in ivf
+    lsh = _physical(DEFS["x_llm_ann_lsh_scores"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in lsh
+    assert lsh.count("Exchange hashpartitioning") == 1
+    assert "CartesianProduct" not in lsh
+    assert "BroadcastNestedLoopJoin" not in lsh
+
+
 def test_knn_batch_blocked_is_two_bounded_shuffles(spark, sf_dir):
     # blocked regime: one hash shuffle into (qb, cb) GEMM cells + the
     # final window over partials — never a join, never a collect.
