@@ -34,6 +34,28 @@ from dataengineer_scripts_spark import registry  # noqa: E402
 from dataengineer_scripts_spark.session import get_spark  # noqa: E402
 
 
+def _cpu_jiffies() -> tuple[int, int]:
+    """(busy, total) machine-wide jiffies from the /proc/stat cpu line.
+
+    Python's time.process_time() cannot see the Spark JVM (a subprocess),
+    so per-query CPU attribution reads the whole-machine counters instead:
+    on this single-tenant bench box, the delta across a query's timed
+    window IS that query's CPU burn (plus negligible background).  busy =
+    user+nice+system+irq+softirq+steal; total adds idle+iowait."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        vals = [int(x) for x in parts[1:11]]
+        idle = vals[3] + vals[4]  # idle + iowait
+        busy = sum(vals) - idle
+        return busy, busy + idle
+    except (OSError, ValueError, IndexError):
+        return 0, 0
+
+
+_CLK_TCK = os.sysconf("SC_CLK_TCK") if hasattr(os, "sysconf") else 100
+
+
 def _machine_state() -> dict:
     """Uptime / load-average / CPU snapshot recorded alongside the timings.
 
@@ -121,17 +143,29 @@ def main() -> None:
     # whichever query runs next.
     gc_every = int(os.environ.get("SPARK_GRAFT_BENCH_GC_EVERY", "4"))
     timings: dict[str, float] = {}
+    cpu_secs: dict[str, float] = {}
     errors: dict[str, str] = {}
     # stdout belongs to the ONE final JSON line (the driver parses it);
     # anything a query prints (snk_stdout_progress's progress sink, by
     # design) must land on stderr instead.
     with contextlib.redirect_stdout(sys.stderr):
         for idx, (name, fn) in enumerate(qs.items()):
+            busy0, _ = _cpu_jiffies()
             t0 = time.perf_counter()
             try:
                 fn(spark, sf_dir).count()
                 timings[name] = round(time.perf_counter() - t0, 3)
-                print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+                busy1, _ = _cpu_jiffies()
+                # Machine CPU-seconds burned inside the timed window.  A
+                # query with wall 3 s / cpu 25 s did real 32-way work; wall
+                # 3 s / cpu ~0 s sat in a GC pause or co-tenant stall —
+                # BASELINE.md's moving-victim diagnosis, now self-recording.
+                cpu_secs[name] = round((busy1 - busy0) / _CLK_TCK, 2)
+                print(
+                    f"# {name}: {timings[name]:.3f}s"
+                    f" (cpu {cpu_secs[name]:.1f}s)",
+                    file=sys.stderr,
+                )
             except Exception as ex:  # noqa: BLE001
                 errors[name] = f"{type(ex).__name__}: {str(ex)[:300]}"
                 print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
@@ -155,6 +189,10 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        # Sibling map, same keys as "queries": machine CPU-seconds per
+        # timed window (see _cpu_jiffies).  Kept OUT of the "queries" map
+        # so cross-round wall-clock comparisons stay shape-compatible.
+        "cpu_sec": cpu_secs,
         "sf": _sf_of(sf_dir),
         "machine": {"start": machine_start, "end": _machine_state()},
     }
@@ -187,7 +225,7 @@ def main() -> None:
     if errors:
         out["n_errors"] = len(errors)
     if only:  # solo runs: few queries, map usually fits under the cap
-        with_map = dict(out, queries=timings)
+        with_map = dict(out, queries=timings, cpu_sec=cpu_secs)
         if len(json.dumps(with_map)) < 1500:
             out = with_map
     line = json.dumps(out)

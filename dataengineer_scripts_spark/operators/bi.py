@@ -983,7 +983,7 @@ def x_graph_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     as ``x_graph_pagerank`` — the PRODUCTION form of the iterative graph
     shape (the unrolled twin pins 3 iterations only so its oracle stays
     finitely expressible; this one iterates until the block delta drops
-    below 1e-9).  Rows-only by design: an unbounded loop has no finite
+    below PAGERANK_EPS).  Rows-only by design: an unbounded loop has no finite
     SQL unrolling — the math is instead checked point-for-point against
     a pure-Python power iteration run with the same cadence in
     ``tests/test_iterative_refs.py``, and each step is the
