@@ -41,11 +41,14 @@ def _cpu_jiffies() -> tuple[int, int]:
     so per-query CPU attribution reads the whole-machine counters instead:
     on this single-tenant bench box, the delta across a query's timed
     window IS that query's CPU burn (plus negligible background).  busy =
-    user+nice+system+irq+softirq+steal; total adds idle+iowait."""
+    user+nice+system+irq+softirq+steal; total adds idle+iowait.  guest/
+    guest_nice are EXCLUDED — the kernel already accounts guest time
+    inside user/nice, so summing them would double-count on any host
+    running a VM."""
     try:
         with open("/proc/stat") as fh:
             parts = fh.readline().split()
-        vals = [int(x) for x in parts[1:11]]
+        vals = [int(x) for x in parts[1:9]]
         idle = vals[3] + vals[4]  # idle + iowait
         busy = sum(vals) - idle
         return busy, busy + idle

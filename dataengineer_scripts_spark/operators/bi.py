@@ -19,12 +19,11 @@ Design notes (100 TB posture):
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
+from ..session_cache import session_shared as _session_shared
 from ..tables import table
 
 
@@ -862,29 +861,9 @@ def x_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: Session cache of the (edges, deg, nodes, trans) graph build, keyed by
-#: (applicationId, sf_dir) — the llm.py ``_session_shared`` move: both
-#: PageRank variants (and repeated harness runs) read ONE materialized
-#: graph instead of re-running the fact-table pair generation.  The
-#: checkpointed frames are deterministic (rank cut breaks ties on
-#: (count desc, dst)), so cached-vs-fresh results are bit-identical.
-_PAGERANK_GRAPH_CACHE: dict[
-    tuple[str, str], tuple[DataFrame, DataFrame, DataFrame, DataFrame]
-] = {}
-
-
-def _pagerank_graph(
-    spark: SparkSession, sf_dir: str
-) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
-    """(edges, deg, nodes, trans) of the rank-cut brand-affinity digraph
-    — the shared graph build of both PageRank variants, session-cached.
-    edges/nodes/trans are localCheckpointed once (brand-grain bounded);
-    every iteration downstream is a join-aggregate over these frames,
-    never re-reading the fact table."""
-    ck = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
-    cached = _PAGERANK_GRAPH_CACHE.get(ck)
-    if cached is not None:
-        return cached
+def _pagerank_edges_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetrized rank-cut affinity edge set (each brand keeps its top-2
+    co-occurrence partners; ties break on (count desc, dst))."""
     p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     ob = (
         table(spark, sf_dir, "lineitem")
@@ -907,27 +886,43 @@ def _pagerank_graph(
         .filter(F.col("rk") <= 2)
         .select("src", "dst")
     )
-    edges = e0.unionByName(
+    return e0.unionByName(
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint()
-    deg = edges.groupBy("src").agg(F.count("*").cast("bigint").alias("d"))
-    nodes = (
-        edges.select(F.col("src").alias("brand"))
-        .distinct()
-        .withColumn("n", F.count("*").over(Window.partitionBy()))
-        .localCheckpoint()
     )
-    trans = _pagerank_transitions(edges, deg)
-    _PAGERANK_GRAPH_CACHE[ck] = (edges, deg, nodes, trans)
+
+
+def _pagerank_graph(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """(edges, deg, nodes, trans) of the rank-cut brand-affinity digraph
+    — the shared graph build of both PageRank variants, cached via the
+    repo-wide ``session_cache`` mechanism (one dict, not a bespoke
+    twin): both variants (and repeated harness runs) read ONE
+    materialized graph instead of re-running the fact-table pair
+    generation.  edges/nodes/trans are localCheckpointed once
+    (brand-grain bounded; checkpointed frames are deterministic, so
+    cached-vs-fresh results are bit-identical); every iteration
+    downstream is a join-aggregate over these frames, never re-reading
+    the fact table.  trans (the edge frame with source out-degree
+    attached) is materialized BEFORE the loop — iterations must not
+    re-run the edges⋈deg join (the recursive-CTE lesson: anything
+    invariant across iterations is checkpointed ahead of them)."""
+    edges = _session_shared(
+        spark, sf_dir, "pagerank_edges",
+        lambda: _pagerank_edges_build(spark, sf_dir),
+    )
+    deg = edges.groupBy("src").agg(F.count("*").cast("bigint").alias("d"))
+    nodes = _session_shared(
+        spark, sf_dir, "pagerank_nodes",
+        lambda: edges.select(F.col("src").alias("brand"))
+        .distinct()
+        .withColumn("n", F.count("*").over(Window.partitionBy())),
+    )
+    trans = _session_shared(
+        spark, sf_dir, "pagerank_trans",
+        lambda: edges.join(deg, "src").select("src", "dst", "d"),
+    )
     return edges, deg, nodes, trans
-
-
-def _pagerank_transitions(edges: DataFrame, deg: DataFrame) -> DataFrame:
-    """(src, dst, d): the edge frame with the source out-degree attached,
-    materialized ONCE before the loop — iterations must not re-run the
-    edges⋈deg join (the recursive-CTE lesson: anything invariant across
-    iterations is checkpointed ahead of them)."""
-    return edges.join(deg, "src").select("src", "dst", "d").localCheckpoint()
 
 
 def _pagerank_step(
@@ -969,9 +964,10 @@ def _pagerank_step(
 #: PAGERANK_EPS (or at the iteration cap — a safety valve, not the
 #: expected exit on any connected graph).  1e-6 is the conventional
 #: power-iteration tolerance (networkx default; far tighter than
-#: GraphFrames' tol=0.01) — measured ~25 iterations on the affinity
-#: graph vs ~47 for 1e-9, with ranks identical at the 6-decimal output
-#: precision.
+#: GraphFrames' tol=0.01) — the block cadence exits at 35–45 counted
+#: iterations (7–9 five-step blocks) on the fixture affinity graphs
+#: (35 at sf0.001/sf0.1, 45 at sf0.01), with ranks already identical
+#: to a tighter 1e-9 run at the 6-decimal output precision.
 PAGERANK_EPS = 1e-6
 PAGERANK_MAX_ITERS = 60
 PAGERANK_CHECK_EVERY = 5
@@ -999,8 +995,9 @@ def x_graph_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     shrink monotonically under the damping contraction).  Probing every
     step instead measured 32 s at sf0.1 — ~140 tiny driver-scheduled
     jobs of pure overhead for a 25-node frame; blocking plus the
-    broadcast-rank step (see ``_pagerank_step``) runs the same 45+
-    iterations in ~10 jobs of one shuffle stage each.  At 100 TB the
+    broadcast-rank step (see ``_pagerank_step``) runs the same 35–45
+    counted iterations in 7–9 probe jobs of one shuffle stage each.
+    At 100 TB the
     transition frame shuffles once at build and iterations move
     node-grain rows only; for graphs whose node frame outgrows the
     broadcast ceiling (web-scale, not dimension-scale), drop the

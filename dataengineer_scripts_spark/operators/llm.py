@@ -37,7 +37,7 @@ Design notes (100 TB posture):
 from __future__ import annotations
 
 import os
-from collections.abc import Callable, Iterator
+from collections.abc import Iterator
 
 # Module-level so `typing.get_type_hints` can resolve the stringified
 # `pd.Series` annotations that `from __future__ import annotations` produces
@@ -50,6 +50,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
+from ..session_cache import session_shared as _session_shared
 from ..tables import rebalanced, table
 
 # ---------------------------------------------------------------------------
@@ -108,32 +109,12 @@ def _tri_shingle_array(text_col):
     return F.when(n >= SHINGLE_N, tri).otherwise(F.array().cast("array<string>"))
 
 
-#: Session-scoped materialization cache for frames several REGISTERED
-#: queries recompute identically (the corpus shingle build, the near-dup
-#: pair list, the component labels).  In one bench/driver session the
-#: dedup family used to run the shingle self-join three times over
-#: (ngram_jaccard, clusters→keep_best, flagship_curation); sharing the
-#: ``localCheckpoint``-ed frame makes each build once-per-session — the
-#: same move ``flagship_curation`` already made internally, widened across
-#: queries.  Keyed by (applicationId, sf_dir, frame) so a restarted
-#: SparkContext or a different fixture rebuilds; checkpointed frames are
-#: deterministic, so cached-vs-fresh results are bit-identical (the
-#: pytest sweep exercises both orders).
-_SESSION_FRAMES: dict[tuple[str, str, str], DataFrame] = {}
-
-
-def _session_shared(
-    spark: SparkSession,
-    sf_dir: str,
-    key: str,
-    build: Callable[[], DataFrame],
-) -> DataFrame:
-    k = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), key)
-    df = _SESSION_FRAMES.get(k)
-    if df is None:
-        df = build().localCheckpoint(eager=False)
-        _SESSION_FRAMES[k] = df
-    return df
+# Session-scoped materialization cache for frames several REGISTERED
+# queries recompute identically (the corpus shingle build, the near-dup
+# pair list, the component labels): see ``session_cache`` — hoisted there
+# in round 10 when bi.py's PageRank family grew the same need; imported
+# at the top as ``_session_shared`` so the call sites below keep their
+# name.
 
 
 def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1506,9 +1487,15 @@ def x_llm_ann_ivf_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned corpus, and scoring is a second narrow pass over the
     surviving candidates — the corpus itself is never shuffled."""
     e = _normalized(spark, sf_dir)
-    seeds = sorted(
-        e.filter(F.col("vec_id") < IVF_CELLS).collect(), key=lambda r: r.vec_id
+    # ONE bounded model collect covers both driver-held frames (the seed
+    # centroids and the query set are the same low-vec_id prefix) — two
+    # separate collects would each run a full corpus-scan job for the
+    # same handful of rows.
+    model_rows = sorted(
+        e.filter(F.col("vec_id") < max(IVF_CELLS, KNN_N_QUERIES)).collect(),
+        key=lambda r: r.vec_id,
     )
+    seeds = [r for r in model_rows if r.vec_id < IVF_CELLS]
     cmat = np.array([r.e for r in seeds])  # row index == cell_id == vec_id
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1520,10 +1507,7 @@ def x_llm_ann_ivf_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     assigned = e.mapInPandas(assign, "vec_id long, e array<double>, cell_id int")
 
-    qrows = sorted(
-        e.filter(F.col("vec_id") < KNN_N_QUERIES).collect(),
-        key=lambda r: r.vec_id,
-    )
+    qrows = [r for r in model_rows if r.vec_id < KNN_N_QUERIES]
     probe_rows = []
     for r in qrows:
         qsim = np.round(np.array(r.e) @ cmat.T, 6)
@@ -1618,9 +1602,14 @@ def x_llm_ann_lsh_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     a final narrow pass — the corpus is never shuffled."""
     band_bits = LSH_PLANES // LSH_BANDS
     e = _normalized(spark, sf_dir)
-    prows = sorted(
-        e.filter(F.col("vec_id") < LSH_PLANES).collect(), key=lambda r: r.vec_id
+    # ONE bounded model collect covers both driver-held frames (the
+    # hyperplanes and the query set are the same low-vec_id prefix) —
+    # two separate collects would each run a full corpus-scan job.
+    model_rows = sorted(
+        e.filter(F.col("vec_id") < max(LSH_PLANES, KNN_N_QUERIES)).collect(),
+        key=lambda r: r.vec_id,
     )
+    prows = [r for r in model_rows if r.vec_id < LSH_PLANES]
     planes = np.array([r.e for r in prows])  # row index == plane id
 
     def band_keys(mat: np.ndarray) -> np.ndarray:
@@ -1648,9 +1637,7 @@ def x_llm_ann_lsh_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         sig, "vec_id long, e array<double>, band_id int, band_key int"
     )
 
-    qrows = sorted(
-        e.filter(F.col("vec_id") < KNN_N_QUERIES).collect(), key=lambda r: r.vec_id
-    )
+    qrows = [r for r in model_rows if r.vec_id < KNN_N_QUERIES]
     qmat = np.array([r.e for r in qrows])
     qkeys = band_keys(qmat)
     probes = spark.createDataFrame(

@@ -12,11 +12,21 @@ import math
 import pandas as pd
 
 from dataengineer_scripts_spark import registry
+from dataengineer_scripts_spark.operators.bi import (
+    PAGERANK_CHECK_EVERY,
+    PAGERANK_DAMPING,
+    PAGERANK_EPS,
+    PAGERANK_ITERS,
+    PAGERANK_MAX_ITERS,
+)
 
 DEFS = registry.definitions()
 
 
-def test_pagerank_matches_pure_python(spark, sf_dir):
+def _pure_python_pagerank_graph(spark, sf_dir):
+    """The rank-cut affinity digraph rebuilt in pandas — ONE copy shared
+    by both PageRank reference tests, so a future change to the cut rule
+    cannot silently leave one test validating a different graph."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").toPandas()
     part = spark.read.parquet(f"{sf_dir}/part.parquet").toPandas()
     ob = (
@@ -36,13 +46,29 @@ def test_pagerank_matches_pure_python(spark, sf_dir):
     both = pd.concat([edges, edges.rename(columns={"src": "dst", "dst": "src"})])
     deg = both.groupby("src").size().to_dict()
     nodes = sorted(set(both.src) | set(both.dst))
+    return both, deg, nodes
+
+
+def _pure_python_pagerank_step(both, deg, nodes, r):
+    """One power iteration, damping taken from the SAME constant as the
+    operator (single-sourced this round — hardcoding 0.15/0.85 here
+    would break both reference tests the moment the constant moves)."""
+    n = len(nodes)
+    s = {b: 0.0 for b in nodes}
+    for _, row in both.iterrows():
+        s[row.dst] += r[row.src] / deg[row.src]
+    return {
+        b: round((1.0 - PAGERANK_DAMPING) / n + PAGERANK_DAMPING * s[b], 12)
+        for b in nodes
+    }
+
+
+def test_pagerank_matches_pure_python(spark, sf_dir):
+    both, deg, nodes = _pure_python_pagerank_graph(spark, sf_dir)
     n = len(nodes)
     r = {b: 1.0 / n for b in nodes}
-    for _ in range(3):
-        s = {b: 0.0 for b in nodes}
-        for _, row in both.iterrows():
-            s[row.dst] += r[row.src] / deg[row.src]
-        r = {b: round(0.15 / n + 0.85 * s[b], 12) for b in nodes}
+    for _ in range(PAGERANK_ITERS):
+        r = _pure_python_pagerank_step(both, deg, nodes, r)
     out = {
         row["brand"]: row["pagerank"]
         for row in DEFS["x_graph_pagerank"].fn(spark, sf_dir).collect()
@@ -52,35 +78,7 @@ def test_pagerank_matches_pure_python(spark, sf_dir):
         assert abs(out[b] - round(r[b], 6)) < 2e-6, (b, out[b], r[b])
 
 
-def _pure_python_pagerank_graph(spark, sf_dir):
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").toPandas()
-    part = spark.read.parquet(f"{sf_dir}/part.parquet").toPandas()
-    ob = (
-        li.merge(part, left_on="l_partkey", right_on="p_partkey")[
-            ["l_orderkey", "p_brand"]
-        ]
-        .drop_duplicates()
-    )
-    co = ob.merge(ob, on="l_orderkey")
-    co = co[co.p_brand_x != co.p_brand_y]
-    cnt = co.groupby(["p_brand_x", "p_brand_y"]).size().reset_index(name="c")
-    cnt = cnt.sort_values(["p_brand_x", "c", "p_brand_y"],
-                          ascending=[True, False, True])
-    edges = cnt.groupby("p_brand_x").head(2)[["p_brand_x", "p_brand_y"]]
-    edges = edges.rename(columns={"p_brand_x": "src", "p_brand_y": "dst"})
-    both = pd.concat([edges, edges.rename(columns={"src": "dst", "dst": "src"})])
-    deg = both.groupby("src").size().to_dict()
-    nodes = sorted(set(both.src) | set(both.dst))
-    return both, deg, nodes
-
-
 def test_pagerank_converged_matches_pure_python_fixpoint(spark, sf_dir):
-    from dataengineer_scripts_spark.operators.bi import (
-        PAGERANK_CHECK_EVERY,
-        PAGERANK_EPS,
-        PAGERANK_MAX_ITERS,
-    )
-
     both, deg, nodes = _pure_python_pagerank_graph(spark, sf_dir)
     n = len(nodes)
     r = {b: 1.0 / n for b in nodes}
@@ -90,10 +88,7 @@ def test_pagerank_converged_matches_pure_python_fixpoint(spark, sf_dir):
     while iters < PAGERANK_MAX_ITERS:
         block_start = dict(r)
         for _ in range(PAGERANK_CHECK_EVERY):
-            s = {b: 0.0 for b in nodes}
-            for _, row in both.iterrows():
-                s[row.dst] += r[row.src] / deg[row.src]
-            r = {b: round(0.15 / n + 0.85 * s[b], 12) for b in nodes}
+            r = _pure_python_pagerank_step(both, deg, nodes, r)
         iters += PAGERANK_CHECK_EVERY
         if max(abs(r[b] - block_start[b]) for b in nodes) < PAGERANK_EPS:
             break

@@ -46,7 +46,11 @@ def driver_state() -> dict[str, str]:
                 state = f"driver rows-only r{rnd}"
             else:
                 state = f"driver MISMATCH r{rnd}"
-            latest[name] = (rnd, state)
+            # compare on the PARSED round, not filename order — an
+            # unpadded name (r9 vs r10) or round >= 100 sorts wrong
+            # lexicographically and would let a stale verdict win
+            if name not in latest or rnd >= latest[name][0]:
+                latest[name] = (rnd, state)
     return {n: s for n, (_, s) in latest.items()}
 
 
