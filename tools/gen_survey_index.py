@@ -34,18 +34,26 @@ def driver_state() -> dict[str, str]:
     for f in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         rnd = int(re.search(r"_r(\d+)\.json$", f).group(1))
         for name, row in json.load(open(f)).items():
-            if row.get("err"):
+            # The driver records rows-only ops (no oracle_sql entry) with
+            # err='no_oracle' and rows_match=null — that is a SUCCESSFUL
+            # rows-only run, not an error, so it must be adjudicated before
+            # the generic err branch (r10 ADVICE: the old order marked all
+            # 20 such records 'driver ERR' and undercounted n_attested).
+            if row.get("err") == "no_oracle" and row.get("spark_rows"):
+                state = f"driver rows-only r{rnd}"
+            elif row.get("err"):
                 state = f"driver ERR r{rnd}"
             elif row.get("hash_match"):
                 state = f"driver pass r{rnd}"
-            elif row.get("rows_match") and not registry.definitions()[
-                name
-            ].oracle:
-                state = f"driver rows-only r{rnd}"
             elif row.get("rows_match") and row.get("hash_match") is None:
                 state = f"driver rows-only r{rnd}"
             else:
                 state = f"driver MISMATCH r{rnd}"
+            # CORRECTNESS_r*.json is append-only history: ids renamed or
+            # retired since still appear in old files — skip rather than
+            # KeyError on them (r10 ADVICE item 3).
+            if name not in registry.definitions():
+                continue
             # compare on the PARSED round, not filename order — an
             # unpadded name (r9 vs r10) or round >= 100 sorts wrong
             # lexicographically and would let a stale verdict win
