@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 from ..registry import register
 from ..sinks import (
     MAX_RETRIES,
+    STATUS_FILLS,
     foreach_progress,
     http_post_partition,
     http_post_partition_async,
@@ -65,7 +66,8 @@ from ..sources.stub_api import (
     StubApi,
 )
 from ..tables import table
-from .health import health_report
+from ..xlsx import read_xlsx
+from .health import HEALTH_ORACLE, health_report
 
 # --- node dataset (Spark expression + SQL twin + stub seed) ----------------
 
@@ -308,6 +310,73 @@ def snk_excel_styled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     write_excel_styled(report, out)
     return report
+
+
+# Status→fill CASE single-sourced from sinks.STATUS_FILLS (the reference's
+# map at app.py:243-249) so the oracle can never drift from the writer —
+# the PAGERANK_DAMPING move from the r9 advice, applied here.
+_EXCEL_FILL_CASE = "CASE status " + " ".join(
+    f"WHEN '{s}' THEN '{c}'" for s, c in STATUS_FILLS.items() if s
+) + " ELSE 'FFFFFF' END"
+
+_EXCEL_VALUES_ORACLE = f"""
+    WITH report AS ({HEALTH_ORACLE})
+    SELECT user_id, last_ts, status, error_note, n_err,
+           {_EXCEL_FILL_CASE} AS fill
+    FROM report
+"""
+
+
+@register("snk_excel_values", oracle=_EXCEL_VALUES_ORACLE)
+def snk_excel_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value gate for the styled Excel sink (the one reference-surface op
+    that was still rows-only): write the SAME workbook ``snk_excel_styled``
+    writes (same writer, same model — ``app.py:222-291``), re-read the
+    artifact bytes with the stdlib OOXML parser (``xlsx.read_xlsx``), and
+    emit one row per DATA row of the sheet — the five report columns plus
+    the row's solid-fill color.  The oracle is the flagship health SQL
+    extended with the reference's status→fill map (``app.py:243-249``,
+    single-sourced from ``sinks.STATUS_FILLS``), so a driver hash match
+    attests every cell value AND every per-status fill in the written
+    ``.xlsx`` — the exact-twin move the ANN ``_scores`` companions use.
+
+    Scale: an xlsx is a driver-side presentation artifact by definition
+    (not a distributed format); the distributed part is the report plan,
+    here attested end-to-end THROUGH the artifact bytes.  The timestamp
+    round-trips value→isoformat-string→cast in the SAME Spark session
+    timezone, so the instant is preserved under any configured zone."""
+    report = health_report(spark, sf_dir).orderBy("user_id")
+    out = os.path.join(
+        scratch_dir("excel_vals_" + os.path.basename(sf_dir.rstrip("/"))),
+        "summary_job.xlsx",
+    )
+    write_excel_styled(report, out)
+    book = read_xlsx(out)
+    data = [
+        (
+            int(vals[0]),  # A: user_id
+            str(vals[1]),  # B: last_ts, isoformat string in the sheet
+            str(vals[2]),  # C: status
+            str(vals[3]),  # D: error_note ('' for healthy rows)
+            int(vals[4]),  # E: n_err
+            book["row_fills"][r] or "",
+        )
+        for r, vals in sorted(book["rows"].items())
+        if r >= 3  # rows 1-2 are the merged title + column-name header
+    ]
+    cells = spark.createDataFrame(
+        data,
+        "user_id bigint, last_ts_str string, status string, "
+        "error_note string, n_err bigint, fill string",
+    )
+    return cells.select(
+        "user_id",
+        F.col("last_ts_str").cast("timestamp").alias("last_ts"),
+        "status",
+        "error_note",
+        "n_err",
+        "fill",
+    )
 
 
 @register(

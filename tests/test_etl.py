@@ -9,6 +9,7 @@ import urllib.request
 from datetime import date
 
 import pytest
+from pyspark.sql import functions as F
 from pyspark.sql.datasource import EqualTo, GreaterThan, Not
 
 from dataengineer_scripts_spark.sinks import (
@@ -194,6 +195,36 @@ def test_excel_sink_writes_real_xlsx(tmp_path, spark):
     assert STATUS_FILLS["No Schedule"] == "BFBFBF"
     # column widths survive the round trip (app.py:235-241 analog)
     assert wb["column_widths"]["G"] == 60.0
+
+
+def test_excel_values_gate_matches_report(spark, sf_dir):
+    """The workbook value gate (snk_excel_values) must emit exactly the
+    health report's rows — timestamps, notes and all — plus the
+    reference's per-status fill (app.py:243-249), proving the .xlsx
+    artifact carries the report losslessly."""
+    from dataengineer_scripts_spark.operators.etl import snk_excel_values
+    from dataengineer_scripts_spark.operators.health import health_report
+
+    got = snk_excel_values(spark, sf_dir)
+    expected = health_report(spark, sf_dir)
+    # cell values == report values (order-insensitive, exact)
+    report_cols = ["user_id", "last_ts", "status", "error_note", "n_err"]
+    assert sorted(map(tuple, got.select(*report_cols).collect())) == sorted(
+        map(tuple, expected.collect())
+    )
+    # every row's fill is the reference map of its status
+    mism = got.filter(
+        F.col("fill")
+        != F.coalesce(
+            *[
+                F.when(F.col("status") == s, F.lit(c))
+                for s, c in STATUS_FILLS.items()
+                if s
+            ],
+            F.lit("FFFFFF"),
+        )
+    )
+    assert mism.count() == 0
 
 
 def test_xlsx_writer_escapes_and_types(tmp_path):

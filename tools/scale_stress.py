@@ -1,0 +1,242 @@
+#!/usr/bin/env python
+"""Empirical scale-stress of the 100 TB structural claims (r10 verdict #3).
+
+The plan guards prove the SHAPE of the heavy operators (blocked pair
+joins, two-level ranks, bounded-model collects); this measures the
+CONSTANT FACTORS: synthesize derived corpora at 1x/3x/10x the sf0.1
+fixtures inside the repo (never touching read-only /root/testdata), run
+the dedup/ANN/text/window families at each scale, and fit the wall-clock
+scaling exponent per op (least-squares slope of log wall vs log scale).
+
+Corpus construction — sized up WITHOUT changing the data's statistical
+shape, so exponents measure the engine, not a pathology:
+
+- ``documents`` ×M: replica r offsets doc_id by r·10^7 and prefixes every
+  word with ``r{r}`` — within-replica duplicate/shingle structure is
+  preserved exactly, cross-replica shingle similarity is destroyed, so
+  near-dup pair counts scale LINEARLY like a real 10x crawl (a naive
+  verbatim union would square every duplicate cluster instead).
+- ``embeddings`` ×M: replica r offsets vec_id by r·10^7 and rotates the
+  dimension order by r — norms and within-replica geometry preserved,
+  cross-replica cosine decorrelated.
+- ``lineitem`` ×M: replica r offsets l_orderkey by r·10^9 (fact keys grow
+  with the data; dimension keys stay fixture-bounded, like production).
+
+All other tables are symlinked at 1x (dimensions don't scale with fact
+data).  Usage::
+
+    python tools/scale_stress.py                  # 1,3,10 x sf0.1
+    python tools/scale_stress.py --multipliers 1,10 --ops x_llm_dedup_minhash
+
+Writes ``scale_stress_r11.json`` next to the repo root and prints one
+summary line per op.  Ops are timed bench-style (df.count(), housekeeping
+between ops, one session) — the FIRST shingle-family op per scale pays
+the session-shared shingle/pair build, exactly as in bench.py.
+"""
+
+from __future__ import annotations
+
+import argparse
+import gc
+import json
+import math
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession, functions as F  # noqa: E402
+
+from dataengineer_scripts_spark import registry  # noqa: E402
+from dataengineer_scripts_spark.session import get_spark  # noqa: E402
+from dataengineer_scripts_spark.tables import TABLE_NAMES  # noqa: E402
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+STRESS_DIR = os.path.join(REPO, ".scale_stress")
+
+#: Measured families, in bench order (shingle users after dedup_exact so
+#: the shared-frame build lands on the first shingle op, like bench.py).
+DEFAULT_OPS = [
+    "x_llm_dedup_exact",
+    "x_llm_dedup_minhash",
+    "x_llm_dedup_ngram_jaccard",
+    "x_llm_dedup_containment",
+    "x_llm_dup_spans",
+    "x_llm_winnowing_fingerprint",
+    "x_llm_zipf_fit",
+    "x_llm_ngram_lm_counts",
+    "x_llm_ann_ivf",
+    "x_llm_ann_lsh",
+    "x_llm_semdedup",
+    "x_llm_dedup_embed",
+    "x_llm_knn_batch_blocked",  # all-pairs by SPEC: expect exponent ~2
+    "x_etl_zorder_stats_sharded",
+]
+
+ID_STEP_DOC = 10_000_000
+ID_STEP_FACT = 1_000_000_000
+
+
+def _replicate_documents(spark: SparkSession, base: str, m: int):
+    src = spark.read.parquet(f"{base}/documents.parquet")
+    parts = []
+    for r in range(m):
+        if r == 0:
+            parts.append(src)
+            continue
+        tagged = F.array_join(
+            F.transform(F.split(F.col("text"), " "), lambda w: F.concat(F.lit(f"r{r}"), w)),
+            " ",
+        )
+        parts.append(
+            src.select(
+                (F.col("doc_id") + r * ID_STEP_DOC).alias("doc_id"),
+                tagged.alias("text"),
+                "lang",
+                "source",
+                F.length(tagged).cast("long").alias("n_chars"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _replicate_embeddings(spark: SparkSession, base: str, m: int):
+    src = spark.read.parquet(f"{base}/embeddings.parquet")
+    dim = len(src.select("embedding").head()[0])
+    parts = []
+    for r in range(m):
+        if r == 0:
+            parts.append(src)
+            continue
+        k = r % dim or 1
+        rotated = F.expr(
+            f"concat(slice(embedding, {k + 1}, {dim - k}), slice(embedding, 1, {k}))"
+        )
+        parts.append(
+            src.select(
+                (F.col("vec_id") + r * ID_STEP_DOC).alias("vec_id"),
+                rotated.alias("embedding"),
+                "label",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _replicate_lineitem(spark: SparkSession, base: str, m: int):
+    src = spark.read.parquet(f"{base}/lineitem.parquet")
+    parts = [src]
+    for r in range(1, m):
+        parts.append(
+            src.withColumn("l_orderkey", F.col("l_orderkey") + r * ID_STEP_FACT)
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+SCALED = {
+    "documents": _replicate_documents,
+    "embeddings": _replicate_embeddings,
+    "lineitem": _replicate_lineitem,
+}
+
+
+def build_corpus(spark: SparkSession, base: str, m: int, force: bool = False) -> str:
+    """Materialize the xM derived fixture dir; idempotent per multiplier."""
+    dest = os.path.join(STRESS_DIR, f"x{m}")
+    marker = os.path.join(dest, ".complete")
+    if os.path.exists(marker) and not force:
+        return dest
+    shutil.rmtree(dest, ignore_errors=True)
+    os.makedirs(dest, exist_ok=True)
+    for name in TABLE_NAMES:
+        tgt = os.path.join(dest, f"{name}.parquet")
+        if name in SCALED and m > 1:
+            SCALED[name](spark, base, m).write.mode("overwrite").parquet(tgt)
+        else:
+            os.symlink(os.path.join(base, f"{name}.parquet"), tgt)
+    open(marker, "w").write("ok")
+    return dest
+
+
+def _fit_exponent(points: dict[int, float]) -> float | None:
+    """Least-squares slope of log(wall) on log(multiplier)."""
+    pts = [(math.log(m), math.log(w)) for m, w in points.items() if w > 0]
+    if len(pts) < 2:
+        return None
+    n = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    sxy = sum(x * y for x, y in pts)
+    denom = n * sxx - sx * sx
+    return round((n * sxy - sx * sy) / denom, 3) if denom else None
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--base", default="/root/testdata/sf0.1")
+    ap.add_argument("--multipliers", default="1,3,10")
+    ap.add_argument("--ops", default=",".join(DEFAULT_OPS))
+    ap.add_argument("--out", default=os.path.join(REPO, "scale_stress_r11.json"))
+    ap.add_argument("--force-rebuild", action="store_true")
+    args = ap.parse_args()
+    mults = [int(x) for x in args.multipliers.split(",")]
+    ops = [x for x in args.ops.split(",") if x]
+
+    spark = get_spark("scale-stress")
+    qs = registry.queries()
+    dirs = {m: build_corpus(spark, args.base, m, args.force_rebuild) for m in mults}
+    for m, d in dirs.items():
+        print(f"# corpus x{m}: {d}", file=sys.stderr)
+
+    wall: dict[str, dict[int, float]] = {op: {} for op in ops}
+    rows: dict[str, dict[int, int]] = {op: {} for op in ops}
+    for m in mults:
+        for i, op in enumerate(ops):
+            t0 = time.perf_counter()
+            n = qs[op](spark, dirs[m]).count()
+            wall[op][m] = round(time.perf_counter() - t0, 3)
+            rows[op][m] = n
+            print(f"# x{m} {op}: {wall[op][m]:.2f}s ({n} rows)", file=sys.stderr)
+            if (i + 1) % 4 == 0:
+                gc.collect()
+                spark.catalog.clearCache()
+                spark.sparkContext._jvm.System.gc()
+        # scale boundary: drop the session-shared frames' memory pressure
+        gc.collect()
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+
+    report = {
+        "base": args.base,
+        "multipliers": mults,
+        "ops": {
+            op: {
+                "wall_sec": {str(m): wall[op][m] for m in mults},
+                "rows": {str(m): rows[op][m] for m in mults},
+                "exponent": _fit_exponent(wall[op]),
+            }
+            for op in ops
+        },
+    }
+    with open(args.out, "w") as fh:
+        json.dump(report, fh, indent=1)
+    for op in ops:
+        e = report["ops"][op]["exponent"]
+        ws = " ".join(f"x{m}={wall[op][m]:.2f}s" for m in mults)
+        print(f"{op}: exponent={e} ({ws})")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
