@@ -436,6 +436,31 @@ def test_zipf_rank_is_two_level(spark, sf_dir):
     assert final.count("SinglePartition") <= 2
 
 
+def test_pagerank_step_is_single_shuffle_with_broadcast_rank(spark, sf_dir):
+    # One power iteration must be ONE shuffle stage: the node-grain rank
+    # frame broadcasts into the transition join (BroadcastHashJoin, no
+    # exchange on the rank side) and the only hash exchange is the
+    # dst-keyed contribution aggregate.  If a refactor drops the
+    # broadcast hint at dimension scale, the step gains a second
+    # exchange per iteration — 35-45x that cost in the converged loop.
+    # (Past the broadcast ceiling the hint is deliberately removed and
+    # the loop becomes a co-partitioned shuffle join — documented in
+    # x_graph_pagerank_converged's docstring; this guards the
+    # dimension-scale default.)
+    from pyspark.sql import functions as F
+
+    from dataengineer_scripts_spark.operators.bi import (
+        _pagerank_graph,
+        _pagerank_step,
+    )
+
+    edges, deg, nodes, trans = _pagerank_graph(spark, sf_dir)
+    r0 = nodes.select("brand", (1.0 / F.col("n")).alias("r")).localCheckpoint()
+    plan = _physical(_pagerank_step(trans, nodes, r0))
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
 @pytest.mark.parametrize(
     "name",
     [

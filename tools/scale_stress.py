@@ -16,9 +16,15 @@ shape, so exponents measure the engine, not a pathology:
   preserved exactly, cross-replica shingle similarity is destroyed, so
   near-dup pair counts scale LINEARLY like a real 10x crawl (a naive
   verbatim union would square every duplicate cluster instead).
-- ``embeddings`` ×M: replica r offsets vec_id by r·10^7 and rotates the
-  dimension order by r — norms and within-replica geometry preserved,
-  cross-replica cosine decorrelated.
+- ``embeddings`` ×M: replica r offsets vec_id by r·10^7 and multiplies
+  the vector elementwise by a deterministic Rademacher ±1 pattern (seeded
+  per replica) — signs cancel within a replica, so norms and
+  within-replica cosine are preserved EXACTLY, while cross-replica cosine
+  is a random-sign sum with E=0 and sd≈1/√d.  (A dimension ROTATION was
+  tried first and failed: the synthetic embeddings are cluster-structured
+  with smooth dimensions, so rotated replicas stayed similar and the
+  near-dup pair count went quadratic — 4137→424094 pairs at 10x — which
+  measures the corpus pathology, not the engine.)
 - ``lineitem`` ×M: replica r offsets l_orderkey by r·10^9 (fact keys grow
   with the data; dimension keys stay fixture-bounded, like production).
 
@@ -106,6 +112,8 @@ def _replicate_documents(spark: SparkSession, base: str, m: int):
 
 
 def _replicate_embeddings(spark: SparkSession, base: str, m: int):
+    import random
+
     src = spark.read.parquet(f"{base}/embeddings.parquet")
     dim = len(src.select("embedding").head()[0])
     parts = []
@@ -113,14 +121,18 @@ def _replicate_embeddings(spark: SparkSession, base: str, m: int):
         if r == 0:
             parts.append(src)
             continue
-        k = r % dim or 1
-        rotated = F.expr(
-            f"concat(slice(embedding, {k + 1}, {dim - k}), slice(embedding, 1, {k}))"
+        rng = random.Random(0xE5C4 + r)
+        signs = ",".join(
+            f"{rng.choice((1.0, -1.0))}D" for _ in range(dim)
+        )
+        flipped = F.expr(
+            f"zip_with(embedding, array({signs}), "
+            "(x, s) -> cast(x * s as float))"
         )
         parts.append(
             src.select(
                 (F.col("vec_id") + r * ID_STEP_DOC).alias("vec_id"),
-                rotated.alias("embedding"),
+                flipped.alias("embedding"),
                 "label",
             )
         )
@@ -189,6 +201,11 @@ def main() -> None:
     ap.add_argument("--ops", default=",".join(DEFAULT_OPS))
     ap.add_argument("--out", default=os.path.join(REPO, "scale_stress_r11.json"))
     ap.add_argument("--force-rebuild", action="store_true")
+    # min-of-2 damps the shared-JVM moving-victim stalls (BASELINE.md's
+    # noise methodology); sample 2 runs with warm session-shared frames,
+    # so the min approximates the op's marginal steady-state cost at
+    # every scale uniformly.
+    ap.add_argument("--samples", type=int, default=2)
     args = ap.parse_args()
     mults = [int(x) for x in args.multipliers.split(",")]
     ops = [x for x in args.ops.split(",") if x]
@@ -203,9 +220,13 @@ def main() -> None:
     rows: dict[str, dict[int, int]] = {op: {} for op in ops}
     for m in mults:
         for i, op in enumerate(ops):
-            t0 = time.perf_counter()
-            n = qs[op](spark, dirs[m]).count()
-            wall[op][m] = round(time.perf_counter() - t0, 3)
+            best, n = None, 0
+            for _ in range(max(1, args.samples)):
+                t0 = time.perf_counter()
+                n = qs[op](spark, dirs[m]).count()
+                t = time.perf_counter() - t0
+                best = t if best is None else min(best, t)
+            wall[op][m] = round(best, 3)
             rows[op][m] = n
             print(f"# x{m} {op}: {wall[op][m]:.2f}s ({n} rows)", file=sys.stderr)
             if (i + 1) % 4 == 0:
