@@ -29,6 +29,7 @@ from __future__ import annotations
 import json
 import os
 import urllib.request
+from datetime import datetime
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -342,9 +343,20 @@ def snk_excel_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: an xlsx is a driver-side presentation artifact by definition
     (not a distributed format); the distributed part is the report plan,
-    here attested end-to-end THROUGH the artifact bytes.  The timestamp
-    round-trips value→isoformat-string→cast in the SAME Spark session
-    timezone, so the instant is preserved under any configured zone."""
+    here attested end-to-end THROUGH the artifact bytes.
+
+    Timestamp round-trip: ``collect()`` renders the instant through
+    Python's ``TimestampType.fromInternal`` — ``datetime.fromtimestamp``,
+    i.e. the driver OS timezone, NOT the Spark session timezone — and the
+    sheet stores that wall-clock isoformat.  The companion therefore
+    re-parses the string with ``datetime.fromisoformat`` and hands the
+    NAIVE datetime back to ``createDataFrame`` (``toInternal`` →
+    ``time.mktime``, the exact OS-local inverse), never a JVM
+    ``cast('timestamp')``, which would re-interpret the wall-clock under
+    the UTC-pinned session zone and shift every instant on a non-UTC
+    host.  fromtimestamp→isoformat→fromisoformat→mktime is the identity
+    for unambiguous local times in any fixed OS zone (the fixture's
+    January range avoids DST-fold hours)."""
     report = health_report(spark, sf_dir).orderBy("user_id")
     out = os.path.join(
         scratch_dir("excel_vals_" + os.path.basename(sf_dir.rstrip("/"))),
@@ -355,7 +367,7 @@ def snk_excel_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     data = [
         (
             int(vals[0]),  # A: user_id
-            str(vals[1]),  # B: last_ts, isoformat string in the sheet
+            datetime.fromisoformat(str(vals[1])),  # B: last_ts (docstring)
             str(vals[2]),  # C: status
             str(vals[3]),  # D: error_note ('' for healthy rows)
             int(vals[4]),  # E: n_err
@@ -364,18 +376,10 @@ def snk_excel_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r, vals in sorted(book["rows"].items())
         if r >= 3  # rows 1-2 are the merged title + column-name header
     ]
-    cells = spark.createDataFrame(
+    return spark.createDataFrame(
         data,
-        "user_id bigint, last_ts_str string, status string, "
+        "user_id bigint, last_ts timestamp, status string, "
         "error_note string, n_err bigint, fill string",
-    )
-    return cells.select(
-        "user_id",
-        F.col("last_ts_str").cast("timestamp").alias("last_ts"),
-        "status",
-        "error_note",
-        "n_err",
-        "fill",
     )
 
 

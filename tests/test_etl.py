@@ -4,6 +4,7 @@ bounded retry semantics, and the styled-workbook model."""
 
 from __future__ import annotations
 
+import os
 import urllib.error
 import urllib.request
 from datetime import date
@@ -225,6 +226,36 @@ def test_excel_values_gate_matches_report(spark, sf_dir):
         )
     )
     assert mism.count() == 0
+
+
+def test_excel_values_gate_survives_nonutc_os_timezone(spark, sf_dir):
+    """The workbook gate must round-trip instants on a non-UTC HOST (not
+    just a non-UTC Spark session): collect() renders timestamps through
+    datetime.fromtimestamp — the driver OS zone — so the gate re-parses
+    with the OS-local inverse (fromisoformat + naive toInternal), never
+    a JVM cast under the UTC-pinned session zone.  Both conversions run
+    Python-side, so flipping TZ+tzset exercises the non-UTC-host path."""
+    import time as _time
+
+    from dataengineer_scripts_spark.operators.etl import snk_excel_values
+    from dataengineer_scripts_spark.operators.health import health_report
+
+    old_tz = os.environ.get("TZ")
+    os.environ["TZ"] = "America/New_York"
+    _time.tzset()
+    try:
+        got = snk_excel_values(spark, sf_dir)
+        expected = health_report(spark, sf_dir)
+        cols = ["user_id", "last_ts", "status", "error_note", "n_err"]
+        assert sorted(map(tuple, got.select(*cols).collect())) == sorted(
+            map(tuple, expected.collect())
+        )
+    finally:
+        if old_tz is None:
+            os.environ.pop("TZ", None)
+        else:
+            os.environ["TZ"] = old_tz
+        _time.tzset()
 
 
 def test_xlsx_writer_escapes_and_types(tmp_path):

@@ -39,8 +39,11 @@ def driver_state() -> dict[str, str]:
             # rows-only run, not an error, so it must be adjudicated before
             # the generic err branch (r10 ADVICE: the old order marked all
             # 20 such records 'driver ERR' and undercounted n_attested).
-            if row.get("err") == "no_oracle" and row.get("spark_rows"):
-                state = f"driver rows-only r{rnd}"
+            if row.get("err") == "no_oracle" and row.get("spark_rows") is not None:
+                # 0 rows is still a rows-only RUN, not an error — but a
+                # vacuous one, so surface it rather than folding it in
+                zero = " (0 rows)" if row.get("spark_rows") == 0 else ""
+                state = f"driver rows-only r{rnd}{zero}"
             elif row.get("err"):
                 state = f"driver ERR r{rnd}"
             elif row.get("hash_match"):

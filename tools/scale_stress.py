@@ -165,9 +165,16 @@ SCALED = {
 def build_corpus(spark: SparkSession, base: str, m: int, force: bool = False) -> str:
     """Materialize the xM derived fixture dir; idempotent per multiplier."""
     dest = os.path.join(STRESS_DIR, f"x{m}")
+    # marker carries the BASE the corpus derives from: a later run with a
+    # different --base must rebuild, not silently reuse old-base parquet
     marker = os.path.join(dest, ".complete")
-    if os.path.exists(marker) and not force:
-        return dest
+    stamp = os.path.abspath(base)
+    if not force:
+        try:
+            if open(marker).read() == stamp:
+                return dest
+        except OSError:
+            pass
     shutil.rmtree(dest, ignore_errors=True)
     os.makedirs(dest, exist_ok=True)
     for name in TABLE_NAMES:
@@ -176,7 +183,7 @@ def build_corpus(spark: SparkSession, base: str, m: int, force: bool = False) ->
             SCALED[name](spark, base, m).write.mode("overwrite").parquet(tgt)
         else:
             os.symlink(os.path.join(base, f"{name}.parquet"), tgt)
-    open(marker, "w").write("ok")
+    open(marker, "w").write(stamp)
     return dest
 
 
@@ -233,7 +240,20 @@ def main() -> None:
                 gc.collect()
                 spark.catalog.clearCache()
                 spark.sparkContext._jvm.System.gc()
-        # scale boundary: drop the session-shared frames' memory pressure
+        # Scale boundary: the session cache pins this scale's
+        # localCheckpointed frames through live DataFrame refs —
+        # gc.collect/clearCache alone cannot release RDD-level checkpoint
+        # blocks while the registry dict still references them, so evict
+        # this sf_dir's entries explicitly before the next scale runs.
+        from dataengineer_scripts_spark import session_cache
+
+        done_dir = os.path.abspath(dirs[m])
+        for k in [k for k in session_cache._SESSION_FRAMES if k[1] == done_dir]:
+            df = session_cache._SESSION_FRAMES.pop(k)
+            try:
+                df.rdd.unpersist()
+            except Exception:
+                pass
         gc.collect()
         spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
