@@ -1,0 +1,135 @@
+"""Invariants of the scale-stress corpus construction (tools/scale_stress.py).
+
+The r11 scale-stress exponents in BASELINE.md are only meaningful if the
+derived corpora size the data up WITHOUT changing its statistical shape:
+within-replica duplicate/shingle structure preserved exactly, cross-replica
+similarity destroyed, embedding norms/geometry preserved within a replica.
+These tests pin those invariants at sf0.001 so a construction regression
+cannot silently invalidate a future round's published exponents.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_spec = importlib.util.spec_from_file_location(
+    "scale_stress", os.path.join(REPO, "tools", "scale_stress.py")
+)
+scale_stress = importlib.util.module_from_spec(_spec)
+sys.modules.setdefault("scale_stress", scale_stress)
+_spec.loader.exec_module(scale_stress)
+
+
+def test_document_replicas_preserve_dup_structure_and_stay_disjoint(spark, sf_dir):
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    x3 = scale_stress._replicate_documents(spark, sf_dir, 3)
+    n = base.count()
+    assert x3.count() == 3 * n
+    # ids disjoint across replicas, each replica a full copy
+    assert x3.select("doc_id").distinct().count() == 3 * n
+    # near-dup group structure triples EXACTLY: key docs by their first
+    # 10 WORDS (word-tagging is injective per word, so word-sequence
+    # equality — unlike char offsets — survives the transform bit-for-bit)
+    key = F.array_join(F.slice(F.split("text", " "), 1, 10), " ")
+
+    def dup_groups(df):
+        return (
+            df.groupBy(key.alias("k")).count().filter(F.col("count") > 1).count()
+        )
+
+    base_groups = dup_groups(base)
+    assert base_groups > 0  # fixture must exercise the invariant
+    assert dup_groups(x3) == 3 * base_groups
+    # exact-text dup groups replicate too (0 at this SF, 8 at sf0.1)
+    def exact_groups(df):
+        return df.groupBy("text").count().filter(F.col("count") > 1).count()
+
+    assert exact_groups(x3) == 3 * exact_groups(base)
+    # no text is shared between replicas (word-tagging destroys overlap)
+    reps = x3.withColumn(
+        "rep", (F.col("doc_id") / scale_stress.ID_STEP_DOC).cast("int")
+    )
+    cross = (
+        reps.alias("a")
+        .join(
+            reps.alias("b"),
+            (F.col("a.text") == F.col("b.text"))
+            & (F.col("a.rep") < F.col("b.rep")),
+        )
+        .count()
+    )
+    assert cross == 0
+    # word/char statistics shift only by the bounded tag prefix: token
+    # counts per doc are IDENTICAL to the base (tagging never merges or
+    # splits words)
+    def token_hist(df):
+        return sorted(
+            r[0]
+            for r in df.select(
+                F.size(F.filter(F.split("text", " "), lambda w: w != ""))
+            ).collect()
+        )
+
+    assert token_hist(reps.filter(F.col("rep") == 2).drop("rep")) == token_hist(base)
+
+
+def test_embedding_replicas_preserve_geometry_and_decorrelate(spark, sf_dir):
+    base = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    x2 = scale_stress._replicate_embeddings(spark, sf_dir, 2)
+    n = base.count()
+    assert x2.count() == 2 * n
+    norm = F.sqrt(F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x * x))
+    # norms preserved bit-for-bit-ish (float mult by +-1 is exact)
+    base_norms = {
+        r["vec_id"]: r["n"]
+        for r in base.select("vec_id", norm.alias("n")).collect()
+    }
+    rep_norms = {
+        r["vec_id"] - scale_stress.ID_STEP_DOC: r["n"]
+        for r in x2.filter(F.col("vec_id") >= scale_stress.ID_STEP_DOC)
+        .select("vec_id", norm.alias("n"))
+        .collect()
+    }
+    assert rep_norms == pytest.approx(base_norms)
+    # within-replica pairwise dot products preserved exactly: signs cancel
+    import numpy as np
+
+    b = base.orderBy("vec_id").limit(8).collect()
+    r1 = (
+        x2.filter(F.col("vec_id") >= scale_stress.ID_STEP_DOC)
+        .orderBy("vec_id")
+        .limit(8)
+        .collect()
+    )
+    bmat = np.array([row["embedding"] for row in b])
+    rmat = np.array([row["embedding"] for row in r1])
+    assert np.allclose(bmat @ bmat.T, rmat @ rmat.T, atol=1e-5)
+    # cross-replica similarity decorrelated: same-id pairs (identical
+    # vectors pre-flip) must NOT stay near-identical after the flip
+    bn = bmat / np.linalg.norm(bmat, axis=1, keepdims=True)
+    rn = rmat / np.linalg.norm(rmat, axis=1, keepdims=True)
+    same_id_cos = np.abs((bn * rn).sum(axis=1))
+    assert same_id_cos.max() < 0.9  # a rotation-style failure leaves ~1.0
+
+
+def test_corpus_marker_keyed_by_base(tmp_path, spark, monkeypatch):
+    monkeypatch.setattr(scale_stress, "STRESS_DIR", str(tmp_path))
+    d1 = scale_stress.build_corpus(spark, "/root/testdata/sf0.001", 1)
+    # same base: cached (marker readback short-circuits)
+    assert scale_stress.build_corpus(spark, "/root/testdata/sf0.001", 1) == d1
+    link = os.readlink(os.path.join(d1, "documents.parquet"))
+    assert link == "/root/testdata/sf0.001/documents.parquet"
+    # different base: must rebuild, and symlinks must be absolute even
+    # for a RELATIVE --base (the dangling-link regression)
+    rel_base = os.path.relpath("/root/testdata/sf0.01", os.getcwd())
+    d2 = scale_stress.build_corpus(spark, rel_base, 1)
+    link2 = os.readlink(os.path.join(d2, "documents.parquet"))
+    assert os.path.isabs(link2) and link2.endswith("sf0.01/documents.parquet")
+    assert os.path.exists(os.path.join(d2, "documents.parquet"))

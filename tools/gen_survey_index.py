@@ -31,6 +31,7 @@ PKG = "dataengineer_scripts_spark"
 def driver_state() -> dict[str, str]:
     """Latest per-id driver verdict across CORRECTNESS_r*.json rounds."""
     latest: dict[str, tuple[int, str]] = {}
+    defs = registry.definitions()  # invariant across the loop — hoisted
     for f in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         rnd = int(re.search(r"_r(\d+)\.json$", f).group(1))
         for name, row in json.load(open(f)).items():
@@ -55,7 +56,7 @@ def driver_state() -> dict[str, str]:
             # CORRECTNESS_r*.json is append-only history: ids renamed or
             # retired since still appear in old files — skip rather than
             # KeyError on them (r10 ADVICE item 3).
-            if name not in registry.definitions():
+            if name not in defs:
                 continue
             # compare on the PARSED round, not filename order — an
             # unpadded name (r9 vs r10) or round >= 100 sorts wrong

@@ -36,8 +36,11 @@ data).  Usage::
 
 Writes ``scale_stress_r11.json`` next to the repo root and prints one
 summary line per op.  Ops are timed bench-style (df.count(), housekeeping
-between ops, one session) — the FIRST shingle-family op per scale pays
-the session-shared shingle/pair build, exactly as in bench.py.
+between ops, one session).  With the default ``--samples 2`` the MIN of
+two runs is recorded, so every wall is the op's marginal steady-state
+cost over warm session-shared frames — the shingle/pair build cost is
+excluded uniformly at every scale (only ``--samples 1`` charges it to
+the first shingle-family op, bench.py-style).
 """
 
 from __future__ import annotations
@@ -182,7 +185,9 @@ def build_corpus(spark: SparkSession, base: str, m: int, force: bool = False) ->
         if name in SCALED and m > 1:
             SCALED[name](spark, base, m).write.mode("overwrite").parquet(tgt)
         else:
-            os.symlink(os.path.join(base, f"{name}.parquet"), tgt)
+            # absolute target: a relative --base would make the link
+            # resolve relative to the corpus dir, not the invocation cwd
+            os.symlink(os.path.join(stamp, f"{name}.parquet"), tgt)
     open(marker, "w").write(stamp)
     return dest
 
@@ -241,19 +246,17 @@ def main() -> None:
                 spark.catalog.clearCache()
                 spark.sparkContext._jvm.System.gc()
         # Scale boundary: the session cache pins this scale's
-        # localCheckpointed frames through live DataFrame refs —
-        # gc.collect/clearCache alone cannot release RDD-level checkpoint
-        # blocks while the registry dict still references them, so evict
-        # this sf_dir's entries explicitly before the next scale runs.
+        # localCheckpointed frames through live DataFrame refs — while
+        # the dict references them, gc.collect cannot drop the py4j refs
+        # and the ContextCleaner cannot release the checkpoint blocks.
+        # Evicting the entries and THEN collecting (bench.py's proven
+        # Python-gc-first mechanism) lets the cleaner reclaim them before
+        # the next scale allocates.
         from dataengineer_scripts_spark import session_cache
 
         done_dir = os.path.abspath(dirs[m])
         for k in [k for k in session_cache._SESSION_FRAMES if k[1] == done_dir]:
-            df = session_cache._SESSION_FRAMES.pop(k)
-            try:
-                df.rdd.unpersist()
-            except Exception:
-                pass
+            del session_cache._SESSION_FRAMES[k]
         gc.collect()
         spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
