@@ -1210,7 +1210,10 @@ def zorder_stats_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs as ZORDER_RANGE_PARTS parallel tasks.  Rank recovery is
     boundary-placement-independent (any range split of a total order
     yields the same global ranks), so the range partitioner's sampling
-    cannot perturb the answer."""
+    cannot perturb the answer.
+
+    Measured (r11 scale stress, BASELINE.md round-11 addendum): 11x
+    wall at 30x lineitem — sublinear on fixed cores, no funnel."""
     from pyspark.sql import Window
 
     z = table(spark, sf_dir, "lineitem").select(

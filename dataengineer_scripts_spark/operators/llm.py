@@ -549,7 +549,12 @@ def x_llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     members become highly correlated, entire bands agree/disagree
     together, and measured recall at sf0.1 dropped to ~99% (3 of 256 true
     J>=0.8 pairs missed) vs the ~5e-8 theoretical miss rate that
-    independent members (this formulation) restore."""
+    independent members (this formulation) restore.
+
+    Measured (r11 scale stress, BASELINE.md round-11 addendum): 28x
+    wall at 30x corpus with exactly-30x output pairs — the per-doc
+    128-hash signature build is inherently linear and dominates; no
+    superlinear pair blow-up at any measured scale."""
     sh = _shingle_rows(spark, sf_dir)
     sig = sh.groupBy("doc_id").agg(
         *[
@@ -810,7 +815,10 @@ def x_llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     and each unordered pair lands in exactly one cell, so no distinct.
     Memory bound per task: 2n/P vectors — smaller than a broadcast
     envelope.  At 100 TB the IVF/LSH blocking of ``x_llm_ann_ivf``
-    replaces exhaustive pairing — same math, pruned pair generation.  The
+    replaces exhaustive pairing — same math, pruned pair generation
+    (measured, r11 scale stress: this op walks its quadratic asymptote
+    by design — 59x wall at 30x corpus — while ann_ivf/ann_lsh stay
+    flat at 2-2.5 s across 1x-30x; BASELINE.md round-11 addendum).  The
     cosine is rounded to 6 decimals BEFORE thresholding on both engines:
     GEMM summation order differs from DuckDB's sequential list_sum fold,
     so an unrounded compare could flip membership of a pair within 1 ulp
@@ -3554,7 +3562,14 @@ def x_llm_ngram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     alternative, groupBy(w1) mass + join-back, would shuffle the
     bigram table a second time and the |vocab|-row mass frame is far
     too big to broadcast, so the window is the cheaper plan wherever
-    the successor distribution is non-degenerate."""
+    the successor distribution is non-degenerate.
+
+    Measured (r11, ``tools/ngram_window_bound.py`` — a synthetic bigram
+    table whose head word carries N successors, through this exact
+    window+projection shape): N=10^6 runs in ~1.3 s, a pathological
+    N=10^7 in ~6.2 s.  The bound holds with an order of headroom over
+    public web-corpus head sizes; the zipf two-level rank remains the
+    escape hatch if a corpus ever presents a >=10^8 successor set."""
     ws = F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
     pairs = (
         table(spark, sf_dir, "documents")

@@ -275,7 +275,11 @@ def x_llm_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary through one partition at 100 TB.  The localCheckpoint is
     the usual consistency barrier: counts/offsets/join must read ONE
     pid assignment since range-boundary sampling differs per execution.
-    The moments then collapse to one row."""
+    The moments then collapse to one row.
+
+    Measured (r11 scale stress, BASELINE.md round-11 addendum): 1.4x
+    wall at 30x corpus — the two-level shape's fixed cost dominates and
+    the per-row work stays fully parallel."""
     numbered = _zipf_numbered(spark, sf_dir).localCheckpoint()
     offsets = (
         numbered.groupBy("pid")
