@@ -81,76 +81,75 @@ def _load_all() -> None:
 
 
 # The grading driver only records CORRECTNESS rows for the first ~50 ids it
-# sees; the window ROTATES each round to keep attestations fresh.  Round 11
-# is the first of two freshness rounds (r10 verdict item 1): 78 ids were
-# last driver-graded on r5/r6-era code and the engine under them has since
-# changed (session-shared frames, rebalanced(), shingle-hash narrowing).
-# This window carries: (1) the ONE new op — the Excel value-gate companion
-# (r10 verdict item 5) — which has never been graded; (2) the entire r5
-# cohort (31 ids: the fn_*/flt-adjacent scalar layer, join/lim/snk/src
-# reference core); (3) the 18 highest-risk r6 ids — the shingle/dedup/
-# kNN family whose hot paths the session_cache and shingle-hash rework
-# touched most.  The 4 rows-only ids among them sit at the window tail so
-# a 49-wide window drops weak attestations, not oracle ones.  Remaining
-# 29 r6 ids (streams, multimodal, the lighter LLM text ops) front r12.
-# Purely an ordering change: same keys, same callables, same oracles.
+# sees; the window ROTATES each round to keep attestations fresh.  Round 12
+# closes the freshness program (r11 verdict item 1): after the r11 window,
+# exactly 29 ids still carried r6-era driver grades — the streaming family,
+# the multimodal block, and the lighter r6 text/LLM wave.  The engine under
+# them has since gained session-shared frames and rebalanced().  This window
+# fronts all 29, padded to 50 with the 21 stalest r7-era ids (the agg_*/
+# exec_* reference core plus the joins/windows/ETL ops the r12 scale-stress
+# extension touches: sessionize, upsert-materialize, zorder-sharded).  The
+# 3 rows-only ids among the 29 sit at the window tail so a 49-wide window
+# drops a weak attestation, not an oracle one.  After this window every id
+# in the registry carries a ≥r7-era driver grade.  The tuple is purely an
+# ordering change: same keys, same callables, same oracles; no new ids.
 _PRIORITY_NAMES = (
-    # (1) new in r11, never graded: workbook value gate for the Excel sink
-    "snk_excel_values",
-    # (2) the r5 cohort — stalest attestations in the registry
-    "fn_case_status",
-    "fn_date_extract",
-    "fn_date_ge",
-    "fn_hour_mod_arith",
-    "fn_json_parse",
-    "fn_json_serialize",
-    "fn_lower",
-    "fn_map_lookup",
-    "fn_str_concat",
-    "fn_time_lt",
-    "fn_ts_format",
-    "fn_ts_parse_fmt",
-    "fn_tz_convert",
-    "join_memo_dedup",
-    "join_point_lookup",
-    "join_url_construct",
-    "lim_first_match",
-    "lim_page_fetch",
-    "snk_http_post",
-    "snk_json_records",
-    "snk_parquet_partitioned",
-    "snk_stdout_progress",
-    "src_jdbc_select",
-    "src_json_file",
-    "src_parquet_schema_evolution",
-    "src_rest_auth",
-    "src_rest_get",
-    "src_rest_limit_push",
-    # (3) r6 ids whose hot paths changed most since grading: the shared
-    # shingle frame (session_cache), rebalanced(), shingle-hash narrowing
-    "x_llm_dedup_exact",
-    "x_llm_dedup_minhash",
-    "x_llm_dedup_ngram_jaccard",
-    "x_llm_dedup_clusters",
-    "x_llm_dedup_embed",
-    "x_llm_dedup_incremental",
-    "x_llm_dedup_incremental_indexed",
-    "x_llm_decontaminate",
-    "x_llm_dup_spans",
-    "x_llm_fingerprint",
-    "x_llm_semdedup",
-    "x_llm_knn_cosine",
-    "x_llm_knn_batch",
-    "x_llm_knn_batch_blocked",
-    "x_llm_nearest_class",
-    "x_llm_ngram_lm_counts",
-    "x_llm_vocab_topk",
-    # rows-only by design at the tail: if the window is 49 wide instead of
-    # 50, these weak attestations are the ones to slip, not oracle ids
-    "x_llm_dedup_simhash",
-    "snk_excel_styled",
-    "x_agg_approx_distinct",
-    "x_agg_approx_quantile",
+    # (1) the 26 oracle-bearing r6-era ids — last cohort of the freshness
+    # rotation: streaming windows, multimodal, light LLM text ops
+    "x_stream_dedup",
+    "x_stream_join",
+    "x_stream_rest_poll",
+    "x_stream_session",
+    "x_stream_sliding",
+    "x_stream_stateful",
+    "x_stream_stream_join",
+    "x_stream_tumbling",
+    "x_stream_watermark_late",
+    "x_mm_audio_chunk",
+    "x_mm_binary_decode",
+    "x_mm_frame_sample",
+    "x_mm_image_resize",
+    "x_mm_record",
+    "x_llm_bpe_pair_counts",
+    "x_llm_chunk_windows",
+    "x_llm_embed_quantize",
+    "x_llm_lang_id",
+    "x_llm_lm_doc_score",
+    "x_llm_pack_sequences",
+    "x_llm_pii_scrub",
+    "x_llm_quality_score",
+    "x_llm_repetition_score",
+    "x_llm_sample_stratified",
+    "x_llm_text_normalize",
+    "x_llm_token_count",
+    # (2) the 21 stalest r7-era ids: reference-core agg_*/exec_*, plus the
+    # joins/windows/ETL ops this round's scale-stress extension measures
+    "agg_collect_errors",
+    "agg_count_threshold",
+    "agg_exists_to_status",
+    "agg_first_per_key",
+    "exec_async",
+    "exec_memo_cache",
+    "exec_retry",
+    "exec_sequential",
+    "x_stream_upsert_materialize",
+    "x_win_sessionize",
+    "x_join_asof",
+    "x_join_bucketed",
+    "x_join_skew_salted",
+    "x_llm_pack_sequences_sharded",
+    "x_llm_text_stats",
+    "x_etl_zorder_stats_sharded",
+    "x_scan_parquet",
+    "x_topk_per_group",
+    "x_udf_pandas",
+    "x_etl_scd2_merge",
+    "x_llm_dedup_keep_best",
+    # (3) rows-only-by-design r6 ids at the tail: if the window is 49 wide
+    # instead of 50, these weak attestations are the ones to slip
+    "x_llm_ann_ivf",
+    "x_llm_ann_lsh",
+    "x_stream_smoke",
 )
 _PRIORITY_RANK = {n: i for i, n in enumerate(_PRIORITY_NAMES)}
 

@@ -234,10 +234,27 @@ def read_xlsx(path: str) -> dict:
     ``{"rows": {row_number: [values...]}, "row_fills": {row_number: hex},
     "merges": [ranges], "column_widths": {letter: width},
     "header_fill": hex}``.  Handles the subset ``write_xlsx`` emits
-    (inline strings, numbers, booleans, solid fills)."""
+    (inline strings, numbers, booleans, solid fills) PLUS shared-string
+    cells (``t="s"`` + ``xl/sharedStrings.xml``) and formula-string cells
+    (``t="str"``), which openpyxl emits for text — so the
+    ``snk_excel_values`` gate reads the same values whichever writer
+    ``write_excel_styled`` dispatched to (r11 advice item 1)."""
     with zipfile.ZipFile(path) as zf:
         styles = ET.fromstring(zf.read("xl/styles.xml"))
         sheet = ET.fromstring(zf.read("xl/worksheets/sheet1.xml"))
+        try:
+            shared_xml = zf.read("xl/sharedStrings.xml")
+        except KeyError:
+            shared_xml = None
+
+    # a shared string <si> is either one <t> or rich-text runs <r><t>…;
+    # concatenate every descendant <t> to cover both
+    shared: list[str] = []
+    if shared_xml is not None:
+        for si in ET.fromstring(shared_xml).iter(f"{{{_NS['m']}}}si"):
+            shared.append(
+                "".join(t.text or "" for t in si.iter(f"{{{_NS['m']}}}t"))
+            )
 
     fill_colors: list[str | None] = []
     for fill in styles.find("m:fills", _NS):
@@ -263,6 +280,10 @@ def read_xlsx(path: str) -> dict:
                 v = c.find("m:v", _NS)
                 if v is None:
                     values.append(None)
+                elif t == "s":
+                    values.append(shared[int(v.text)])
+                elif t == "str":
+                    values.append(v.text or "")
                 elif t == "b":
                     values.append(v.text == "1")
                 else:

@@ -280,6 +280,50 @@ def test_xlsx_writer_escapes_and_types(tmp_path):
     assert open(p, "rb").read() == open(p2, "rb").read()
 
 
+def test_read_xlsx_resolves_shared_and_formula_strings(tmp_path):
+    """openpyxl (when installed) writes text as shared strings (``t="s"``
+    + ``xl/sharedStrings.xml``) rather than inline strings, and formula
+    results as ``t="str"`` — read_xlsx must resolve both so the
+    snk_excel_values gate reads identical values whichever writer
+    write_excel_styled dispatched to (r11 advice item 1).  Hand-build the
+    smallest such workbook with the module's own part templates."""
+    import zipfile
+
+    from dataengineer_scripts_spark import xlsx as X
+
+    ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    shared = (
+        f'<sst xmlns="{ns}" count="3" uniqueCount="2">'
+        "<si><t>hello</t></si>"
+        # rich-text runs: openpyxl emits these for styled substrings
+        "<si><r><t>wo</t></r><r><t>rld</t></r></si>"
+        "</sst>"
+    )
+    sheet = (
+        f'<worksheet xmlns="{ns}"><sheetData>'
+        '<row r="1">'
+        '<c r="A1" t="s"><v>0</v></c>'
+        '<c r="B1" t="s"><v>1</v></c>'
+        '<c r="C1" t="str"><v>=ish</v></c>'
+        '<c r="D1"><v>42</v></c>'
+        "</row>"
+        '<row r="2"><c r="A2" t="s"><v>0</v></c></row>'
+        "</sheetData></worksheet>"
+    )
+    p = str(tmp_path / "shared.xlsx")
+    with zipfile.ZipFile(p, "w") as zf:
+        zf.writestr("[Content_Types].xml", X._CONTENT_TYPES)
+        zf.writestr("_rels/.rels", X._ROOT_RELS)
+        zf.writestr("xl/workbook.xml", X._WORKBOOK)
+        zf.writestr("xl/_rels/workbook.xml.rels", X._WORKBOOK_RELS)
+        zf.writestr("xl/styles.xml", X._styles_xml([]))
+        zf.writestr("xl/sharedStrings.xml", shared)
+        zf.writestr("xl/worksheets/sheet1.xml", sheet)
+    wb = X.read_xlsx(p)
+    assert wb["rows"][1] == ["hello", "world", "=ish", 42]
+    assert wb["rows"][2] == ["hello"]
+
+
 def test_memo_cache_computes_once_per_key(spark, sf_dir):
     from dataengineer_scripts_spark.operators.etl import exec_memo_cache
 

@@ -133,3 +133,97 @@ def test_corpus_marker_keyed_by_base(tmp_path, spark, monkeypatch):
     link2 = os.readlink(os.path.join(d2, "documents.parquet"))
     assert os.path.isabs(link2) and link2.endswith("sf0.01/documents.parquet")
     assert os.path.exists(os.path.join(d2, "documents.parquet"))
+
+
+def test_document_replicas_leave_empty_tokens_untagged(tmp_path, spark):
+    """Consecutive/leading spaces split to '' tokens; tagging those would
+    mint new words 'r{r}' that exist in no base doc, changing token
+    counts and shingle structure vs the base (r11 advice item 2).  The
+    shipped fixtures contain no empty split tokens (verified: zero docs
+    match '%  %'/' %'/'% ' at sf0.001–sf0.1), so this pins the guard on
+    a synthetic corpus where they DO occur."""
+    base = str(tmp_path / "base")
+    os.makedirs(base)
+    spark.createDataFrame(
+        [(1, "a  b", "en", "web", 4), (2, " lead trail ", "en", "web", 12)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{base}/documents.parquet")
+    x2 = scale_stress._replicate_documents(spark, base, 2)
+    rep = {
+        r["doc_id"] - scale_stress.ID_STEP_DOC: r["text"]
+        for r in x2.filter(
+            F.col("doc_id") >= scale_stress.ID_STEP_DOC
+        ).collect()
+    }
+    # empty tokens stay empty (separators preserved), words get tagged
+    assert rep[1] == "r1a  r1b"
+    assert rep[2] == " r1lead r1trail "
+    # token multiset sizes (non-empty) identical to base — the invariant
+    # the published exponents rest on
+    base_counts = [2, 2]
+    assert [
+        len([w for w in t.split(" ") if w]) for _, t in sorted(rep.items())
+    ] == base_counts
+
+
+def test_event_replicas_scale_user_population_linearly(spark, sf_dir):
+    """events ×M must be M fresh user populations with IDENTICAL per-user
+    history — session counts, CDC keys and latest-per-user states then
+    scale exactly linearly, which is what the r12 stress exponents
+    measure.  Offsetting only event_id would instead deepen each user's
+    partition M× (a skew pathology, not a bigger corpus)."""
+    from dataengineer_scripts_spark.tables import table
+
+    base = table(spark, sf_dir, "events")
+    x3 = scale_stress._replicate_events(spark, sf_dir, 3)
+    n = base.count()
+    assert x3.count() == 3 * n
+    # ids disjoint: both key spaces triple
+    assert x3.select("user_id").distinct().count() == 3 * base.select(
+        "user_id"
+    ).distinct().count()
+    assert x3.select("event_id").distinct().count() == 3 * n
+    # replica 2's per-user history is the base's, bit for bit: strip the
+    # offsets and compare full rows (ts/type/value/props untouched)
+    rep2 = x3.filter(
+        F.col("user_id") >= 2 * scale_stress.ID_STEP_DOC
+    ).withColumns(
+        {
+            "user_id": F.col("user_id") - 2 * scale_stress.ID_STEP_DOC,
+            "event_id": F.col("event_id") - 2 * scale_stress.ID_STEP_FACT,
+        }
+    )
+    assert sorted(map(tuple, rep2.collect())) == sorted(
+        map(tuple, base.collect())
+    )
+    # downstream linearity on a real consumer: session count triples
+    # (resolve via the registry — operator modules must load in registry
+    # order, a direct module import would race oracle_of dependencies)
+    from dataengineer_scripts_spark import registry
+
+    x_win_sessionize = registry.queries()["x_win_sessionize"]
+
+    base_dir = str(sf_dir)
+    x3_dir = os.path.join(str(scale_stress.STRESS_DIR), "_test_x3_events")
+    os.makedirs(x3_dir, exist_ok=True)
+    try:
+        x3.write.mode("overwrite").parquet(f"{x3_dir}/events.parquet")
+        n_sessions_base = x_win_sessionize(spark, base_dir).count()
+        n_sessions_x3 = x_win_sessionize(spark, x3_dir).count()
+        assert n_sessions_x3 == 3 * n_sessions_base
+    finally:
+        import shutil
+
+        shutil.rmtree(x3_dir, ignore_errors=True)
+
+
+def test_order_replicas_deepen_facts_per_dimension_key(spark, sf_dir):
+    base = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    x2 = scale_stress._replicate_orders(spark, sf_dir, 2)
+    n = base.count()
+    assert x2.count() == 2 * n
+    assert x2.select("o_orderkey").distinct().count() == 2 * n
+    # dimension keys stay fixture-bounded: same custkey set, 2x depth
+    assert sorted(
+        r[0] for r in x2.select("o_custkey").distinct().collect()
+    ) == sorted(r[0] for r in base.select("o_custkey").distinct().collect())

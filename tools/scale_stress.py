@@ -27,6 +27,12 @@ shape, so exponents measure the engine, not a pathology:
   measures the corpus pathology, not the engine.)
 - ``lineitem`` ×M: replica r offsets l_orderkey by r·10^9 (fact keys grow
   with the data; dimension keys stay fixture-bounded, like production).
+- ``events`` ×M (r12): replica r offsets user_id by r·10^7 and event_id
+  by r·10^9 — a fresh user population with identical per-user history,
+  so sessions/CDC keys/user-day facts scale exactly linearly.
+- ``orders`` ×M (r12): replica r offsets o_orderkey by r·10^9 (matches
+  the lineitem offset); o_custkey stays fixture-bounded, so
+  facts-per-dimension-key deepen M× like a real warehouse.
 
 All other tables are symlinked at 1x (dimensions don't scale with fact
 data).  Usage::
@@ -34,7 +40,7 @@ data).  Usage::
     python tools/scale_stress.py                  # 1,3,10 x sf0.1
     python tools/scale_stress.py --multipliers 1,10 --ops x_llm_dedup_minhash
 
-Writes ``scale_stress_r11.json`` next to the repo root and prints one
+Writes ``scale_stress_r12.json`` next to the repo root and prints one
 summary line per op.  Ops are timed bench-style (df.count(), housekeeping
 between ops, one session).  With the default ``--samples 2`` the MIN of
 two runs is recorded, so every wall is the op's marginal steady-state
@@ -82,6 +88,17 @@ DEFAULT_OPS = [
     "x_llm_dedup_embed",
     "x_llm_knn_batch_blocked",  # all-pairs by SPEC: expect exponent ~2
     "x_etl_zorder_stats_sharded",
+    # r12 extension (r11 verdict #3): the streaming/stateful and
+    # heavy-relational ops whose 100 TB posture previously rested on plan
+    # shape alone.  All are events/orders-driven; output rows scale
+    # exactly linearly except rolling_distinct and audience_overlap,
+    # whose outputs are day-/type-grain CONSTANT while the work scales.
+    "x_win_sessionize",
+    "x_agg_rolling_distinct",
+    "x_agg_audience_overlap",
+    "x_etl_cdc_compact",
+    "x_join_scd2_pointintime",
+    "x_stream_upsert_materialize",
 ]
 
 ID_STEP_DOC = 10_000_000
@@ -95,8 +112,17 @@ def _replicate_documents(spark: SparkSession, base: str, m: int):
         if r == 0:
             parts.append(src)
             continue
+        # tag only NON-EMPTY tokens (r11 advice item 2): consecutive or
+        # leading spaces split to '' tokens, and prefixing those would
+        # mint new words 'r{r}' that exist in no base doc — changing
+        # token counts and shingle structure vs the base corpus
         tagged = F.array_join(
-            F.transform(F.split(F.col("text"), " "), lambda w: F.concat(F.lit(f"r{r}"), w)),
+            F.transform(
+                F.split(F.col("text"), " "),
+                lambda w: F.when(
+                    w != "", F.concat(F.lit(f"r{r}"), w)
+                ).otherwise(w),
+            ),
             " ",
         )
         parts.append(
@@ -158,20 +184,75 @@ def _replicate_lineitem(spark: SparkSession, base: str, m: int):
     return out
 
 
+def _replicate_events(spark: SparkSession, base: str, m: int):
+    """events ×M: replica r offsets user_id by r·10^7 and event_id by
+    r·10^9 — each replica is a fresh user population with the SAME
+    per-user event history, so session counts, CDC keys, distinct
+    (user, day) facts and latest-per-user states all scale EXACTLY
+    linearly (offsetting only event_id would instead deepen every
+    per-user partition M× — a skew pathology, not a bigger corpus).
+    Timestamps/types/values are untouched, so the day grain and the
+    type universe stay fixture-bounded like production.  Read through
+    ``tables.table`` (the fixture's ns-timestamp gotcha); the written
+    replica carries plain µs timestamps, which the loader passes
+    through unchanged."""
+    from dataengineer_scripts_spark.tables import table
+
+    src = table(spark, base, "events")
+    parts = [src]
+    for r in range(1, m):
+        parts.append(
+            src.withColumns(
+                {
+                    "event_id": F.col("event_id") + r * ID_STEP_FACT,
+                    "user_id": F.col("user_id") + r * ID_STEP_DOC,
+                }
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _replicate_orders(spark: SparkSession, base: str, m: int):
+    """orders ×M: replica r offsets o_orderkey by r·10^9 (consistent with
+    the lineitem replica, so order↔lineitem joins stay intact across
+    replicas).  o_custkey is NOT offset — dimensions stay fixture-bounded,
+    so facts-per-dimension-key grow M× exactly as a real warehouse grows
+    against a slowly-changing dimension (the shape the SCD2 point-in-time
+    window must absorb)."""
+    src = spark.read.parquet(f"{base}/orders.parquet")
+    parts = [src]
+    for r in range(1, m):
+        parts.append(
+            src.withColumn("o_orderkey", F.col("o_orderkey") + r * ID_STEP_FACT)
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 SCALED = {
     "documents": _replicate_documents,
     "embeddings": _replicate_embeddings,
     "lineitem": _replicate_lineitem,
+    "events": _replicate_events,
+    "orders": _replicate_orders,
 }
 
 
 def build_corpus(spark: SparkSession, base: str, m: int, force: bool = False) -> str:
     """Materialize the xM derived fixture dir; idempotent per multiplier."""
     dest = os.path.join(STRESS_DIR, f"x{m}")
-    # marker carries the BASE the corpus derives from: a later run with a
-    # different --base must rebuild, not silently reuse old-base parquet
+    # marker carries the BASE the corpus derives from AND the construction
+    # version: a later run with a different --base, or against a corpus
+    # built by an older construction (r11 left events/orders symlinked and
+    # tagged empty doc tokens), must rebuild, not silently reuse
     marker = os.path.join(dest, ".complete")
-    stamp = os.path.abspath(base)
+    base_abs = os.path.abspath(base)
+    stamp = f"{base_abs}#v2"
     if not force:
         try:
             if open(marker).read() == stamp:
@@ -187,7 +268,7 @@ def build_corpus(spark: SparkSession, base: str, m: int, force: bool = False) ->
         else:
             # absolute target: a relative --base would make the link
             # resolve relative to the corpus dir, not the invocation cwd
-            os.symlink(os.path.join(stamp, f"{name}.parquet"), tgt)
+            os.symlink(os.path.join(base_abs, f"{name}.parquet"), tgt)
     open(marker, "w").write(stamp)
     return dest
 
@@ -211,7 +292,7 @@ def main() -> None:
     ap.add_argument("--base", default="/root/testdata/sf0.1")
     ap.add_argument("--multipliers", default="1,3,10")
     ap.add_argument("--ops", default=",".join(DEFAULT_OPS))
-    ap.add_argument("--out", default=os.path.join(REPO, "scale_stress_r11.json"))
+    ap.add_argument("--out", default=os.path.join(REPO, "scale_stress_r12.json"))
     ap.add_argument("--force-rebuild", action="store_true")
     # min-of-2 damps the shared-JVM moving-victim stalls (BASELINE.md's
     # noise methodology); sample 2 runs with warm session-shared frames,
