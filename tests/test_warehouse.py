@@ -155,6 +155,32 @@ def test_approx_quantile_is_single_partial_aggregate(spark, sf_dir):
     assert "Sort" not in plan
 
 
+# --- x_agg_approx_distinct ----------------------------------------------------
+
+
+def test_approx_distinct_within_rsd_envelope_of_exact_twin(spark, sf_dir):
+    """``x_agg_approx_distinct`` is rows-only at the driver (HLL++ sketch
+    values are engine-specific); this is its local correctness gate — the
+    estimate must sit within the configured 5% rsd envelope (3 sigma) of
+    the hash-matched exact twin ``x_agg_count_distinct`` on every group,
+    and the two must agree on the group universe."""
+    exact = {
+        r["o_orderpriority"]: r["n_custs"]
+        for r in DEFS["x_agg_count_distinct"].fn(spark, sf_dir).collect()
+    }
+    approx = {
+        r["o_orderpriority"]: r["approx_custs"]
+        for r in DEFS["x_agg_approx_distinct"].fn(spark, sf_dir).collect()
+    }
+    assert approx.keys() == exact.keys()
+    for k, est in approx.items():
+        assert abs(est - exact[k]) <= max(3, 0.15 * exact[k]), (
+            k,
+            est,
+            exact[k],
+        )
+
+
 # --- x_etl_compact_small_files ----------------------------------------------
 
 
