@@ -1699,7 +1699,9 @@ def x_etl_cdc_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     spelling) would sort every key group — at a 100 TB log the
     aggregate form shuffles key-cardinality candidates instead of
     sorting the log, and all three shuffles hash the same key prefix so
-    AQE reuses the exchange."""
+    AQE reuses the exchange.  Measured (r12 stress, events ×30 as fresh
+    user populations): 4.3x wall at 30x log, compacted keys exactly 30x
+    (7.5k -> 225k) — `scale_stress_r12_x30.json`."""
     ev = table(spark, sf_dir, "events").select(
         "user_id", "event_type", "ts", "event_id", "value"
     )

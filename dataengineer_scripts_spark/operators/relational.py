@@ -1289,7 +1289,11 @@ def x_win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange.  Tie-break on event_id keeps the lag ordering total under
     duplicate timestamps — which assumes (user_id, ts, event_id) is a key
     of events (table contract; asserted by
-    ``tests/test_properties.py::test_events_tiebreak_key_is_unique``)."""
+    ``tests/test_properties.py::test_events_tiebreak_key_is_unique``).
+
+    Measured (r12 stress, 30x events replicas with fresh user
+    populations): 1.9x wall at 30x data, session rows exactly 30x
+    (95k -> 2.86M) — `scale_stress_r12_x30.json`."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev = F.lag("ts").over(w)
     is_new = F.when(
@@ -2029,7 +2033,9 @@ def x_agg_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     At 100 TB: dedup of (user, day) is the dominant aggregate and is
     map-side combinable; the 7× cover explode multiplies the DEDUPED
-    frame, not raw events."""
+    frame, not raw events.  Measured (r12 stress): 3.5x wall at 30x
+    events, output constant at the day grain —
+    `scale_stress_r12_x30.json`."""
     ud = (
         table(spark, sf_dir, "events")
         .select(
@@ -2697,7 +2703,10 @@ def x_join_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
     key — versus the naive range join (fact × every version, then
     max-filter) which doubles the fact shuffle and risks BNL on the
     range predicate.  At 100 TB the union's dim side is version-count-
-    sized, a rounding error against the fact stream."""
+    sized, a rounding error against the fact stream.  Measured (r12
+    stress, orders ×30 deepening facts per dimension key): 1.2x wall at
+    30x facts, joined rows exactly 30x (150k -> 4.5M) —
+    `scale_stress_r12_x30.json`."""
     c = table(spark, sf_dir, "customer")
     v1 = c.select(
         F.col("c_custkey").alias("k"),
@@ -2959,7 +2968,9 @@ def x_agg_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes are a types-sized frame joined broadcast; one final pair
     aggregate.  The deduped frame is localCheckpointed — it feeds the
     sizes and both join sides, and without the barrier each consumer
-    would re-scan events."""
+    would re-scan events.  Measured (r12 stress): 2.1x wall at 30x
+    events, output constant at the type-pair grain —
+    `scale_stress_r12_x30.json`."""
     # ut feeds THREE consumers (sizes + both join sides): materialize the
     # deduped frame once (keep_best's localCheckpoint pattern) so events
     # is scanned a single time, not once per consumer

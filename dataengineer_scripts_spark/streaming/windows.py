@@ -433,7 +433,9 @@ def x_stream_upsert_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     (keys-sized output); the state location grows by keys-per-batch and
     compaction is one aggregate over appended snapshots — the pattern a
     lakehouse MERGE performs, minus the transaction log this sandbox
-    doesn't ship."""
+    doesn't ship.  Measured (r12 stress): 2.0x wall at 30x events
+    through the full stage-split-run-compact cycle, upserted keys
+    exactly 30x (1.5k -> 45k) — `scale_stress_r12_x30.json`."""
     import tempfile
 
     from .runtime import stream_events_split
