@@ -363,24 +363,33 @@ def snk_excel_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         "summary_job.xlsx",
     )
     write_excel_styled(report, out)
-    book = read_xlsx(out)
-    data = [
+    return spark.createDataFrame(
+        _workbook_records(read_xlsx(out)),
+        "user_id bigint, last_ts timestamp, status string, "
+        "error_note string, n_err bigint, fill string",
+    )
+
+
+def _workbook_records(book: dict) -> list[tuple]:
+    """Sheet rows → gate records for ``snk_excel_values``.  Split out so
+    the writer-variant renderings are unit-testable without a Spark
+    session or a specific writer installed."""
+    return [
         (
             int(vals[0]),  # A: user_id
             datetime.fromisoformat(str(vals[1])),  # B: last_ts (docstring)
             str(vals[2]),  # C: status
-            str(vals[3]),  # D: error_note ('' for healthy rows)
+            # D: error_note — '' for healthy rows; openpyxl (when
+            # installed) stores an empty-string cell as a VALUELESS cell
+            # (<c/> with no <v>), which read_xlsx returns as None, so
+            # None must render back to '' and never the string 'None'
+            "" if vals[3] is None else str(vals[3]),
             int(vals[4]),  # E: n_err
             book["row_fills"][r] or "",
         )
         for r, vals in sorted(book["rows"].items())
         if r >= 3  # rows 1-2 are the merged title + column-name header
     ]
-    return spark.createDataFrame(
-        data,
-        "user_id bigint, last_ts timestamp, status string, "
-        "error_note string, n_err bigint, fill string",
-    )
 
 
 @register(

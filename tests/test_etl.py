@@ -306,6 +306,7 @@ def test_read_xlsx_resolves_shared_and_formula_strings(tmp_path):
         '<c r="B1" t="s"><v>1</v></c>'
         '<c r="C1" t="str"><v>=ish</v></c>'
         '<c r="D1"><v>42</v></c>'
+        '<c r="E1" s="0"/>'  # valueless: openpyxl's empty-string cell
         "</row>"
         '<row r="2"><c r="A2" t="s"><v>0</v></c></row>'
         "</sheetData></worksheet>"
@@ -320,8 +321,31 @@ def test_read_xlsx_resolves_shared_and_formula_strings(tmp_path):
         zf.writestr("xl/sharedStrings.xml", shared)
         zf.writestr("xl/worksheets/sheet1.xml", sheet)
     wb = X.read_xlsx(p)
-    assert wb["rows"][1] == ["hello", "world", "=ish", 42]
+    assert wb["rows"][1] == ["hello", "world", "=ish", 42, None]
     assert wb["rows"][2] == ["hello"]
+
+
+def test_workbook_records_render_valueless_error_note_as_empty():
+    """openpyxl stores an empty-string cell as a VALUELESS cell (no <v>),
+    which read_xlsx returns as None — the snk_excel_values gate must
+    render that back to '' (the oracle's healthy-row error_note), never
+    the string 'None' (review finding, round 12)."""
+    from dataengineer_scripts_spark.operators.etl import _workbook_records
+
+    book = {
+        "rows": {
+            1: ["Summary"],
+            2: ["user_id", "last sync", "status", "error note", "n_err"],
+            3: [7, "2024-01-28T09:30:00", "Success", None, 0],
+            4: [9, "2024-01-20T01:00:00", "Failed", "boom", 2],
+        },
+        "row_fills": {3: "C6EFCE", 4: None},
+    }
+    recs = _workbook_records(book)
+    assert recs[0][3] == ""  # None cell -> '' like the oracle
+    assert recs[0][5] == "C6EFCE"
+    assert recs[1][3] == "boom"
+    assert recs[1][5] == ""  # fill-less row -> '' not None
 
 
 def test_memo_cache_computes_once_per_key(spark, sf_dir):

@@ -14,24 +14,15 @@ without flaking on shared-JVM noise."""
 
 from __future__ import annotations
 
-import importlib.util
-import os
 import shutil
-import sys
 import time
 
 import pytest
 
-REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+from tests.conftest import SF_MED as BASE
+from tests.conftest import load_scale_stress
 
-_spec = importlib.util.spec_from_file_location(
-    "scale_stress", os.path.join(REPO, "tools", "scale_stress.py")
-)
-scale_stress = importlib.util.module_from_spec(_spec)
-sys.modules.setdefault("scale_stress", scale_stress)
-_spec.loader.exec_module(scale_stress)
-
-BASE = "/root/testdata/sf0.01"
+scale_stress = load_scale_stress()
 # one linear-by-construction op per replicated fact table: documents
 # (minhash dedup) and events (sessionize)
 OPS = ["x_llm_dedup_minhash", "x_win_sessionize"]

@@ -10,21 +10,14 @@ cannot silently invalidate a future round's published exponents.
 
 from __future__ import annotations
 
-import importlib.util
 import os
-import sys
 
 import pytest
 from pyspark.sql import functions as F
 
-REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+from tests.conftest import load_scale_stress
 
-_spec = importlib.util.spec_from_file_location(
-    "scale_stress", os.path.join(REPO, "tools", "scale_stress.py")
-)
-scale_stress = importlib.util.module_from_spec(_spec)
-sys.modules.setdefault("scale_stress", scale_stress)
-_spec.loader.exec_module(scale_stress)
+scale_stress = load_scale_stress()
 
 
 def test_document_replicas_preserve_dup_structure_and_stay_disjoint(spark, sf_dir):

@@ -134,10 +134,7 @@ def _replicate_documents(spark: SparkSession, base: str, m: int):
                 F.length(tagged).cast("long").alias("n_chars"),
             )
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    return _union_replicas(parts[0], parts[1:])
 
 
 def _replicate_embeddings(spark: SparkSession, base: str, m: int):
@@ -165,23 +162,36 @@ def _replicate_embeddings(spark: SparkSession, base: str, m: int):
                 "label",
             )
         )
-    out = parts[0]
-    for p in parts[1:]:
+    return _union_replicas(parts[0], parts[1:])
+
+
+def _union_replicas(src, replicas):
+    """Fold src ∪ replicas by name — the union shared by every
+    replicator."""
+    out = src
+    for p in replicas:
         out = out.unionByName(p)
     return out
+
+
+def _offset_fact_keys(src, m: int, offsets: dict[str, int]):
+    """Fact-table ×M: replica r adds r·step to each named key column —
+    fresh key populations with identical per-key content, dimensions
+    untouched.  Shared by the lineitem/orders/events replicators."""
+    return _union_replicas(
+        src,
+        [
+            src.withColumns(
+                {k: F.col(k) + r * step for k, step in offsets.items()}
+            )
+            for r in range(1, m)
+        ],
+    )
 
 
 def _replicate_lineitem(spark: SparkSession, base: str, m: int):
     src = spark.read.parquet(f"{base}/lineitem.parquet")
-    parts = [src]
-    for r in range(1, m):
-        parts.append(
-            src.withColumn("l_orderkey", F.col("l_orderkey") + r * ID_STEP_FACT)
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    return _offset_fact_keys(src, m, {"l_orderkey": ID_STEP_FACT})
 
 
 def _replicate_events(spark: SparkSession, base: str, m: int):
@@ -198,21 +208,11 @@ def _replicate_events(spark: SparkSession, base: str, m: int):
     through unchanged."""
     from dataengineer_scripts_spark.tables import table
 
-    src = table(spark, base, "events")
-    parts = [src]
-    for r in range(1, m):
-        parts.append(
-            src.withColumns(
-                {
-                    "event_id": F.col("event_id") + r * ID_STEP_FACT,
-                    "user_id": F.col("user_id") + r * ID_STEP_DOC,
-                }
-            )
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    return _offset_fact_keys(
+        table(spark, base, "events"),
+        m,
+        {"event_id": ID_STEP_FACT, "user_id": ID_STEP_DOC},
+    )
 
 
 def _replicate_orders(spark: SparkSession, base: str, m: int):
@@ -223,15 +223,7 @@ def _replicate_orders(spark: SparkSession, base: str, m: int):
     against a slowly-changing dimension (the shape the SCD2 point-in-time
     window must absorb)."""
     src = spark.read.parquet(f"{base}/orders.parquet")
-    parts = [src]
-    for r in range(1, m):
-        parts.append(
-            src.withColumn("o_orderkey", F.col("o_orderkey") + r * ID_STEP_FACT)
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    return _offset_fact_keys(src, m, {"o_orderkey": ID_STEP_FACT})
 
 
 SCALED = {
