@@ -170,7 +170,9 @@ def x_win_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: one hash aggregate to month grain (map-side partials collapse
     the fact table to ~dozens of rows), then a single-partition lag
     window over the TINY aggregate — the global window is safe
-    precisely because it runs above month-grain data, never the fact."""
+    precisely because it runs above month-grain data, never the fact.
+    Measured (r12 stress): 1.2x wall at 10x orders, output constant at
+    the month grain — `scale_stress_r12_windows.json`."""
     m = (
         table(spark, sf_dir, "orders")
         .groupBy(F.date_trunc("month", "o_orderdate").cast("date").alias("month"))

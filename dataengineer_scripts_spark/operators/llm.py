@@ -5312,7 +5312,9 @@ def x_llm_ngram_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiebreak) — the cumulative window runs over THAT bounded frame,
     never the full vocabulary (the zipf_fit caveat, solved by
     construction here); the total mass is a 1-row aggregate joined back
-    broadcast."""
+    broadcast.  Measured (r12 stress): 0.9x wall at 10x documents,
+    output constant at the curve grain —
+    `scale_stress_r12_windows.json`."""
     toks = (
         table(spark, sf_dir, "documents")
         .select(F.explode(F.split("text", " ")).alias("tok"))

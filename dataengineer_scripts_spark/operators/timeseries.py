@@ -435,7 +435,9 @@ def x_ts_ma_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: one hash aggregate to day grain, then two frame averages and
     a lag sharing ONE global sort over day-grain data (hundreds of
-    rows at any corpus scale — the aggregate did the data-sized work)."""
+    rows at any corpus scale — the aggregate did the data-sized work).
+    Measured (r12 stress): 1.2x wall at 10x orders, output constant at
+    the order-day grain — `scale_stress_r12_windows.json`."""
     daily = (
         table(spark, sf_dir, "orders")
         .groupBy(F.date_trunc("day", "o_orderdate").cast("date").alias("day"))
@@ -970,7 +972,9 @@ def x_ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     (DuckDB dayofweek is 0=Sunday..6=Saturday; Spark's is 1..7) but wd
     is only an internal join/group key, never emitted, so only
     partition identity matters — the seven weekday classes line up
-    regardless of labeling."""
+    regardless of labeling.  Measured (r12 stress): 0.7x wall at 10x
+    events, output constant at the day grain —
+    `scale_stress_r12_windows.json`."""
     d = (
         table(spark, sf_dir, "events")
         .groupBy(F.to_date(F.date_trunc("day", "ts")).alias("day"))
@@ -1143,7 +1147,9 @@ def x_ts_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     user-grain aggregate; the grid, risk counts (a DESC running sum)
     and the curve are lifetime-grain (<= observation days) windows over
     bounded frames — the grain-bounded-window pattern, never a window
-    over raw events."""
+    over raw events.  Measured (r12 stress): 0.9x wall at 10x events,
+    output constant at the lifetime grain —
+    `scale_stress_r12_windows.json`."""
     ud = (
         table(spark, sf_dir, "events")
         .select("user_id", F.date_trunc("hour", "ts").alias("d"))
