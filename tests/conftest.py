@@ -60,5 +60,12 @@ def load_scale_stress():
     )
     mod = importlib.util.module_from_spec(spec)
     sys.modules["scale_stress"] = mod
-    spec.loader.exec_module(mod)
+    try:
+        spec.loader.exec_module(mod)
+    except BaseException:
+        # never cache a half-initialized module (standard importlib
+        # recipe) — the next caller would get a confusing AttributeError
+        # instead of the original import failure
+        del sys.modules["scale_stress"]
+        raise
     return mod
