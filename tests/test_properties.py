@@ -364,3 +364,88 @@ def test_pq_codes_match_python_argmin_reference(spark, sf_dir):
             codes.append(best_k)
             err += int(np.floor(best_d * 1e6 + 0.5))
         assert got[vid] == (codes, err), vid
+
+
+# --- xlsx round-trip ---------------------------------------------------------
+
+# Cell scalars the workbook model can carry.  \r excluded: the XML spec
+# normalizes \r/\r\n to \n AT PARSE TIME (any conformant reader does), so
+# carriage returns cannot round-trip through OOXML in principle.
+_CELL = st.one_of(
+    st.none(),
+    st.booleans(),
+    # read_xlsx parses numerics through float(); beyond 2^53 an int's
+    # exact value has no float form, which OOXML shares (Excel itself
+    # stores 15 significant digits)
+    st.integers(min_value=-(2**53), max_value=2**53),
+    st.floats(allow_nan=True, allow_infinity=True),
+    st.text(
+        alphabet=st.characters(
+            blacklist_categories=("Cs",), blacklist_characters="\r"
+        ),
+        max_size=40,
+    ),
+)
+
+
+def _expected_cell(v):
+    """What read_xlsx must return for a written cell: the documented
+    writer canonicalizations, nothing else."""
+    import math
+
+    from dataengineer_scripts_spark.xlsx import _XML_ILLEGAL
+
+    if isinstance(v, bool) or v is None:
+        return v
+    if isinstance(v, float) and not math.isfinite(v):
+        return str(v)  # NaN/Inf have no OOXML numeric form
+    if isinstance(v, float) and v.is_integer():
+        return int(v)  # integral floats read back as ints
+    if isinstance(v, str):
+        return _XML_ILLEGAL.sub("", v)  # XML 1.0 illegal chars stripped
+    return v
+
+
+@given(
+    rows=st.lists(
+        st.fixed_dictionaries(
+            {
+                "name": _CELL,
+                "status": st.sampled_from(
+                    ["Success", "Failed", "Not Synced", "", "other"]
+                ),
+                "n": _CELL,
+            }
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_xlsx_write_read_roundtrip(rows, tmp_path_factory):
+    """write_xlsx → read_xlsx is the identity on cell values up to the
+    writer's documented canonicalizations, and per-status fills follow
+    STATUS_FILLS — over arbitrary unicode/numeric/None payloads.  This
+    is the contract the snk_excel_values driver gate rests on."""
+    from datetime import date
+
+    from dataengineer_scripts_spark.sinks import STATUS_FILLS, build_workbook_model
+    from dataengineer_scripts_spark.xlsx import read_xlsx, write_xlsx
+
+    model = build_workbook_model(
+        rows, columns=["name", "status", "n"], report_date=date(2026, 1, 2)
+    )
+    p = str(tmp_path_factory.mktemp("xl") / "rt.xlsx")
+    write_xlsx(model, p)
+    wb = read_xlsx(p)
+    assert set(wb["rows"]) == {1, 2} | set(range(3, 3 + len(rows)))
+    assert wb["rows"][2] == ["name", "status", "n"]
+    for i, r in enumerate(rows):
+        want = [_expected_cell(r["name"]), r["status"], _expected_cell(r["n"])]
+        got = wb["rows"][3 + i]
+        # NaN != NaN: compare via repr for the non-finite-string case is
+        # unnecessary (they became strings); plain equality is exact here
+        assert got == want, (i, got, want)
+        assert wb["row_fills"][3 + i] == STATUS_FILLS.get(
+            str(r["status"]), "FFFFFF"
+        )
