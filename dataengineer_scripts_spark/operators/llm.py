@@ -2484,7 +2484,9 @@ def x_llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     linear correction, bipartite instead of self-join); the fixture df
     stays below it, so this operator states the exact J directly.
     Sizes count FULL shingle sets on both sides, so reported J is exact,
-    same as the batch operator."""
+    same as the batch operator.  Measured (r12 stress): 1.9x wall at 10x
+    corpus, matched batch docs exactly 10x —
+    `scale_stress_r12_incremental.json`."""
     sh = _shingle_rows(spark, sf_dir)
     is_new = F.pmod("doc_id", F.lit(10)) >= _INCR_NEW_MOD
     return _bipartite_jaccard(
@@ -2547,7 +2549,9 @@ def x_llm_dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFra
     incremental shape amortizes: every nightly batch then pays
     O(batch shingles × per-shingle df), independent of corpus size.
     Same exact-J semantics and oracle as ``x_llm_dedup_incremental``
-    (sizes count full shingle sets on both sides)."""
+    (sizes count full shingle sets on both sides).  Measured (r12
+    stress, warm index): 1.8x wall at 10x corpus, matched batch docs
+    exactly 10x — `scale_stress_r12_incremental.json`."""
     import hashlib
     import os
 
