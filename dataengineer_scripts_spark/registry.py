@@ -81,75 +81,73 @@ def _load_all() -> None:
 
 
 # The grading driver only records CORRECTNESS rows for the first ~50 ids it
-# sees; the window ROTATES each round to keep attestations fresh.  Round 12
-# closes the freshness program (r11 verdict item 1): after the r11 window,
-# exactly 29 ids still carried r6-era driver grades — the streaming family,
-# the multimodal block, and the lighter r6 text/LLM wave.  The engine under
-# them has since gained session-shared frames and rebalanced().  This window
-# fronts all 29, padded to 50 with the 21 stalest r7-era ids (the agg_*/
-# exec_* reference core plus the joins/windows/ETL ops the r12 scale-stress
-# extension touches: sessionize, upsert-materialize, zorder-sharded).  The
-# 3 rows-only ids among the 29 sit at the window tail so a 49-wide window
-# drops a weak attestation, not an oracle one.  After this window every id
-# in the registry carries a ≥r7-era driver grade.  The tuple is purely an
-# ordering change: same keys, same callables, same oracles; no new ids.
+# sees; the window ROTATES each round to keep attestations fresh.  After the
+# r12 window every id carries a ≥r7-era grade; the merge of
+# CORRECTNESS_r01–r12.json puts the stalest cohort at exactly 28 ids graded
+# r7 (the agg/median/pivot/histogram block, the set/sub families, the r7 ETL
+# wave, the window four, fuzzy-name + multiway joins, source mix/overlap,
+# top-k) and 47 at r8.  This window fronts the 26 oracle-bearing r7 ids,
+# padded to 50 with the 22 alphabetically-first r8 ids; the two
+# rows-only-by-design r7 ids (x_agg_hll_merge, x_llm_pq_adc_topk — each
+# gated by a hash-matched exact companion) sit at the tail so a 49-wide
+# window drops a weak attestation, not an oracle one.  After this window the
+# stalest grade becomes r8.  The tuple is purely an ordering change: same
+# keys, same callables, same oracles; no new ids.
 _PRIORITY_NAMES = (
-    # (1) the 26 oracle-bearing r6-era ids — last cohort of the freshness
-    # rotation: streaming windows, multimodal, light LLM text ops
-    "x_stream_dedup",
-    "x_stream_join",
-    "x_stream_rest_poll",
-    "x_stream_session",
-    "x_stream_sliding",
-    "x_stream_stateful",
-    "x_stream_stream_join",
-    "x_stream_tumbling",
-    "x_stream_watermark_late",
-    "x_mm_audio_chunk",
-    "x_mm_binary_decode",
-    "x_mm_frame_sample",
-    "x_mm_image_resize",
-    "x_mm_record",
-    "x_llm_bpe_pair_counts",
-    "x_llm_chunk_windows",
-    "x_llm_embed_quantize",
-    "x_llm_lang_id",
-    "x_llm_lm_doc_score",
-    "x_llm_pack_sequences",
-    "x_llm_pii_scrub",
-    "x_llm_quality_score",
-    "x_llm_repetition_score",
-    "x_llm_sample_stratified",
-    "x_llm_text_normalize",
-    "x_llm_token_count",
-    # (2) the 21 stalest r7-era ids: reference-core agg_*/exec_*, plus the
-    # joins/windows/ETL ops this round's scale-stress extension measures
-    "agg_collect_errors",
-    "agg_count_threshold",
-    "agg_exists_to_status",
-    "agg_first_per_key",
-    "exec_async",
-    "exec_memo_cache",
-    "exec_retry",
-    "exec_sequential",
-    "x_stream_upsert_materialize",
-    "x_win_sessionize",
-    "x_join_asof",
-    "x_join_bucketed",
-    "x_join_skew_salted",
-    "x_llm_pack_sequences_sharded",
-    "x_llm_text_stats",
-    "x_etl_zorder_stats_sharded",
-    "x_scan_parquet",
-    "x_topk_per_group",
-    "x_udf_pandas",
-    "x_etl_scd2_merge",
-    "x_llm_dedup_keep_best",
-    # (3) rows-only-by-design r6 ids at the tail: if the window is 49 wide
+    # (1) the 26 oracle-bearing r7-era ids — stalest cohort of the rotation
+    "x_agg_histogram",
+    "x_agg_median",
+    "x_agg_pivot",
+    "x_etl_compact_small_files",
+    "x_etl_global_row_number",
+    "x_etl_key_skew_profile",
+    "x_etl_resample_ffill",
+    "x_etl_sample_consistent",
+    "x_etl_shard_assign",
+    "x_etl_zorder_stats",
+    "x_join_fuzzy_name",
+    "x_join_multiway_analytic",
+    "x_llm_source_mix",
+    "x_llm_source_overlap",
+    "x_set_except",
+    "x_set_intersect",
+    "x_set_union",
+    "x_sort_limit_topk",
+    "x_sub_exists_other",
+    "x_sub_exists_semi",
+    "x_sub_not_exists_anti",
+    "x_sub_scalar_avg",
+    "x_win_distribution",
+    "x_win_lag_lead",
+    "x_win_rank",
+    "x_win_running",
+    # (2) the 22 alphabetically-first r8-era ids as padding to 50
+    "flagship_dataset_card",
+    "x_agg_funnel",
+    "x_agg_gini",
+    "x_agg_hll_merge_exact",
+    "x_agg_market_basket",
+    "x_agg_mode",
+    "x_agg_regression_stats",
+    "x_agg_retention",
+    "x_agg_rolling_distinct",
+    "x_etl_dq_report",
+    "x_etl_incremental_agg",
+    "x_etl_snapshot_diff",
+    "x_join_asof_tolerance",
+    "x_join_full_outer",
+    "x_join_range_bucketed",
+    "x_llm_bm25_rank",
+    "x_llm_bpe_merge_step",
+    "x_llm_char_trigram_profile",
+    "x_llm_collocations",
+    "x_llm_dedup_bfs_depth",
+    "x_llm_dedup_prefix",
+    "x_llm_embed_outlier",
+    # (3) rows-only-by-design r7 ids at the tail: if the window is 49 wide
     # instead of 50, these weak attestations are the ones to slip
-    "x_llm_ann_ivf",
-    "x_llm_ann_lsh",
-    "x_stream_smoke",
+    "x_agg_hll_merge",
+    "x_llm_pq_adc_topk",
 )
 _PRIORITY_RANK = {n: i for i, n in enumerate(_PRIORITY_NAMES)}
 
