@@ -129,7 +129,10 @@ def _styles_xml(fills: list[str]) -> str:
 
 
 #: Characters illegal in XML 1.0 (OOXML would be rejected by any parser).
-_XML_ILLEGAL = re.compile(r"[\x00-\x08\x0b\x0c\x0e-\x1f]")
+#: U+FFFE/U+FFFF are noncharacters the XML 1.0 Char production also
+#: excludes — expat refuses to parse them, so they must be stripped on
+#: write or read_xlsx fails on our own artifact (r12 advice item 1).
+_XML_ILLEGAL = re.compile(r"[\x00-\x08\x0b\x0c\x0e-\x1f\ufffe\uffff]")
 
 
 def _cell_xml(ref: str, value, style: int) -> str:
@@ -270,29 +273,41 @@ def read_xlsx(path: str) -> dict:
     row_fills: dict[int, str | None] = {}
     for row in sheet.iter(f"{{{_NS['m']}}}row"):
         r = int(row.get("r"))
-        values, fill = [], None
+        # Place values by the cell's r="B3"-style column reference, not by
+        # iteration order: a writer that omits a value-less style-less cell
+        # entirely (openpyxl does) would otherwise silently shift every
+        # later column in the row (r12 advice item 3).  Cells without an
+        # r= attribute (legal per OOXML) fall back to the next position.
+        cells: dict[int, object] = {}
+        fill = None
         for c in row:
+            ref = c.get("r")
+            if ref:
+                col = _letter_index("".join(ch for ch in ref if ch.isalpha()))
+            else:
+                col = max(cells, default=0) + 1
             t = c.get("t")
             if t == "inlineStr":
                 t_el = c.find("m:is/m:t", _NS)
-                values.append(t_el.text or "" if t_el is not None else "")
+                value = t_el.text or "" if t_el is not None else ""
             else:
                 v = c.find("m:v", _NS)
                 if v is None:
-                    values.append(None)
+                    value = None
                 elif t == "s":
-                    values.append(shared[int(v.text)])
+                    value = shared[int(v.text)]
                 elif t == "str":
-                    values.append(v.text or "")
+                    value = v.text or ""
                 elif t == "b":
-                    values.append(v.text == "1")
+                    value = v.text == "1"
                 else:
                     num = float(v.text)
-                    values.append(int(num) if num.is_integer() else num)
+                    value = int(num) if num.is_integer() else num
+            cells[col] = value
             s = int(c.get("s", "0"))
             if fill is None and s:
                 fill = fill_colors[xf_fill[s]]
-        rows[r] = values
+        rows[r] = [cells.get(i) for i in range(1, max(cells, default=0) + 1)]
         row_fills[r] = fill
 
     merges = [

@@ -325,6 +325,56 @@ def test_read_xlsx_resolves_shared_and_formula_strings(tmp_path):
     assert wb["rows"][2] == ["hello"]
 
 
+def test_xlsx_strips_xml_noncharacters(tmp_path):
+    """U+FFFE/U+FFFF are noncharacters the XML 1.0 Char production
+    forbids; expat refuses documents containing them.  The writer must
+    strip them like the C0 controls, or read_xlsx fails with ParseError
+    on our own artifact (r12 advice item 1)."""
+    from dataengineer_scripts_spark.sinks import build_workbook_model
+    from dataengineer_scripts_spark.xlsx import read_xlsx, write_xlsx
+
+    rows = [{"name": "a\ufffeb\uffffc", "status": "Success", "n": 1}]
+    model = build_workbook_model(
+        rows, columns=["name", "status", "n"], report_date=date(2026, 1, 2)
+    )
+    p = str(tmp_path / "nonchar.xlsx")
+    write_xlsx(model, p)
+    wb = read_xlsx(p)  # must parse — the writer stripped the noncharacters
+    assert wb["rows"][3] == ["abc", "Success", 1]
+
+
+def test_read_xlsx_places_cells_by_column_reference(tmp_path):
+    """openpyxl omits a value-less, style-less cell from the row XML
+    entirely; read_xlsx must place the remaining cells by their r=
+    column reference, not iteration order, or every later column in the
+    row silently shifts left (r12 advice item 3)."""
+    import zipfile
+
+    from dataengineer_scripts_spark import xlsx as X
+
+    ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    sheet = (
+        f'<worksheet xmlns="{ns}"><sheetData>'
+        # B1 omitted entirely — D1 must still land in column 4
+        '<row r="1">'
+        '<c r="A1" t="inlineStr"><is><t>a</t></is></c>'
+        '<c r="C1"><v>3</v></c>'
+        '<c r="D1" t="inlineStr"><is><t>d</t></is></c>'
+        "</row>"
+        "</sheetData></worksheet>"
+    )
+    p = str(tmp_path / "sparse.xlsx")
+    with zipfile.ZipFile(p, "w") as zf:
+        zf.writestr("[Content_Types].xml", X._CONTENT_TYPES)
+        zf.writestr("_rels/.rels", X._ROOT_RELS)
+        zf.writestr("xl/workbook.xml", X._WORKBOOK)
+        zf.writestr("xl/_rels/workbook.xml.rels", X._WORKBOOK_RELS)
+        zf.writestr("xl/styles.xml", X._styles_xml([]))
+        zf.writestr("xl/worksheets/sheet1.xml", sheet)
+    wb = X.read_xlsx(p)
+    assert wb["rows"][1] == ["a", None, 3, "d"]
+
+
 def test_workbook_records_render_valueless_error_note_as_empty():
     """openpyxl stores an empty-string cell as a VALUELESS cell (no <v>),
     which read_xlsx returns as None — the snk_excel_values gate must

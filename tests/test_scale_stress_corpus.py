@@ -159,7 +159,7 @@ def test_document_replicas_leave_empty_tokens_untagged(tmp_path, spark):
     ] == base_counts
 
 
-def test_event_replicas_scale_user_population_linearly(spark, sf_dir):
+def test_event_replicas_scale_user_population_linearly(spark, sf_dir, tmp_path):
     """events ×M must be M fresh user populations with IDENTICAL per-user
     history — session counts, CDC keys and latest-per-user states then
     scale exactly linearly, which is what the r12 stress exponents
@@ -196,18 +196,15 @@ def test_event_replicas_scale_user_population_linearly(spark, sf_dir):
 
     x_win_sessionize = registry.queries()["x_win_sessionize"]
 
+    # tmp_path, not the real STRESS_DIR: a failed cleanup or a concurrent
+    # tools/scale_stress.py run must never contend on repo-tree state
+    # (r12 advice item 2)
     base_dir = str(sf_dir)
-    x3_dir = os.path.join(str(scale_stress.STRESS_DIR), "_test_x3_events")
-    os.makedirs(x3_dir, exist_ok=True)
-    try:
-        x3.write.mode("overwrite").parquet(f"{x3_dir}/events.parquet")
-        n_sessions_base = x_win_sessionize(spark, base_dir).count()
-        n_sessions_x3 = x_win_sessionize(spark, x3_dir).count()
-        assert n_sessions_x3 == 3 * n_sessions_base
-    finally:
-        import shutil
-
-        shutil.rmtree(x3_dir, ignore_errors=True)
+    x3_dir = str(tmp_path / "_test_x3_events")
+    x3.write.mode("overwrite").parquet(f"{x3_dir}/events.parquet")
+    n_sessions_base = x_win_sessionize(spark, base_dir).count()
+    n_sessions_x3 = x_win_sessionize(spark, x3_dir).count()
+    assert n_sessions_x3 == 3 * n_sessions_base
 
 
 def test_order_replicas_deepen_facts_per_dimension_key(spark, sf_dir):
