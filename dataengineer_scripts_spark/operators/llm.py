@@ -46,7 +46,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -183,6 +183,64 @@ def _pair_jaccard(pairs: DataFrame, sh: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _exact_text_buckets(df: DataFrame, aggs: dict[str, Column]) -> DataFrame:
+    """Phase 1 of the two-phase exact dedup: group on ``xxhash64(text)``
+    ALONE, so the corpus-wide exchange carries an 8-byte key plus the
+    partial aggregates and never the text (keyed on raw text, a 100 TB
+    corpus would ship ~its full text volume through the shuffle).  The
+    text is consumed map-side by the hash and pruned before the exchange.
+    Exposed separately from :func:`_exact_text_groups` so the plan guard
+    can assert the exchange key on the pre-checkpoint lineage
+    (``tests/test_plans.py``)."""
+    return (
+        df.withColumn("h", F.xxhash64("text"))
+        .drop("text")
+        .groupBy("h")
+        .agg(
+            F.count("*").alias("_n"),
+            *[c.alias(n) for n, c in aggs.items()],
+        )
+    )
+
+
+def _exact_text_groups(df: DataFrame, aggs: dict[str, Column]) -> DataFrame:
+    """Per-identical-text groups of ``df`` (which must carry ``text`` plus
+    every column the ``aggs`` consume) without ever shuffling text
+    corpus-wide — the two-phase hash-keyed form the r12 verdict asked to
+    land (item 4):
+
+    - phase 1 buckets on ``xxhash64(text)`` (8-byte exchange key, text
+      pruned map-side) and is localCheckpoint'ed: both consumers below
+      read the materialized buckets instead of re-aggregating the corpus;
+    - single-member buckets ARE per-text groups (same text ⇒ same hash,
+      so a unique hash is a unique text) and pass through;
+    - multi-member buckets re-read the text for their rows only (a
+      broadcast semi join on the duplicate-hash set — tiny relative to
+      the corpus under any real duplicate rate; the web-scale fallback
+      is dropping the hint and letting AQE pick the side) and regroup
+      per ``(hash, text)``, so a 64-bit collision can never merge two
+      distinct texts.  Text bytes shuffled are proportional to the
+      DUPLICATE rows, not the corpus (measured flat per doc at 1x/3x/10x
+      — scale_stress_r13_exact.json).
+
+    The ``aggs`` mapping (output name → aggregate column) is applied
+    identically in both phases, so every aggregate must be grouping-
+    refinement-safe (min/max/count over the same rows), which the two
+    callers' min/count aggregates are."""
+    agg_cols = [c.alias(n) for n, c in aggs.items()]
+    out = list(aggs)
+    buckets = _exact_text_buckets(df, aggs).localCheckpoint()
+    multi_h = buckets.filter(F.col("_n") > 1).select("h")
+    dups = (
+        df.withColumn("h", F.xxhash64("text"))
+        .join(F.broadcast(multi_h), "h", "semi")
+        .groupBy("h", "text")
+        .agg(*agg_cols)
+        .select(*out)
+    )
+    return buckets.filter(F.col("_n") == 1).select(*out).unionByName(dups)
+
+
 @register(
     "x_llm_dedup_exact",
     oracle="""
@@ -192,18 +250,19 @@ def _pair_jaccard(pairs: DataFrame, sh: DataFrame) -> DataFrame:
     """,
 )
 def x_llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup: hash-groupBy on the full text, keep the lowest doc_id
-    as canonical.  At 100 TB scale, group on xxhash64(text) first and only
-    compare full texts within a hash bucket (collision-safe two-phase)."""
-    return (
-        table(spark, sf_dir, "documents")
-        .groupBy("text")
-        .agg(
-            F.min("doc_id").alias("canonical_id"),
-            F.count("*").alias("n_copies"),
-            F.min("n_chars").alias("n_chars"),
-        )
-        .drop("text")
+    """Exact dedup: per-identical-text groups, lowest doc_id canonical —
+    via the two-phase hash-keyed form (:func:`_exact_text_groups`): the
+    corpus-wide exchange keys on ``xxhash64(text)`` and carries no text;
+    only multi-member hash buckets re-read and regroup on the text
+    itself, so the result is collision-exact while the text bytes
+    shuffled stay proportional to the duplicate rows."""
+    return _exact_text_groups(
+        table(spark, sf_dir, "documents").select("doc_id", "text", "n_chars"),
+        {
+            "canonical_id": F.min("doc_id"),
+            "n_copies": F.count("*"),
+            "n_chars": F.min("n_chars"),
+        },
     )
 
 
@@ -2331,6 +2390,29 @@ _PACK_ORACLE = f"""
     """
 
 
+def _pack_assignments(toks: DataFrame, capacity: int) -> DataFrame:
+    """Boundary-straddle packing kernel shared by x_llm_pack_sequences
+    and flagship_curation stage 7 (and property-fuzzed with a tiny
+    capacity in tests/test_properties.py): ``pack_id = (sum of n_tokens
+    of earlier docs in (lang, doc_id) order) div capacity``.  ``toks``
+    must carry (doc_id, lang, n_tokens).  Integer ``div`` end-to-end
+    (matches the oracle's ``//``): a double division .cast('long')
+    diverges once cumulative fill passes 2^53 — exactly the regime the
+    100 TB framing implies."""
+    before = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    fill = F.coalesce(F.sum("n_tokens").over(before), F.lit(0))
+    return toks.select("doc_id", "lang", "n_tokens", fill.alias("_fill")).select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.expr(f"_fill div {capacity}").alias("pack_id"),
+    )
+
+
 @register("x_llm_pack_sequences", oracle=_PACK_ORACLE)
 def x_llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing for training shards: assign each document to a
@@ -2354,21 +2436,7 @@ def x_llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = table(spark, sf_dir, "documents").select(
         "doc_id", "lang", F.expr("n_chars div 4").alias("n_tokens")
     )
-    before = (
-        Window.partitionBy("lang")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    fill = F.coalesce(F.sum("n_tokens").over(before), F.lit(0))
-    # Integer `div` end-to-end (matches the oracle's `//`): a double
-    # division .cast('long') diverges once cumulative fill passes 2^53 —
-    # exactly the regime the 100 TB framing of this operator implies.
-    return toks.select("doc_id", "lang", "n_tokens", fill.alias("_fill")).select(
-        "doc_id",
-        "lang",
-        "n_tokens",
-        F.expr(f"_fill div {PACK_CAPACITY_TOKENS}").alias("pack_id"),
-    )
+    return _pack_assignments(toks, PACK_CAPACITY_TOKENS)
 
 
 #: Shard width (docs per shard) for the scaled packing plan.  Small on
@@ -3085,9 +3153,24 @@ def flagship_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.pmod("doc_id", F.lit(10)) != _DECON_BENCH_MOD) & (rep < REP_MAX_RATIO)
     ).select("doc_id", "text", "lang", "n_chars")
 
-    t2 = t1.withColumn(
-        "min_id", F.min("doc_id").over(Window.partitionBy("text"))
-    ).filter(F.col("doc_id") == F.col("min_id"))
+    # Stage 3 keys its corpus-wide exchange on xxhash64(text), never raw
+    # text (the two-phase form, _exact_text_groups).  Canonical ids are
+    # computed over the bench-filtered docs WITHOUT the repetition gate:
+    # identical texts share one repetition ratio, so a text group wholly
+    # passes or wholly fails the gate — the min doc_id over bench-filtered
+    # copies equals the min over t1's copies for every group that reaches
+    # the semi join, and failing groups' canonical ids are dropped by the
+    # join against t1.  This also keeps the shingle-array gate evaluated
+    # ONCE (in t1) instead of re-running inside each canon branch; t1's
+    # own exchange below carries (doc_id, lang, n_chars) — Catalyst prunes
+    # text, which no stage after this consumes.
+    canon = _exact_text_groups(
+        docs.filter(F.pmod("doc_id", F.lit(10)) != _DECON_BENCH_MOD).select(
+            "doc_id", "text"
+        ),
+        {"doc_id": F.min("doc_id")},
+    )
+    t2 = t1.join(canon, "doc_id", "semi")
 
     # ONE shingle build for the whole pipeline: stages 4 (pair-gen) and 5
     # (decontamination) both consume it — _shingle_rows returns the
@@ -3131,20 +3214,7 @@ def flagship_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     t5 = t4.filter(bucket < rates).select(
         "doc_id", "lang", F.expr("n_chars div 4").alias("n_tokens")
     )
-
-    before = (
-        Window.partitionBy("lang")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    fill = F.coalesce(F.sum("n_tokens").over(before), F.lit(0))
-    # Integer `div` end-to-end — same 2^53 rationale as x_llm_pack_sequences.
-    return t5.select("doc_id", "lang", "n_tokens", fill.alias("_fill")).select(
-        "doc_id",
-        "lang",
-        "n_tokens",
-        F.expr(f"_fill div {PACK_CAPACITY_TOKENS}").alias("pack_id"),
-    )
+    return _pack_assignments(t5, PACK_CAPACITY_TOKENS)
 
 
 # ---------------------------------------------------------------------------

@@ -481,3 +481,57 @@ def test_grain_bounded_windows_sit_above_aggregates(spark, sf_dir, name):
     assert "Window" in plan, name
     below_window = plan.split("Window", 1)[1]
     assert "HashAggregate" in below_window or "SortAggregate" in below_window, name
+
+
+def test_exact_dedup_two_phase_hash_keys_corpus_exchange(spark, sf_dir):
+    # r12 verdict item 4: the exact-dedup family's corpus-wide exchange
+    # must key on xxhash64(text), never raw text.  Phase 1 is asserted on
+    # the pre-checkpoint lineage (the checkpoint truncates it out of the
+    # final plan): one exchange, keyed on the hash alone, text consumed
+    # map-side below it.
+    import re
+
+    from pyspark.sql import functions as F
+
+    from dataengineer_scripts_spark.operators.llm import _exact_text_buckets
+    from dataengineer_scripts_spark.tables import table
+
+    b = _exact_text_buckets(
+        table(spark, sf_dir, "documents").select("doc_id", "text", "n_chars"),
+        {"canonical_id": F.min("doc_id")},
+    )
+    p1 = _physical(b)
+    assert p1.count("Exchange") == 1
+    part = re.search(r"Exchange hashpartitioning\(([^)]*)\)", p1).group(1)
+    assert part.startswith("h#") and "text" not in part
+    assert "xxhash64(text" in p1  # hash computed below the exchange
+
+    # Final operator: the ONLY text-keyed exchange is the duplicate-bucket
+    # regroup, fed through a broadcast semi join on the duplicate-hash set
+    # — its volume is the duplicate rows, never the corpus.
+    plan = _physical(DEFS["x_llm_dedup_exact"].fn(spark, sf_dir))
+    text_keyed = [
+        m
+        for m in re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+        if "text" in m
+    ]
+    assert len(text_keyed) == 1
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_flagship_curation_never_windows_on_raw_text(spark, sf_dir):
+    # Stage 3 used to run min(doc_id) OVER (PARTITION BY text) — a
+    # corpus-wide exchange carrying the full text as its key.  The
+    # two-phase refactor must keep any text-keyed exchange confined to
+    # the duplicate-bucket regroup (at most one), with no window
+    # partitioned on the raw text anywhere in the plan.
+    import re
+
+    plan = _physical(DEFS["flagship_curation"].fn(spark, sf_dir))
+    assert "windowspecdefinition(text" not in plan
+    text_keyed = [
+        m
+        for m in re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+        if re.search(r"\btext#", m)
+    ]
+    assert len(text_keyed) <= 1

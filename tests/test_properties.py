@@ -449,3 +449,166 @@ def test_xlsx_write_read_roundtrip(rows, tmp_path_factory):
         assert wb["row_fills"][3 + i] == STATUS_FILLS.get(
             str(r["status"]), "FFFFFF"
         )
+
+
+# --- two-phase exact dedup ---------------------------------------------------
+
+
+@given(
+    texts=st.lists(
+        st.sampled_from(["aa", "bb", "cc", "dd dd", ""]),
+        min_size=1,
+        max_size=20,
+    )
+)
+@SET
+def test_exact_text_groups_match_single_phase_reference(spark, texts):
+    """The two-phase hash-bucketed exact dedup (_exact_text_groups) must
+    equal a direct single-phase groupBy(text) on arbitrary small corpora
+    with heavy duplication — the exactness claim the 100 TB form rests
+    on.  The tiny text pool forces every corpus through the multi-member
+    bucket (broadcast-semi + regroup) path."""
+    from dataengineer_scripts_spark.operators.llm import _exact_text_groups
+
+    df = spark.createDataFrame(
+        [(i, t, len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, n_chars long",
+    )
+    aggs = {
+        "canonical_id": F.min("doc_id"),
+        "n_copies": F.count("*"),
+        "n_chars": F.min("n_chars"),
+    }
+    got = sorted(map(tuple, _exact_text_groups(df, aggs).collect()))
+    want = sorted(
+        map(tuple, df.groupBy("text").agg(*[c.alias(n) for n, c in aggs.items()]).drop("text").collect())
+    )
+    assert got == want
+
+
+# --- pair-Jaccard ------------------------------------------------------------
+
+
+@given(
+    sets=st.lists(
+        st.sets(st.integers(0, 12), min_size=1, max_size=8),
+        min_size=2,
+        max_size=4,
+    )
+)
+@SET
+def test_pair_jaccard_matches_set_reference_and_is_symmetric(spark, sets):
+    """_pair_jaccard over arbitrary tiny shingle sets must equal
+    |A∩B| / |A∪B| exactly, be symmetric in its pair orientation, and
+    score every self-pair 1.0.  Pairs with an empty intersection are
+    (by construction of the two-step equi-join) absent from the output —
+    the candidate generators upstream only ever emit pairs sharing a
+    shingle, which the reference mirrors."""
+    from dataengineer_scripts_spark.operators.llm import _pair_jaccard
+
+    sh = spark.createDataFrame(
+        [(i, h) for i, s in enumerate(sets) for h in s], "doc_id long, h long"
+    )
+    ids = range(len(sets))
+    pairs = spark.createDataFrame(
+        [(a, b) for a in ids for b in ids], "doc_a long, doc_b long"
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.j for r in _pair_jaccard(pairs, sh).collect()
+    }
+    for a in ids:
+        for b in ids:
+            inter = len(sets[a] & sets[b])
+            if inter == 0:
+                assert (a, b) not in got
+            else:
+                want = inter / len(sets[a] | sets[b])
+                assert got[(a, b)] == pytest.approx(want, abs=1e-12)
+                assert got[(a, b)] == got[(b, a)]  # symmetry
+        assert got[(a, a)] == pytest.approx(1.0)  # self-pair
+
+
+# --- boundary-straddle packing ----------------------------------------------
+
+
+@given(
+    docs=st.lists(
+        st.tuples(st.sampled_from(["en", "fr"]), st.integers(0, 5)),
+        min_size=1,
+        max_size=25,
+    ),
+    capacity=st.integers(1, 9),
+)
+@SET
+def test_pack_assignments_match_fold_and_capacity_invariants(
+    spark, docs, capacity
+):
+    """The packing kernel (_pack_assignments — shared by
+    x_llm_pack_sequences and flagship_curation stage 7) must equal the
+    sequential fold it declaratively re-expresses, for arbitrary tiny
+    corpora and capacities: pack_id = tokens-before // capacity in
+    (lang, doc_id) order.  Invariants checked on top of the fold match:
+    pack ids are non-decreasing per lang, and a pack's fill before its
+    final doc is always < capacity (boundary-straddle: only the LAST doc
+    of a pack may overrun)."""
+    from dataengineer_scripts_spark.operators.llm import _pack_assignments
+
+    df = spark.createDataFrame(
+        [(i, lang, n) for i, (lang, n) in enumerate(docs)],
+        "doc_id long, lang string, n_tokens long",
+    )
+    got = {
+        r.doc_id: r.pack_id
+        for r in _pack_assignments(df, capacity).collect()
+    }
+    fills: dict[str, int] = {}
+    packs: dict[str, list] = {}
+    for i, (lang, n) in enumerate(docs):  # doc_id order == enumerate order
+        before = fills.get(lang, 0)
+        assert got[i] == before // capacity, (i, docs, capacity)
+        fills[lang] = before + n
+        packs.setdefault(lang, []).append(got[i])
+    for lang, ids in packs.items():
+        assert ids == sorted(ids)  # non-decreasing per lang
+    # boundary-straddle: within a pack, every doc but the last STARTS at
+    # fill < capacity relative to the pack base — equivalent to the fold
+    # match above, asserted directly for the documented phrasing
+    for lang in packs:
+        base_fill = 0
+        for i, (lg, n) in enumerate(docs):
+            if lg != lang:
+                continue
+            assert base_fill - got[i] * capacity < capacity
+            base_fill += n
+
+
+# --- winnowing guarantee -----------------------------------------------------
+
+
+@given(
+    shared=st.text(alphabet="abcd ", min_size=11, max_size=20),
+    pad_a=st.text(alphabet="wxyz", max_size=30),
+    pad_b=st.text(alphabet="wxyz", max_size=30),
+    pos_a=st.integers(0, 30),
+    pos_b=st.integers(0, 30),
+)
+@settings(max_examples=60, deadline=None)
+def test_winnowing_guarantee_holds_at_arbitrary_positions(
+    shared, pad_a, pad_b, pos_a, pos_b
+):
+    """Schleimer et al.'s guarantee, hypothesis-driven and Spark-free:
+    any shared substring of length >= k + w - 1 (= 11) contributes at
+    least one common selected fingerprint HASH, wherever it sits in
+    either document.  The reference kernel is the one
+    tests/test_winnowing.py pins to the operator on fixture docs, so
+    this extends the operator's guarantee to arbitrary embeddings; the
+    pad alphabet is disjoint from the shared alphabet so the guarantee's
+    premise (the substring is genuinely shared) cannot be accidentally
+    strengthened by pad collisions."""
+    from tests.test_winnowing import _ref_fingerprints
+
+    a = pad_a[: pos_a] + shared + pad_a[pos_a:]
+    b = pad_b[: pos_b] + shared + pad_b[pos_b:]
+    ha = {k // 2048 for k in _ref_fingerprints(a)}
+    hb = {k // 2048 for k in _ref_fingerprints(b)}
+    assert ha & hb, (a, b)
