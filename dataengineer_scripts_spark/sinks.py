@@ -199,7 +199,17 @@ def build_workbook_model(
 
 
 def _cell(v):
-    """JSON-serializable cell value (timestamps → ISO strings)."""
+    """JSON-serializable cell value (timestamps → ISO strings).  String
+    values are stripped of XML-1.0-illegal characters HERE, in the shared
+    model layer, so both renderers agree: openpyxl's own sanitizer only
+    covers the C0 controls, and a noncharacter or lone surrogate reaching
+    it would produce an artifact the expat-based ``read_xlsx`` (and hence
+    the ``snk_excel_values`` gate) cannot parse — or crash the write —
+    on openpyxl hosts only (round-13 review finding)."""
+    if isinstance(v, str):
+        from .xlsx import _XML_ILLEGAL
+
+        return _XML_ILLEGAL.sub("", v)
     return v.isoformat() if hasattr(v, "isoformat") else v
 
 

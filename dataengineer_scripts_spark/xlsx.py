@@ -128,11 +128,12 @@ def _styles_xml(fills: list[str]) -> str:
     )
 
 
-#: Characters illegal in XML 1.0 (OOXML would be rejected by any parser).
-#: U+FFFE/U+FFFF are noncharacters the XML 1.0 Char production also
-#: excludes — expat refuses to parse them, so they must be stripped on
-#: write or read_xlsx fails on our own artifact (r12 advice item 1).
-_XML_ILLEGAL = re.compile(r"[\x00-\x08\x0b\x0c\x0e-\x1f\ufffe\uffff]")
+#: Characters the XML 1.0 Char production excludes (OOXML would be
+#: rejected by any parser): the C0 controls minus TAB/LF/CR, the
+#: U+FFFE/U+FFFF noncharacters (expat refuses to parse them — r12 advice
+#: item 1), and lone surrogates (no UTF-8 form at all: zipfile.writestr
+#: would crash encoding the sheet XML — round-13 review finding).
+_XML_ILLEGAL = re.compile(r"[\x00-\x08\x0b\x0c\x0e-\x1f\ud800-\udfff\ufffe\uffff]")
 
 
 def _cell_xml(ref: str, value, style: int) -> str:

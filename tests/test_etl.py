@@ -343,6 +343,28 @@ def test_xlsx_strips_xml_noncharacters(tmp_path):
     assert wb["rows"][3] == ["abc", "Success", 1]
 
 
+def test_workbook_model_strips_illegal_xml_in_shared_layer(tmp_path):
+    """The strip must live in the MODEL layer (sinks._cell), not just the
+    stdlib writer: with openpyxl installed, write_excel_styled renders
+    the same model through openpyxl, whose own sanitizer covers only the
+    C0 controls — a noncharacter or lone surrogate reaching it would
+    produce an artifact expat can't parse, or crash the write (round-13
+    review finding).  Lone surrogates additionally have no UTF-8 form,
+    so the stdlib writer itself must survive them too."""
+    from dataengineer_scripts_spark.sinks import build_workbook_model
+    from dataengineer_scripts_spark.xlsx import read_xlsx, write_xlsx
+
+    rows = [{"name": "a\ud800b\ufffec", "status": "Failed", "n": 2}]
+    model = build_workbook_model(
+        rows, columns=["name", "status", "n"], report_date=date(2026, 1, 2)
+    )
+    # model cells are already clean — BOTH renderers see sane input
+    assert model["rows"][0]["cells"][0] == "abc"
+    p = str(tmp_path / "surrogate.xlsx")
+    write_xlsx(model, p)  # must not raise UnicodeEncodeError
+    assert read_xlsx(p)["rows"][3] == ["abc", "Failed", 2]
+
+
 def test_read_xlsx_places_cells_by_column_reference(tmp_path):
     """openpyxl omits a value-less, style-less cell from the row XML
     entirely; read_xlsx must place the remaining cells by their r=

@@ -56,6 +56,7 @@ HEADLINERS = [
     ("x_join_range_bucketed", "fact-fact interval join bucketized to an equi hash join (3x build-side bucket explode, |dt| residual) — no nested loop, no cartesian"),
     ("x_llm_zipf_fit", "two-level vocab rank (range shuffle + pid-partitioned row_number + broadcast offsets) — the r09 verdict's full-vocabulary single-partition sort is gone; only the P-row offsets window and the 1-row moments aggregate funnel"),
     ("x_llm_ann_ivf_scores", "oracle companion of the IVF search: driver-held quantizer + two narrow mapInPandas passes with a broadcast probe join between them — corpus never shuffled"),
+    ("x_llm_dedup_exact", "two-phase hash-keyed exact dedup: phase-1 buckets are a checkpointed scan (corpus exchange keyed on xxhash64(text), asserted pre-checkpoint in tests/test_plans.py); the only text-keyed exchange sits above the broadcast semi join on the duplicate-hash set"),
 ]
 
 
