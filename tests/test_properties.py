@@ -612,3 +612,60 @@ def test_winnowing_guarantee_holds_at_arbitrary_positions(
     ha = {k // 2048 for k in _ref_fingerprints(a)}
     hb = {k // 2048 for k in _ref_fingerprints(b)}
     assert ha & hb, (a, b)
+
+
+# --- connected components ----------------------------------------------------
+
+
+@given(
+    n=st.integers(1, 8),
+    edges=st.lists(
+        st.tuples(st.integers(0, 7), st.integers(0, 7)), max_size=12
+    ),
+)
+@SET
+def test_components_match_union_find_reference(spark, n, edges):
+    """Both component kernels — the min-label sweep loop
+    (_min_label_components) and the large-star/small-star alternation
+    (_two_phase_components) it falls back to on deep graphs — must equal
+    a direct union-find on arbitrary small graphs, including self-loops,
+    parallel edges, isolated nodes and the empty edge set.  These label
+    the flagship's near-dup collapse, so a wrong merge here corrupts the
+    curated corpus silently."""
+    from dataengineer_scripts_spark.operators.llm import (
+        _min_label_components,
+        _two_phase_components,
+    )
+
+    edges = [(a, b) for a, b in edges if a < n and b < n]
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    roots: dict[int, list] = {}
+    for i in range(n):
+        roots.setdefault(find(i), []).append(i)
+    want = {i: min(members) for members in roots.values() for i in members}
+
+    nodes_df = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs_df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {
+        r.doc_id: r.cluster_id
+        for r in _min_label_components(nodes_df, pairs_df).collect()
+    }
+    assert got == want, (n, edges)
+
+    sym = pairs_df.selectExpr("doc_a as src", "doc_b as dst").unionAll(
+        pairs_df.selectExpr("doc_b as src", "doc_a as dst")
+    )
+    got2 = {
+        r.doc_id: r.cluster_id
+        for r in _two_phase_components(nodes_df, sym).collect()
+    }
+    assert got2 == want, (n, edges)
