@@ -236,7 +236,9 @@ def x_agg_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join on the order key is quadratic only in a basket's distinct
     brands (≤ 25 here, single digits in practice), linear in orders.
     Per-brand counts and the order total are broadcast back onto the
-    pair aggregate."""
+    pair aggregate.  Measured: 2.5 s at 1x facts vs 3.5 s at 10x
+    (exponent 0.14, `scale_stress_r13_graph.json`) with the brand-pair
+    output constant."""
     p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     ob = (
         table(spark, sf_dir, "lineitem")
@@ -1001,8 +1003,11 @@ def x_graph_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     counted iterations in 7–9 probe jobs of one shuffle stage each.
     At 100 TB the
     transition frame shuffles once at build and iterations move
-    node-grain rows only; for graphs whose node frame outgrows the
-    broadcast ceiling (web-scale, not dimension-scale), drop the
+    node-grain rows only — measured: 9.4 s at 1x facts vs 6.3 s at 10x
+    (`scale_stress_r13_graph.json`; iteration count is set by graph
+    topology, not corpus size, so wall is flat-to-down once the
+    checkpointed build amortizes); for graphs whose node frame outgrows
+    the broadcast ceiling (web-scale, not dimension-scale), drop the
     ``broadcast(r)`` hint and the same loop becomes a src-co-partitioned
     shuffle join — the plan Spark picks automatically once the hint is
     absent."""
@@ -1100,7 +1105,10 @@ def x_sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     CTEs into every recursion step, so leaving the edge definition
     inside the recursive query would re-run the corpus aggregate per
     iteration (measured 6x the cost); each UnionLoop step is then a
-    bounded join against the checkpoint."""
+    bounded join against the checkpoint.  Scale-measured: 2.7 s at 1x
+    facts vs 4.2 s at 10x (exponent 0.17,
+    `scale_stress_r13_graph.json`) — only the edge materialization
+    sees the corpus; the recursion walks the bounded brand digraph."""
     p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     ob = (
         table(spark, sf_dir, "lineitem")
