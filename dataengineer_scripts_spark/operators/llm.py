@@ -662,6 +662,33 @@ SIMHASH_CHUNK_BITS = 16
 SIMHASH_MAX_HAMMING = SIMHASH_CHUNKS - 1
 
 
+def _simhash_sig(th: DataFrame, bits: int) -> DataFrame:
+    """(doc_id, h) token-hash rows → (doc_id, sig, n): the per-bit
+    majority-vote SimHash signature — ONE hash aggregate (count plus
+    ``bits`` vote sums riding the same shuffle) and a pure-codegen
+    shift/OR assembly Project above it.  The kernel shared by the
+    production xxhash64 op and its md5 oracle companion (which differ
+    only in hash function and bit width); ``shiftright`` is arithmetic,
+    so bit k of a NEGATIVE 64-bit hash extracts correctly for k ≤ 63 —
+    fuzzed against a pure-Python majority vote, negative hashes and the
+    bit-63 sign edge included, in ``tests/test_properties.py``."""
+    votes = th.groupBy("doc_id").agg(
+        F.count("*").alias("n"),
+        *[
+            F.sum(F.shiftright("h", k).bitwiseAND(F.lit(1))).alias(f"b{k}")
+            for k in range(bits)
+        ],
+    )
+    bit = lambda k: (  # noqa: E731
+        F.when(2 * F.col(f"b{k}") > F.col("n"), F.lit(1).cast("long"))
+        .otherwise(F.lit(0).cast("long"))
+    )
+    sig_expr = bit(0)
+    for k in range(1, bits):
+        sig_expr = sig_expr.bitwiseOR(F.shiftleft(bit(k), k))
+    return votes.select("doc_id", sig_expr.alias("sig"), "n")
+
+
 @register("x_llm_dedup_simhash")  # xxhash64-derived → no cross-engine oracle
 def x_llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (Hamming distance <= 3 over a 64-bit simhash).
@@ -688,21 +715,7 @@ def x_llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(F.split("text", " ")).alias("w"))
         .select("doc_id", F.xxhash64("w").alias("h"))
     )
-    votes = th.groupBy("doc_id").agg(
-        F.count("*").alias("n"),
-        *[
-            F.sum(F.shiftright("h", k).bitwiseAND(F.lit(1))).alias(f"b{k}")
-            for k in range(SIMHASH_BITS)
-        ],
-    )
-    bit = lambda k: (  # noqa: E731
-        F.when(2 * F.col(f"b{k}") > F.col("n"), F.lit(1).cast("long"))
-        .otherwise(F.lit(0).cast("long"))
-    )
-    sig_expr = bit(0)
-    for k in range(1, SIMHASH_BITS):
-        sig_expr = sig_expr.bitwiseOR(F.shiftleft(bit(k), k))
-    signed = votes.select("doc_id", sig_expr.alias("sig"))
+    signed = _simhash_sig(th, SIMHASH_BITS).select("doc_id", "sig")
     chunks = signed.select(
         "doc_id",
         "sig",
@@ -791,24 +804,8 @@ def x_llm_simhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("h"),
         )
     )
-    votes = th.groupBy("doc_id").agg(
-        F.count("*").alias("n"),
-        *[
-            F.sum(F.shiftright("h", k).bitwiseAND(F.lit(1))).alias(f"b{k}")
-            for k in range(SIMHASH_CO_BITS)
-        ],
-    )
-    bit = lambda k: (  # noqa: E731
-        F.when(2 * F.col(f"b{k}") > F.col("n"), F.lit(1).cast("long"))
-        .otherwise(F.lit(0).cast("long"))
-    )
-    sig_expr = bit(0)
-    for k in range(1, SIMHASH_CO_BITS):
-        sig_expr = sig_expr.bitwiseOR(F.shiftleft(bit(k), k))
-    return votes.select(
-        "doc_id",
-        sig_expr.alias("sig"),
-        F.col("n").cast("bigint").alias("n_tokens"),
+    return _simhash_sig(th, SIMHASH_CO_BITS).select(
+        "doc_id", "sig", F.col("n").cast("bigint").alias("n_tokens")
     )
 
 

@@ -669,3 +669,47 @@ def test_components_match_union_find_reference(spark, n, edges):
         for r in _two_phase_components(nodes_df, sym).collect()
     }
     assert got2 == want, (n, edges)
+
+
+# --- simhash signature kernel -------------------------------------------------
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 3),
+            st.integers(-(2**63), 2**63 - 1),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    bits=st.sampled_from([4, 16, 60, 64]),
+)
+@SET
+def test_simhash_signature_matches_python_majority(spark, rows, bits):
+    """_simhash_sig (the majority-vote kernel shared by the production
+    xxhash64 simhash and its md5 oracle companion) must equal a direct
+    Python bit-majority on arbitrary token-hash multisets — NEGATIVE
+    64-bit hashes included (Spark's shiftright is arithmetic, Python's
+    >> sign-extends: both extract two's-complement bit k for k <= 63),
+    and at bits=64 where the assembled signature's bit 63 must wrap to
+    a negative long exactly as Java shiftleft does."""
+    from collections import defaultdict
+
+    from dataengineer_scripts_spark.operators.llm import _simhash_sig
+
+    df = spark.createDataFrame(rows, "doc_id long, h long")
+    got = {r.doc_id: (r.sig, r.n) for r in _simhash_sig(df, bits).collect()}
+
+    byd = defaultdict(list)
+    for d, h in rows:
+        byd[d].append(h)
+    assert set(got) == set(byd)
+    for d, hs in byd.items():
+        sig = 0
+        for k in range(bits):
+            if 2 * sum((h >> k) & 1 for h in hs) > len(hs):
+                sig |= 1 << k
+        if sig >= 2**63:  # Java long wrap at the bit-63 sign position
+            sig -= 2**64
+        assert got[d] == (sig, len(hs)), (d, hs, bits)
