@@ -58,6 +58,12 @@ def main() -> None:
     print(f"queries: {len(common)} common"
           + (f", {len(only_old)} only-old" if only_old else "")
           + (f", {len(only_new)} only-new" if only_new else ""))
+    if not common or tw_old == 0:
+        # pre-r06 artifacts store timings under a different key; nothing
+        # comparable means nothing to ratio, not a traceback
+        print("no comparable queries (missing/empty 'queries' maps) — "
+              "are both files post-r06 bench artifacts?")
+        return
     print(f"wall total:  {tw_old:8.1f} s -> {tw_new:8.1f} s"
           f"  ({tw_new / tw_old:.3f}x)")
 
@@ -65,15 +71,16 @@ def main() -> None:
     if cpu_common:
         tc_old = sum(c_old[k] for k in cpu_common)
         tc_new = sum(c_new[k] for k in cpu_common)
+        ratio = f"{tc_new / tc_old:.3f}x" if tc_old > 0 else "n/a"
         print(f"cpu total:   {tc_old:8.1f} s -> {tc_new:8.1f} s"
-              f"  ({tc_new / tc_old:.3f}x over {len(cpu_common)} queries)")
+              f"  ({ratio} over {len(cpu_common)} queries)")
 
     ratios = [w_new[k] / w_old[k] for k in common if w_old[k] > 0]
     if ratios:
         print(f"median per-query wall ratio: {statistics.median(ratios):.3f}")
 
     movers = sorted(
-        (k for k in common if w_old[k] >= args.floor),
+        (k for k in common if w_old[k] >= args.floor and w_old[k] > 0),
         key=lambda k: w_new[k] / w_old[k],
         reverse=True,
     )[: args.top]
