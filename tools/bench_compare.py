@@ -29,13 +29,29 @@ from __future__ import annotations
 
 import argparse
 import json
+import re
 import statistics
+
+
+_TAIL_LINE = re.compile(r"# (\w+): ([0-9.]+)s \(cpu ([0-9.]+)s\)")
 
 
 def _load(path: str) -> tuple[dict[str, float], dict[str, float]]:
     with open(path) as fh:
         d = json.load(fh)
-    return d.get("queries", {}), d.get("cpu_sec", {})
+    if "queries" in d:
+        return d.get("queries", {}), d.get("cpu_sec", {})
+    # Driver-side BENCH_r*.json artifacts carry no per-query maps — only a
+    # 2000-char stderr tail in which bench.py's per-query
+    # ``# name: Ws (cpu Cs)`` lines survive (minus whatever the WARN noise
+    # displaced).  Parsing the tail makes driver-vs-local comparison
+    # possible for the queries the capture window kept (the r13 verdict's
+    # drift item); the `queries: N common` header shows how partial it is.
+    wall, cpu = {}, {}
+    for name, w, c in _TAIL_LINE.findall(d.get("tail", "")):
+        wall[name] = float(w)
+        cpu[name] = float(c)
+    return wall, cpu
 
 
 def main() -> None:
