@@ -203,7 +203,9 @@ def _exact_text_buckets(df: DataFrame, aggs: dict[str, Column]) -> DataFrame:
     )
 
 
-def _exact_text_groups(df: DataFrame, aggs: dict[str, Column]) -> DataFrame:
+def _exact_text_groups(
+    df: DataFrame, aggs: dict[str, Column], *, broadcast_dups: bool = True
+) -> DataFrame:
     """Per-identical-text groups of ``df`` (which must carry ``text`` plus
     every column the ``aggs`` consume) without ever shuffling text
     corpus-wide — the two-phase hash-keyed form the r12 verdict asked to
@@ -223,17 +225,29 @@ def _exact_text_groups(df: DataFrame, aggs: dict[str, Column]) -> DataFrame:
       DUPLICATE rows, not the corpus (measured flat per doc at 1x/3x/10x
       — scale_stress_r13_exact.json).
 
-    The ``aggs`` mapping (output name → aggregate column) is applied
-    identically in both phases, so every aggregate must be grouping-
-    refinement-safe (min/max/count over the same rows), which the two
-    callers' min/count aggregates are."""
+    The ``aggs`` mapping (output name → aggregate column) is applied in
+    both phases, but phase-1 aggregate values are only EMITTED for
+    single-member buckets — where the bucket is exactly one text group —
+    while multi-member buckets recompute every aggregate from their raw
+    rows.  Any aggregate (avg, sum, collect, …) is therefore correct
+    here; no grouping-refinement-safety constraint applies (r13 ADVICE
+    item 1).
+
+    ``broadcast_dups=True`` (the default, right for any real duplicate
+    rate at fixture scale) plants a broadcast hint on the duplicate-hash
+    set; a web-scale caller facing a pathologically duplicate-heavy
+    corpus can pass ``False`` to drop the hint and let AQE pick the
+    join side instead of risking the broadcast ceiling (r13 ADVICE
+    item 2)."""
     agg_cols = [c.alias(n) for n, c in aggs.items()]
     out = list(aggs)
     buckets = _exact_text_buckets(df, aggs).localCheckpoint()
     multi_h = buckets.filter(F.col("_n") > 1).select("h")
+    if broadcast_dups:
+        multi_h = F.broadcast(multi_h)
     dups = (
         df.withColumn("h", F.xxhash64("text"))
-        .join(F.broadcast(multi_h), "h", "semi")
+        .join(multi_h, "h", "semi")
         .groupBy("h", "text")
         .agg(*agg_cols)
         .select(*out)

@@ -36,6 +36,7 @@ from datetime import date
 
 from pyspark.sql import DataFrame
 
+from .xlsx import _XML_ILLEGAL
 from .xlsx import col_letter as _col_letter
 
 MAX_RETRIES = 3  # reference retry budget: sync_app3.py:58
@@ -207,8 +208,6 @@ def _cell(v):
     the ``snk_excel_values`` gate) cannot parse — or crash the write —
     on openpyxl hosts only (round-13 review finding)."""
     if isinstance(v, str):
-        from .xlsx import _XML_ILLEGAL
-
         return _XML_ILLEGAL.sub("", v)
     return v.isoformat() if hasattr(v, "isoformat") else v
 

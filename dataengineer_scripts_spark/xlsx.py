@@ -278,15 +278,21 @@ def read_xlsx(path: str) -> dict:
         # iteration order: a writer that omits a value-less style-less cell
         # entirely (openpyxl does) would otherwise silently shift every
         # later column in the row (r12 advice item 3).  Cells without an
-        # r= attribute (legal per OOXML) fall back to the next position.
+        # r= attribute (legal per OOXML) take the column after the
+        # PREVIOUS cell — OOXML's "next after previous" semantics — not
+        # max(seen)+1, which would misplace an unreferenced cell whenever
+        # a writer emits referenced cells out of ascending order (r13
+        # advice item 3).
         cells: dict[int, object] = {}
         fill = None
+        prev_col = 0
         for c in row:
             ref = c.get("r")
             if ref:
                 col = _letter_index("".join(ch for ch in ref if ch.isalpha()))
             else:
-                col = max(cells, default=0) + 1
+                col = prev_col + 1
+            prev_col = col
             t = c.get("t")
             if t == "inlineStr":
                 t_el = c.find("m:is/m:t", _NS)

@@ -5,6 +5,8 @@ implementation on randomized inputs."""
 
 from __future__ import annotations
 
+import math
+
 import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
@@ -713,3 +715,185 @@ def test_simhash_signature_matches_python_majority(spark, rows, bits):
         if sig >= 2**63:  # Java long wrap at the bit-63 sign position
             sig -= 2**64
         assert got[d] == (sig, len(hs)), (d, hs, bits)
+
+
+@st.composite
+def _xlsx_row_cells(draw):
+    """A row as (value, explicit_col_or_None) cells: values mix numbers
+    and inline strings; roughly half the cells carry an r= column
+    reference (possibly OUT of ascending order — the r13 advice
+    scenario), the rest rely on OOXML's next-after-previous placement."""
+    n = draw(st.integers(min_value=1, max_value=8))
+    vals = draw(
+        st.lists(
+            st.one_of(
+                st.integers(-999, 999),
+                st.text(alphabet="abcdxyz", min_size=1, max_size=5),
+            ),
+            min_size=n,
+            max_size=n,
+        )
+    )
+    refs = draw(
+        st.lists(
+            st.one_of(st.none(), st.integers(min_value=1, max_value=12)),
+            min_size=n,
+            max_size=n,
+        )
+    )
+    return list(zip(vals, refs))
+
+
+@given(row=_xlsx_row_cells())
+@settings(max_examples=60, deadline=None)
+def test_read_xlsx_placement_matches_ooxml_model(row, tmp_path_factory):
+    """read_xlsx cell placement must follow the OOXML model for ARBITRARY
+    interleavings of referenced and unreferenced cells: a cell with an
+    r= reference lands at that column; a cell without one lands at the
+    column AFTER THE PREVIOUS CELL (not max(seen)+1 — the two differ as
+    soon as a writer emits referenced cells out of ascending order; r13
+    advice item 3).  The r12 example regression covered one omitted-cell
+    shape; this pins the full placement semantics against the model on
+    randomized rows (duplicate references resolve last-write-wins in
+    both)."""
+    import zipfile
+    from xml.sax.saxutils import escape
+
+    from dataengineer_scripts_spark import xlsx as X
+
+    # the OOXML placement model, stated independently of the parser
+    cells: dict[int, object] = {}
+    prev = 0
+    for value, ref in row:
+        col = ref if ref is not None else prev + 1
+        prev = col
+        cells[col] = value
+    want = [cells.get(i) for i in range(1, max(cells) + 1)]
+
+    ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    body = []
+    for value, ref in row:
+        r_attr = f' r="{X.col_letter(ref)}1"' if ref is not None else ""
+        if isinstance(value, str):
+            body.append(
+                f'<c{r_attr} t="inlineStr"><is><t>{escape(value)}</t></is></c>'
+            )
+        else:
+            body.append(f"<c{r_attr}><v>{value}</v></c>")
+    sheet = (
+        f'<worksheet xmlns="{ns}"><sheetData>'
+        f'<row r="1">{"".join(body)}</row>'
+        "</sheetData></worksheet>"
+    )
+    p = str(tmp_path_factory.mktemp("xlsx_prop") / "cells.xlsx")
+    with zipfile.ZipFile(p, "w") as zf:
+        zf.writestr("[Content_Types].xml", X._CONTENT_TYPES)
+        zf.writestr("_rels/.rels", X._ROOT_RELS)
+        zf.writestr("xl/workbook.xml", X._WORKBOOK)
+        zf.writestr("xl/_rels/workbook.xml.rels", X._WORKBOOK_RELS)
+        zf.writestr("xl/styles.xml", X._styles_xml([]))
+        zf.writestr("xl/worksheets/sheet1.xml", sheet)
+    assert X.read_xlsx(p)["rows"][1] == want
+
+
+@st.composite
+def _digraphs(draw):
+    """(n, edges) with every node guaranteed >=1 out-edge AND >=1
+    in-edge and no self-loops: a cyclic shift plus random extra edges —
+    the _pagerank_step contract (the production affinity graph is
+    symmetric, hence dangling-free in both directions)."""
+    n = draw(st.integers(min_value=2, max_value=8))
+    edges = {(i, (i + 1) % n) for i in range(n)}
+    extras = draw(
+        st.sets(
+            st.tuples(
+                st.integers(0, n - 1), st.integers(0, n - 1)
+            ).filter(lambda e: e[0] != e[1]),
+            max_size=12,
+        )
+    )
+    return n, sorted(edges | extras)
+
+
+@given(graph=_digraphs(), weights=st.lists(st.integers(1, 9), min_size=8, max_size=8))
+@SET
+def test_pagerank_step_matches_reference_and_conserves_mass(
+    spark, graph, weights
+):
+    """One _pagerank_step on an ARBITRARY dangling-free sparse digraph
+    must (a) match the pure-Python damping/teleport formula
+    round((1-d)/n + d*sum(r_src/out_src), 12) point-for-point and
+    (b) conserve rank mass: sum(r') = (1-d) + d*sum(r) to within the
+    per-node 1e-12 rounding — the invariant that makes the power
+    iteration a stochastic-matrix fixpoint (r13 verdict item 5).  The
+    existing iterative-refs tests pin the one production graph; this
+    fuzzes the kernel over random topologies and non-uniform rank
+    vectors."""
+    from dataengineer_scripts_spark.operators.bi import (
+        PAGERANK_DAMPING,
+        _pagerank_step,
+    )
+
+    n, edges = graph
+    w = weights[:n]
+    tot = sum(w)
+    r0 = {f"b{i}": round(w[i] / tot, 12) for i in range(n)}
+    outdeg = {i: sum(1 for s, _ in edges if s == i) for i in range(n)}
+
+    trans = spark.createDataFrame(
+        [(f"b{s}", f"b{d}", outdeg[s]) for s, d in edges],
+        "src string, dst string, d long",
+    )
+    nodes = spark.createDataFrame(
+        [(f"b{i}", n) for i in range(n)], "brand string, n long"
+    )
+    r = spark.createDataFrame(list(r0.items()), "brand string, r double")
+
+    got = {row.brand: row.r for row in _pagerank_step(trans, nodes, r).collect()}
+
+    contrib = {f"b{i}": 0.0 for i in range(n)}
+    for s, d in edges:
+        contrib[f"b{d}"] += r0[f"b{s}"] / outdeg[s]
+    want = {
+        b: round((1.0 - PAGERANK_DAMPING) / n + PAGERANK_DAMPING * c, 12)
+        for b, c in contrib.items()
+    }
+    assert set(got) == set(want)
+    for b in want:
+        assert abs(got[b] - want[b]) <= 2e-12, (b, got[b], want[b])
+    mass_in = sum(r0.values())
+    assert abs(
+        sum(got.values()) - ((1.0 - PAGERANK_DAMPING) + PAGERANK_DAMPING * mass_in)
+    ) <= n * 2e-12
+
+
+@given(
+    n_docs=st.integers(min_value=50_000, max_value=160_000),
+    extra_dfs=st.lists(st.integers(min_value=1, max_value=5), max_size=3),
+)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_hot_shingle_cap_boundary_is_exact(spark, n_docs, extra_dfs):
+    """The hot-shingle cap must be STRICT at its boundary: a shingle with
+    document frequency exactly AT max(HOT_SHINGLE_MIN_DF,
+    ceil(HOT_SHINGLE_FRACTION*n_docs)) passes through (the
+    oracle-inertness guarantee BASELINE.md claims for small fixtures
+    rests on df == cap not being hot), while df == cap+1 is dropped.
+    n_docs spans the 100k crossover so BOTH arms of the greatest() are
+    exercised, and the Python reference uses the same double arithmetic
+    (0.001*100000 ceils to 101 in IEEE — the formula must agree with
+    Spark's, FP quirks included; r13 verdict item 5)."""
+    from dataengineer_scripts_spark.operators.llm import (
+        HOT_SHINGLE_FRACTION,
+        HOT_SHINGLE_MIN_DF,
+        _hot_shingle_keys,
+    )
+
+    cap = max(HOT_SHINGLE_MIN_DF, math.ceil(HOT_SHINGLE_FRACTION * n_docs))
+    dfs = {1: cap - 1, 2: cap, 3: cap + 1}
+    dfs.update({10 + i: d for i, d in enumerate(extra_dfs)})
+    rows = [(h,) for h, d in dfs.items() for _ in range(d)]
+    sh = spark.createDataFrame(rows, "h long")
+    nd = spark.createDataFrame([(n_docs,)], "n_docs long")
+    got = {r.h for r in _hot_shingle_keys(sh, nd).collect()}
+    assert got == {h for h, d in dfs.items() if d > cap}, (cap, dfs, got)
