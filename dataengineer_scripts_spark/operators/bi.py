@@ -977,7 +977,14 @@ PAGERANK_MAX_ITERS = 60
 PAGERANK_CHECK_EVERY = 5
 
 
-@register("x_graph_pagerank_converged")  # unbounded iteration → rows-only
+@register(
+    "x_graph_pagerank_converged",  # unbounded iteration → rows-only
+    why_no_oracle="unbounded fixpoint loop has no finite SQL unrolling",
+    gate="shares `_pagerank_step` verbatim with the oracle-attested unrolled "
+         "`x_graph_pagerank` ({grade:x_graph_pagerank}); checked "
+         "point-for-point against a pure-Python fixpoint loop in "
+         "`tests/test_iterative_refs.py`",
+)
 def x_graph_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run-to-fixpoint PageRank over the same rank-cut affinity digraph
     as ``x_graph_pagerank`` — the PRODUCTION form of the iterative graph

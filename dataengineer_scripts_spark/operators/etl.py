@@ -295,7 +295,13 @@ def snk_json_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).json(path)
 
 
-@register("snk_excel_styled", oracle=None)  # presentation artifact → rows-only
+@register(
+    "snk_excel_styled",  # presentation artifact → rows-only
+    why_no_oracle="the subject is a styled binary artifact",
+    gate="hash-matched companion `snk_excel_values` ({grade:snk_excel_values}) "
+         "re-reads the written workbook BYTES and drives every cell value + "
+         "per-status fill through the oracle",
+)
 def snk_excel_styled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Styled Excel report sink (``app.py:222-291``): the health report is
     computed distributed (flagship plan), then rendered driver-side with

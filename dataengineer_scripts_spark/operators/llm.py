@@ -703,7 +703,13 @@ def _simhash_sig(th: DataFrame, bits: int) -> DataFrame:
     return votes.select("doc_id", sig_expr.alias("sig"), "n")
 
 
-@register("x_llm_dedup_simhash")  # xxhash64-derived → no cross-engine oracle
+@register(
+    "x_llm_dedup_simhash",  # xxhash64-derived → no cross-engine oracle
+    why_no_oracle="xxhash64 has no DuckDB twin",
+    gate="hash-matched md5-60-bit companion `x_llm_simhash_signature` "
+         "({grade:x_llm_simhash_signature}) attests the banding/Hamming "
+         "math end-to-end",
+)
 def x_llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (Hamming distance <= 3 over a 64-bit simhash).
 
@@ -1228,7 +1234,13 @@ IVF_CELLS = 10
 IVF_PROBES = 3
 
 
-@register("x_llm_ann_ivf")  # approximate by construction → rows-only check
+@register(
+    "x_llm_ann_ivf",  # approximate by construction → rows-only check
+    why_no_oracle="recall < 1 by design (IVF probe subset)",
+    gate="hash-matched exact-score companion `x_llm_ann_ivf_scores` "
+         "({grade:x_llm_ann_ivf_scores}); recall floor vs exact kNN in "
+         "`tests/test_ann_recall.py`",
+)
 def x_llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style approximate nearest neighbor — the 100 TB scale path.
 
@@ -1415,7 +1427,13 @@ LSH_BANDS = 4  # bands of LSH_PLANES/LSH_BANDS bits each
 LSH_SEED = 42
 
 
-@register("x_llm_ann_lsh")  # approximate by construction → rows-only check
+@register(
+    "x_llm_ann_lsh",  # approximate by construction → rows-only check
+    why_no_oracle="recall < 1 by design (LSH bucket subset)",
+    gate="hash-matched companion `x_llm_ann_lsh_scores` "
+         "({grade:x_llm_ann_lsh_scores}); recall floor in "
+         "`tests/test_ann_recall.py`",
+)
 def x_llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH top-k — the bucketed alternative to IVF for
     approximate similarity search.
@@ -4080,7 +4098,13 @@ def x_llm_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("x_llm_pq_adc_topk")  # approximate by design (recall<1) → rows-only
+@register(
+    "x_llm_pq_adc_topk",  # approximate by design (recall<1) → rows-only
+    why_no_oracle="ADC distances are approximate by construction",
+    gate="hash-matched companion `x_llm_pq_adc_scores` "
+         "({grade:x_llm_pq_adc_scores}); recall floor in "
+         "`tests/test_ann_recall.py`",
+)
 def x_llm_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ADC top-k search over PQ codes (the query half of an IVF-PQ index):
     corpus vectors are PQ-encoded in NORMALIZED space (codebook = the

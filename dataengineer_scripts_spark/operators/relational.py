@@ -759,7 +759,13 @@ def x_agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("x_agg_approx_distinct")  # approx: engine-specific HLL → rows-only
+@register(
+    "x_agg_approx_distinct",  # approx: engine-specific HLL → rows-only
+    why_no_oracle="HLL++ estimate is engine-specific",
+    gate="exact twin `x_agg_count_distinct` ({grade:x_agg_count_distinct}, "
+         "identical grouping); rsd envelope gated in `tests/test_warehouse.py::"
+         "test_approx_distinct_within_rsd_envelope_of_exact_twin`",
+)
 def x_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate distinct (HyperLogLog++, rsd 5%) — the 100 TB path for
     distinct counts; sketch values are engine-specific so the driver runs
@@ -1207,7 +1213,13 @@ APPROX_QUANTILES = [0.5, 0.9, 0.99]
 APPROX_QUANTILE_ACCURACY = 10_000
 
 
-@register("x_agg_approx_quantile")  # sketch output → rows-only by design
+@register(
+    "x_agg_approx_quantile",  # sketch output → rows-only by design
+    why_no_oracle="sketch quantiles are engine-specific",
+    gate="rank-error envelope vs sorted exact values gated in "
+         "`tests/test_warehouse.py::test_approx_quantile_within_rank_error` "
+         "(exact companion `x_agg_median` {grade:x_agg_median})",
+)
 def x_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate percentiles (p50/p90/p99 of extended price per return
     flag) via ``approx_percentile`` — Spark's Greenwald-Khanna sketch:
@@ -1549,7 +1561,14 @@ def x_sub_exists_other(spark: SparkSession, sf_dir: str) -> DataFrame:
 HLL_LG_K = 12
 
 
-@register("x_agg_hll_merge")  # sketch estimate → rows-only (no DuckDB twin)
+@register(
+    "x_agg_hll_merge",  # sketch estimate → rows-only (no DuckDB twin)
+    why_no_oracle="sketch bytes are engine-specific",
+    gate="hash-matched exact companion `x_agg_hll_merge_exact` "
+         "({grade:x_agg_hll_merge_exact}) on identical keys; error envelope "
+         "gated in `tests/test_warehouse.py::"
+         "test_hll_merge_estimate_within_error_envelope`",
+)
 def x_agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable distinct-count maintenance (DataSketches HLL): build ONE
     sketch per (day, event_type) — the granularity a warehouse persists —

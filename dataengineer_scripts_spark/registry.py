@@ -31,13 +31,34 @@ class QueryDef:
     fn: QueryFn
     oracle: str | None
     doc: str
+    #: rows-only ops ONLY — one line on why no oracle SQL can exist, and
+    #: the independent gate that pins correctness anyway.  SURVEY §2.11's
+    #: "Rows-only residue and its gates" table is GENERATED from these
+    #: (tools/gen_survey_index.py), so the audit table cannot drift from
+    #: the registrations.  Gate prose may embed ``{grade:<op_id>}``,
+    #: which the generator replaces with the named companion's latest
+    #: merged driver attestation (e.g. "driver pass r13") — companion
+    #: grades in the table then refresh themselves as windows rotate.
+    why_no_oracle: str | None = None
+    gate: str | None = None
 
 
 _REGISTRY: dict[str, QueryDef] = {}
 
 
-def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
-    """Register ``fn`` as operator ``name`` with optional DuckDB oracle SQL."""
+def register(
+    name: str,
+    oracle: str | None = None,
+    *,
+    why_no_oracle: str | None = None,
+    gate: str | None = None,
+) -> Callable[[QueryFn], QueryFn]:
+    """Register ``fn`` as operator ``name`` with optional DuckDB oracle SQL.
+
+    A rows-only registration (``oracle=None``) MUST say why no oracle is
+    expressible and name its independent gate — the driver's rows-only
+    check alone is too weak to claim correctness, and the requirement
+    keeps any future rows-only op from landing ungated."""
 
     def deco(fn: QueryFn) -> QueryFn:
         @functools.wraps(fn)
@@ -47,7 +68,15 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
         if name in _REGISTRY:
             raise ValueError(f"duplicate operator id: {name}")
-        _REGISTRY[name] = QueryDef(name, wrapped, oracle, (fn.__doc__ or "").strip())
+        if oracle is None and not (why_no_oracle and gate):
+            raise ValueError(
+                f"rows-only operator {name!r} must declare why_no_oracle= "
+                "and gate= (see QueryDef)"
+            )
+        _REGISTRY[name] = QueryDef(
+            name, wrapped, oracle, (fn.__doc__ or "").strip(),
+            why_no_oracle=why_no_oracle, gate=gate,
+        )
         return fn
 
     return deco

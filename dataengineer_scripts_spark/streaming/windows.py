@@ -175,7 +175,12 @@ def x_stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("x_stream_smoke")  # real readStream run → rows-only by design
+@register(
+    "x_stream_smoke",  # real readStream run → rows-only by design
+    why_no_oracle="the subject is the streaming runtime itself",
+    gate="multi-batch memory-sink run asserted row-for-row against the "
+         "batch engine in `tests/test_streaming.py`",
+)
 def x_stream_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registered smoke of the ACTUAL streaming engine (the other
     x_stream_* entries run their shared definitions in batch mode; their

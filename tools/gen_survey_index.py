@@ -83,12 +83,44 @@ def rows() -> list[str]:
     return out
 
 
+def gate_rows() -> list[str]:
+    """The §2.11 'Rows-only residue and its gates' table, generated from
+    the registrations' why_no_oracle/gate metadata (r13 verdict item 7:
+    the two §2.11 tables must not be able to drift apart).  ``{grade:op}``
+    placeholders in gate prose resolve to the named companion's latest
+    merged driver attestation, so companion grades refresh themselves as
+    the grading window rotates."""
+    state = driver_state()
+
+    def grade(m: re.Match) -> str:
+        name = m.group(1)
+        if name not in registry.definitions():
+            raise SystemExit(f"gate references unknown operator {name!r}")
+        return state.get(name, "local sweeps only")
+
+    out = []
+    for name, d in sorted(registry.definitions().items()):
+        if d.oracle is not None:
+            continue
+        gate = re.sub(r"\{grade:(\w+)\}", grade, d.gate)
+        out.append(f"| `{name}` | {d.why_no_oracle} | {gate} |")
+    return out
+
+
 def main() -> None:
     defs = registry.definitions()
     n = len(defs)
     n_oracle = sum(1 for d in defs.values() if d.oracle)
     survey = os.path.join(REPO, "SURVEY.md")
     text = open(survey).read()
+    g = re.search(
+        r"(\| rows-only id \| why no oracle \| gate \|\n\|---\|---\|---\|\n)"
+        r"((?:\|[^\n]*\n)+)",
+        text,
+    )
+    if not g:
+        raise SystemExit("SURVEY.md §2.11 rows-only gate table not found")
+    text = text[: g.end(1)] + "\n".join(gate_rows()) + "\n" + text[g.end(2):]
     m = re.search(
         r"(### 2\.11 .*?REGENERATED from `registry\.definitions\(\)`.*?"
         r"\| id \| function \| check (?:\| driver )?\|\n\|---\|---\|---\|(?:---\|)?\n)"
