@@ -461,15 +461,24 @@ def test_xlsx_write_read_roundtrip(rows, tmp_path_factory):
         st.sampled_from(["aa", "bb", "cc", "dd dd", ""]),
         min_size=1,
         max_size=20,
-    )
+    ),
+    broadcast_dups=st.booleans(),
 )
 @SET
-def test_exact_text_groups_match_single_phase_reference(spark, texts):
+def test_exact_text_groups_match_single_phase_reference(
+    spark, texts, broadcast_dups
+):
     """The two-phase hash-bucketed exact dedup (_exact_text_groups) must
     equal a direct single-phase groupBy(text) on arbitrary small corpora
     with heavy duplication — the exactness claim the 100 TB form rests
     on.  The tiny text pool forces every corpus through the multi-member
-    bucket (broadcast-semi + regroup) path."""
+    bucket (broadcast-semi + regroup) path.  Beyond the callers'
+    min/count, the aggs include avg/sum and an order-normalized collect —
+    NOT grouping-refinement-safe aggregates, correct here because
+    phase-1 values are only emitted for single-member buckets (the r13
+    advice docstring relaxation, now load-bearing and therefore pinned).
+    Both broadcast_dups arms must agree (the web-scale opt-out changes
+    the join strategy, never the result)."""
     from dataengineer_scripts_spark.operators.llm import _exact_text_groups
 
     df = spark.createDataFrame(
@@ -480,8 +489,16 @@ def test_exact_text_groups_match_single_phase_reference(spark, texts):
         "canonical_id": F.min("doc_id"),
         "n_copies": F.count("*"),
         "n_chars": F.min("n_chars"),
+        "mean_id": F.round(F.avg("doc_id"), 9),
+        "sum_chars": F.sum("n_chars"),
+        "all_ids": F.array_sort(F.collect_list("doc_id")),
     }
-    got = sorted(map(tuple, _exact_text_groups(df, aggs).collect()))
+    got = sorted(
+        map(
+            tuple,
+            _exact_text_groups(df, aggs, broadcast_dups=broadcast_dups).collect(),
+        )
+    )
     want = sorted(
         map(tuple, df.groupBy("text").agg(*[c.alias(n) for n, c in aggs.items()]).drop("text").collect())
     )
