@@ -43,9 +43,13 @@ data).  Usage::
 Writes ``scale_stress_r12.json`` next to the repo root and prints one
 summary line per op.  The r13 batches ran with explicit ``--ops``
 (iterative-graph/pair-gen → ``scale_stress_r13_graph[_x30].json``;
-multimodal/embedding → ``scale_stress_r13_mm_embed.json``) — with
-those, all 79 stress-measured ops and their output files are indexed
-in BASELINE.md's round addenda.  Ops are timed bench-style (df.count(), housekeeping
+multimodal/embedding → ``scale_stress_r13_mm_embed.json``); the r14
+batches cover the fact-table warehouse families
+(``scale_stress_r14_warehouse.json``: agg/join/window/topk/pandas-UDF
+over lineitem/orders/events) and the event-time + per-document text
+families (``scale_stress_r14_ts_text.json``) — with those, all 134
+stress-measured ops and their output files are indexed in BASELINE.md's
+round addenda.  Ops are timed bench-style (df.count(), housekeeping
 between ops, one session).  With the default ``--samples 2`` the MIN of
 two runs is recorded, so every wall is the op's marginal steady-state
 cost over warm session-shared frames — the shingle/pair build cost is
