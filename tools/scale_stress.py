@@ -47,7 +47,9 @@ multimodal/embedding → ``scale_stress_r13_mm_embed.json``); the r14
 batches cover the fact-table warehouse families
 (``scale_stress_r14_warehouse.json``: agg/join/window/topk/pandas-UDF
 over lineitem/orders/events) and the event-time + per-document text
-families (``scale_stress_r14_ts_text.json``) — with those, all 134
+families (``scale_stress_r14_ts_text.json``), plus the TPC-H/set/subquery
+residue (``scale_stress_r14_tpch_setsub.json``) and the LLM-doc/ETL/stream
+residue (``scale_stress_r14_llm_etl.json``) — with those, all 198
 stress-measured ops and their output files are indexed in BASELINE.md's
 round addenda.  Ops are timed bench-style (df.count(), housekeeping
 between ops, one session).  With the default ``--samples 2`` the MIN of
