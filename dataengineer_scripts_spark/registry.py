@@ -73,6 +73,15 @@ def register(
                 f"rows-only operator {name!r} must declare why_no_oracle= "
                 "and gate= (see QueryDef)"
             )
+        if oracle is not None and (why_no_oracle or gate):
+            # symmetric rejection: an op that gains an oracle must shed the
+            # rows-only metadata, or the stale gate prose (and its
+            # {grade:...} references) would rot invisibly — the SURVEY
+            # generator only renders these fields for oracle-less ops
+            raise ValueError(
+                f"oracle-bearing operator {name!r} must not carry "
+                "why_no_oracle=/gate= (rows-only metadata)"
+            )
         _REGISTRY[name] = QueryDef(
             name, wrapped, oracle, (fn.__doc__ or "").strip(),
             why_no_oracle=why_no_oracle, gate=gate,

@@ -66,8 +66,7 @@ def driver_state() -> dict[str, str]:
     return {n: s for n, (_, s) in latest.items()}
 
 
-def rows() -> list[str]:
-    state = driver_state()
+def rows(state: dict[str, str]) -> list[str]:
     out = []
     # alphabetical for stable docs (the registry's driver-facing iteration
     # order is priority-rotated; see registry._driver_order)
@@ -83,14 +82,13 @@ def rows() -> list[str]:
     return out
 
 
-def gate_rows() -> list[str]:
+def gate_rows(state: dict[str, str]) -> list[str]:
     """The §2.11 'Rows-only residue and its gates' table, generated from
     the registrations' why_no_oracle/gate metadata (r13 verdict item 7:
     the two §2.11 tables must not be able to drift apart).  ``{grade:op}``
     placeholders in gate prose resolve to the named companion's latest
     merged driver attestation, so companion grades refresh themselves as
     the grading window rotates."""
-    state = driver_state()
 
     def grade(m: re.Match) -> str:
         name = m.group(1)
@@ -103,6 +101,16 @@ def gate_rows() -> list[str]:
         if d.oracle is not None:
             continue
         gate = re.sub(r"\{grade:(\w+)\}", grade, d.gate)
+        # a literal '|' in the prose would silently add table columns and
+        # the regenerated table would still match the insertion regex on
+        # the next run — corrupt-but-stable; refuse instead of escaping
+        # (gate prose has no business containing pipes)
+        for field in (d.why_no_oracle, gate):
+            if "|" in field:
+                raise SystemExit(
+                    f"gate metadata of {name!r} contains '|' — "
+                    "rephrase it; it would corrupt the markdown table"
+                )
         out.append(f"| `{name}` | {d.why_no_oracle} | {gate} |")
     return out
 
@@ -112,6 +120,7 @@ def main() -> None:
     n = len(defs)
     n_oracle = sum(1 for d in defs.values() if d.oracle)
     survey = os.path.join(REPO, "SURVEY.md")
+    state = driver_state()  # parsed once; rows() and gate_rows() share it
     text = open(survey).read()
     g = re.search(
         r"(\| rows-only id \| why no oracle \| gate \|\n\|---\|---\|---\|\n)"
@@ -120,7 +129,7 @@ def main() -> None:
     )
     if not g:
         raise SystemExit("SURVEY.md §2.11 rows-only gate table not found")
-    text = text[: g.end(1)] + "\n".join(gate_rows()) + "\n" + text[g.end(2):]
+    text = text[: g.end(1)] + "\n".join(gate_rows(state)) + "\n" + text[g.end(2):]
     m = re.search(
         r"(### 2\.11 .*?REGENERATED from `registry\.definitions\(\)`.*?"
         r"\| id \| function \| check (?:\| driver )?\|\n\|---\|---\|---\|(?:---\|)?\n)"
@@ -134,7 +143,7 @@ def main() -> None:
         "| id | function | check | driver |\n|---|---|---|---|\n"
     )
     text = text[: m.start(1)] + m.group(1).split("| id |")[0] + header + "\n".join(
-        rows()
+        rows(state)
     ) + "\n" + text[m.end(2) :]
     text = re.sub(
         r"\d+ operators, \d+ oracle-checked, \d+ rows-only",
@@ -143,7 +152,7 @@ def main() -> None:
         count=1,
     )
     open(survey, "w").write(text)
-    n_attested = sum(1 for r in rows() if "driver pass" in r or "driver rows-only" in r)
+    n_attested = sum(1 for r in rows(state) if "driver pass" in r or "driver rows-only" in r)
     print(
         f"SURVEY.md §2.11 regenerated: {n} ops, {n_oracle} oracle-checked, "
         f"{n_attested} driver-attested"
