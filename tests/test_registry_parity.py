@@ -112,3 +112,16 @@ def test_priority_window_names_are_registered_and_lead():
     missing = [n for n in _PRIORITY_NAMES if n not in names]
     assert not missing, f"priority ids not registered: {missing}"
     assert names[: len(_PRIORITY_NAMES)] == list(_PRIORITY_NAMES)
+    # the driver records ~50 rows: a short list wastes grading slots, a
+    # long one silently drops its tail from the window
+    assert len(_PRIORITY_NAMES) == 50
+    assert len(set(_PRIORITY_NAMES)) == 50
+    # slip-safety (the r13 window convention): any rows-only id must sit
+    # AFTER every oracle-bearing id, so a truncated window drops a weak
+    # attestation, never an oracle one
+    oracles = registry.oracles()
+    kinds = [n in oracles for n in _PRIORITY_NAMES]  # True = oracle-bearing
+    first_rows_only = kinds.index(False) if False in kinds else len(kinds)
+    assert all(not k for k in kinds[first_rows_only:]), (
+        "oracle-bearing id listed after a rows-only id in the window"
+    )
