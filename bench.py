@@ -183,6 +183,29 @@ def main() -> None:
                 spark.catalog.clearCache()
                 spark.sparkContext._jvm.System.gc()
 
+    # Recap the slowest queries + the achieved-parallelism quotient on
+    # stderr LAST, so they survive inside the grading driver's ~2000-char
+    # tail capture even when the per-query lines above scroll out of it —
+    # the r14 drift adjudication needed exactly these numbers and had to
+    # recover them from a leftover detail file.  Same "# name: Ws (cpu
+    # Cs)" shape as the per-query lines, so bench_compare's tail parser
+    # picks them up unchanged (dict-keyed, so a recap line merely
+    # overwrites the identical in-loop value).
+    if timings:
+        tot_w, tot_c = sum(timings.values()), sum(cpu_secs.values())
+        print("# --- slowest queries recap ---", file=sys.stderr)
+        for name in sorted(timings, key=timings.get, reverse=True)[:10]:
+            print(
+                f"# {name}: {timings[name]:.3f}s (cpu {cpu_secs[name]:.1f}s)",
+                file=sys.stderr,
+            )
+        if tot_w > 0:
+            print(
+                f"# achieved_parallelism: {tot_c / tot_w:.2f} busy cores "
+                f"(cpu {tot_c:.1f}s / wall {tot_w:.1f}s)",
+                file=sys.stderr,
+            )
+
     detail_path = os.environ.get(
         "SPARK_GRAFT_BENCH_DETAIL",
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"),
