@@ -993,3 +993,42 @@ def test_read_xlsx_shared_strings_rich_text_runs(strings, data, tmp_path_factory
     # normalize both sides the way the snk_excel_values gate does
     norm = lambda xs: [x if x is not None else "" for x in xs]  # noqa: E731
     assert norm(got) == want
+
+
+@given(
+    n=st.integers(min_value=1, max_value=150),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_zorder_twins_agree_on_random_tables(spark, n, seed, tmp_path_factory):
+    """x_etl_zorder_stats (single-window ntile) and its distributed twin
+    (range-partitioned rank recovery + the SQL-standard ntile CASE
+    formula) must produce IDENTICAL granule stats on arbitrary random
+    lineitem tables — including n < ZORDER_BUCKETS, where the recovery
+    formula's ELSE branch divides by q = total div buckets = 0 and
+    correctness rests on the THEN branch covering every row (the fixture
+    never exercises that edge; the rank-recovery bug class is the one
+    the operator docstring records catching in construction)."""
+    import random
+
+    from dataengineer_scripts_spark.operators.etl import (
+        x_etl_zorder_stats,
+        zorder_stats_sharded,
+    )
+
+    rng = random.Random(seed)
+    # unique (l_orderkey, l_linenumber) keeps the ordering total, the
+    # determinism contract both twins require; zval collisions are free
+    rows = [
+        (rng.randrange(1 << 16), rng.randrange(1 << 16), i // 7 + 1, i % 7 + 1)
+        for i in range(n)
+    ]
+    d = tmp_path_factory.mktemp("zorder_prop")
+    spark.createDataFrame(
+        rows, "l_partkey long, l_suppkey long, l_orderkey long, l_linenumber long"
+    ).write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+
+    plain = sorted(map(tuple, x_etl_zorder_stats(spark, str(d)).collect()))
+    sharded = sorted(map(tuple, zorder_stats_sharded(spark, str(d)).collect()))
+    assert plain == sharded
