@@ -120,71 +120,72 @@ def _load_all() -> None:
 
 # The grading driver only records CORRECTNESS rows for the first ~50 ids it
 # sees; the window ROTATES each round to keep attestations fresh.  After the
-# r13 window every id carries a ≥r8-era grade; the merge of
-# CORRECTNESS_r01–r13.json puts the stalest cohort at exactly 25 ids graded
-# r8 (the r8 TPC-H wave, the r8 timeseries/window trio, the r8 LLM/relevance
-# block — embed_pq, ngram_novelty, pq_adc_scores, simhash_signature,
-# tfidf_topk, vocab_coverage — plus mm_dedup_binary, sql_text_api,
-# stream_windowed_topk, udf_pandas_grouped_agg) and 49 at r9.  This window
-# fronts those 25 r8 ids, padded to 50 with the 25 alphabetically-first r9
-# ids.  Every id in this window is oracle-bearing (the rows-only residue is
-# all graded ≥r10), so any truncation of the window drops only an
-# already-fresher attestation.  After this window the stalest grade becomes
-# r9.  The tuple is purely an ordering change: same keys, same callables,
-# same oracles; no new ids.
+# r14 window every id carries a ≥r9-era grade; the merge of
+# CORRECTNESS_r01–r14.json puts the stalest cohort at exactly 24 ids graded
+# r9 (the r9 TPC-H wave q7/q8/q12/q15/q17/q21, the r9 timeseries cohort,
+# the set-op pair except_all/symmetric_diff, the r9 LLM block —
+# dedup_containment, dup_rate_by_source, sentence_split, tokenizer_fertility,
+# winnowing_fingerprint — plus win_period_over_period, win_rank_change) and
+# 50 at r10.  This window fronts those 24 r9 ids, padded to 50 with the 26
+# alphabetically-first r10 ids.  Every id in this window is oracle-bearing
+# (the rows-only residue is all graded ≥r10 and the only r10 rows-only id,
+# x_graph_pagerank_converged, sorts past the 26-id padding cut), so any
+# truncation of the window drops only an already-fresher attestation.
+# After this window the stalest grade becomes r10.  The tuple is purely an
+# ordering change: same keys, same callables, same oracles; no new ids.
 _PRIORITY_NAMES = (
-    # (1) the 25 r8-era ids — stalest cohort of the rotation (all oracle-bearing)
-    "x_llm_embed_pq",
-    "x_llm_ngram_novelty",
-    "x_llm_pq_adc_scores",
-    "x_llm_simhash_signature",
-    "x_llm_tfidf_topk",
-    "x_llm_vocab_coverage",
-    "x_mm_dedup_binary",
-    "x_sql_text_api",
-    "x_stream_windowed_topk",
-    "x_tpch_q10_returned_items",
-    "x_tpch_q13_customer_distribution",
-    "x_tpch_q14_promo_revenue",
-    "x_tpch_q18_large_volume_customer",
-    "x_tpch_q19_discounted_revenue",
-    "x_tpch_q22_global_sales_opportunity",
-    "x_tpch_q4_order_priority",
-    "x_tpch_q5_local_supplier_volume",
-    "x_tpch_q6_forecast_revenue",
-    "x_ts_attribution_last_touch",
-    "x_ts_rolling_zscore",
-    "x_ts_time_weighted_avg",
-    "x_udf_pandas_grouped_agg",
-    "x_win_cohort_revenue",
-    "x_win_range_frame",
-    "x_win_streaks",
-    # (2) the 25 alphabetically-first r9-era ids as padding to 50
-    "flagship_analytics",
-    "x_agg_corr_matrix",
-    "x_agg_count_distinct",
-    "x_agg_cube",
-    "x_agg_entropy",
-    "x_agg_grouping_sets",
-    "x_agg_hypertable_rollup",
-    "x_agg_percentile",
-    "x_agg_rollup",
-    "x_agg_string_agg",
-    "x_agg_sum_avg_min_max",
-    "x_agg_waterfall",
-    "x_etl_cdc_compact",
-    "x_etl_mask_pii",
-    "x_etl_sample_weighted",
-    "x_etl_table_checksum",
-    "x_etl_unpivot",
-    "x_fn_array_map",
-    "x_fn_regexp_extract",
-    "x_join_anti",
-    "x_join_cross",
-    "x_join_inner",
-    "x_join_left",
-    "x_join_range",
-    "x_join_semi",
+    # (1) the 24 r9-era ids — stalest cohort of the rotation (all oracle-bearing)
+    "x_llm_dedup_containment",
+    "x_llm_dup_rate_by_source",
+    "x_llm_sentence_split",
+    "x_llm_tokenizer_fertility",
+    "x_llm_winnowing_fingerprint",
+    "x_set_except_all",
+    "x_set_symmetric_diff",
+    "x_tpch_q12_shipmode_priority",
+    "x_tpch_q15_top_supplier",
+    "x_tpch_q17_small_quantity_revenue",
+    "x_tpch_q21_waiting_suppliers",
+    "x_tpch_q7_volume_shipping",
+    "x_tpch_q8_market_share",
+    "x_ts_anomaly_mad",
+    "x_ts_attribution_linear",
+    "x_ts_autocorrelation",
+    "x_ts_cusum_drift",
+    "x_ts_ewma",
+    "x_ts_hour_of_day_profile",
+    "x_ts_ma_crossover",
+    "x_ts_seasonal_decompose",
+    "x_ts_time_to_convert",
+    "x_win_period_over_period",
+    "x_win_rank_change",
+    # (2) the 26 alphabetically-first r10-era ids as padding to 50
+    "exec_threadpool",
+    "flagship_corpus_health",
+    "flagship_curation",
+    "flagship_health",
+    "flagship_sync",
+    "flt_key_membership",
+    "flt_neq_const",
+    "flt_nonempty_guard",
+    "flt_not_in_list",
+    "flt_not_null",
+    "proj_alias_literal",
+    "proj_nested_field",
+    "x_agg_ab_test",
+    "x_agg_audience_overlap",
+    "x_agg_benford_distribution",
+    "x_agg_bitmask_usage",
+    "x_agg_bool_logic",
+    "x_agg_decile_edges",
+    "x_agg_grouping_id",
+    "x_agg_percentile_cont_disc",
+    "x_agg_weighted_stats",
+    "x_etl_gap_detect",
+    "x_etl_merge_upsert",
+    "x_etl_outlier_iqr",
+    "x_etl_profile_table",
+    "x_fn_date_arith",
 )
 _PRIORITY_RANK = {n: i for i, n in enumerate(_PRIORITY_NAMES)}
 

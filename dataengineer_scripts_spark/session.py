@@ -90,11 +90,15 @@ def _quiet_window_exec_warnings(spark: SparkSession) -> None:
     per-query timing lines from the grading driver's 2000-char stderr
     tail capture (the r13 drift analysis lost 255 of 274 queries to
     them).  This is noise suppression for a measured-safe pattern, NOT a
-    blanket WARN mute: every other logger stays at the session default,
-    so a genuinely unexpected global window in NEW code would still be
-    caught by the plan guards in tests/test_plans.py (which assert on
-    plans, not logs).  Best-effort: the log4j2 Configurator path is
-    Spark-4-internal, so any failure leaves logging untouched.
+    blanket WARN mute: every other logger stays at the session default.
+    What the mute costs in observability is repaid by a REGISTRY-WIDE
+    detector (r14 ADVICE): tests/plan_sweep.py sweeps every operator's
+    physical plan for windows fed by an ``Exchange SinglePartition`` on
+    every test run, failing any op not on its bounded-grain allowlist —
+    a stronger guarantee than the WARN line, since it asserts on plans,
+    not logs, and covers ops with no dedicated plan guard.  Best-effort:
+    the log4j2 Configurator path is Spark-4-internal, so any failure
+    leaves logging untouched.
     """
     try:
         jvm = spark.sparkContext._jvm

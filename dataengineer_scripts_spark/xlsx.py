@@ -272,8 +272,17 @@ def read_xlsx(path: str) -> dict:
 
     rows: dict[int, list] = {}
     row_fills: dict[int, str | None] = {}
+    prev_row = 0
     for row in sheet.iter(f"{{{_NS['m']}}}row"):
-        r = int(row.get("r"))
+        # OOXML makes the row's r= attribute optional, with the same
+        # "next after previous" placement rule as cells: an unreferenced
+        # row lands at the row AFTER THE PREVIOUS one (duplicates resolve
+        # last-write-wins, like cells).  write_xlsx and openpyxl always
+        # emit r=, but a round-trip reader must accept the spec's full
+        # placement model (the r15 property fuzzes both levels together).
+        r_attr = row.get("r")
+        r = int(r_attr) if r_attr is not None else prev_row + 1
+        prev_row = r
         # Place values by the cell's r="B3"-style column reference, not by
         # iteration order: a writer that omits a value-less style-less cell
         # entirely (openpyxl does) would otherwise silently shift every

@@ -1,0 +1,106 @@
+"""Registry-wide unpartitioned-window plan sweep.
+
+``session._quiet_window_exec_warnings`` raises the WindowExec logger to
+ERROR JVM-wide so that `WindowExec: No Partition Defined` WARN floods
+cannot displace bench timing lines from the grading driver's stderr tail
+capture.  The r14 ADVICE pointed out the cost: with the log muted, a
+genuinely NEW accidental global window would be silent in both logs and
+tests, because the plan guards in test_plans.py are per-op opt-in.  This
+module is the registry-wide backstop the advice asked for: every operator
+constructed by tests/test_registry_parity.py::test_operator has its
+physical plan swept for Window nodes whose direct input chain is satisfied
+by an ``Exchange SinglePartition``, and any hit outside the explicit
+allowlist below fails that op's test.
+
+Scope note: the sweep sees the plan of the RETURNED DataFrame.  Operators
+that materialize intermediates (sinks, checkpointing compositions) hide
+those stages from the returned plan — their shapes are pinned by the
+dedicated per-op guards in test_plans.py / test_analytics_plans.py, which
+assert on the internal frames directly.
+"""
+
+from __future__ import annotations
+
+import re
+
+#: Ops whose returned plan LEGITIMATELY windows over a single partition,
+#: with the bounded input grain that makes the pattern safe at 100 TB
+#: (the window input is a fixed-size aggregate, never the fact table).
+#: Values are the maximum number of such windows the plan may contain —
+#: a ceiling, so an op growing a SECOND global window still fails.
+UNPARTITIONED_WINDOW_ALLOWLIST: dict[str, int] = {
+    # day-grain series (~tens of rows at any SF): trailing means / trend
+    "x_ts_ma_crossover": 1,
+    "x_ts_seasonal_decompose": 2,
+    # month-grain lag ratio
+    "x_win_period_over_period": 1,
+    # 9-row leading-digit distribution
+    "x_agg_benford_distribution": 1,
+    # partition-count-grain prefix sums (the distributed row-number /
+    # z-order shard-offset shape: one row PER PARTITION crosses)
+    "x_etl_global_row_number": 1,
+    "x_etl_zorder_stats_sharded": 1,
+    # the documented single-task DIDACTIC twin (production twin above)
+    "x_etl_zorder_stats": 1,
+    # source-grain (≤ handful of sources) cumulative shares / weights
+    "x_llm_dataset_split": 1,
+    "x_llm_mixture_reweight": 1,
+    # vocabulary-rank regression over a bounded top-k frame
+    "x_llm_zipf_fit": 1,
+    # flagship composition embedding the holdout-split member above
+    "flagship_corpus_health": 1,
+    # churn-time grain (distinct event hours, bounded by the window span)
+    "x_ts_survival_km": 1,
+}
+
+
+def _node_name(line: str) -> str:
+    m = re.match(r"[\s:+\-*()0-9]*([A-Za-z]\w*)", line)
+    return m.group(1) if m else ""
+
+
+def _indent(line: str) -> int:
+    m = re.search(r"[A-Za-z]", line)
+    return m.start() if m else 0
+
+
+def unpartitioned_window_hits(plan: str) -> int:
+    """Count Window nodes whose input chain's FIRST exchange is
+    SinglePartition — i.e. windows whose required distribution funnels
+    the input through one task.  Walks the plan tree text: for each
+    Window line, scan its subtree (deeper-indented following lines) and
+    adjudicate on the first Exchange reached; another Window ends the
+    chain (its own input is its own problem), as does leaving the
+    subtree (input already satisfied the distribution — e.g. bucketed
+    or upstream-partitioned, which is fine)."""
+    lines = plan.splitlines()
+    hits = 0
+    for idx, line in enumerate(lines):
+        if _node_name(line) != "Window":
+            continue
+        wi = _indent(line)
+        for nxt in lines[idx + 1:]:
+            if _indent(nxt) <= wi:
+                break
+            nm = _node_name(nxt)
+            if nm == "Exchange":
+                if "SinglePartition" in nxt:
+                    hits += 1
+                break
+            if nm == "Window":
+                break
+    return hits
+
+
+def assert_no_unexpected_unpartitioned_window(name: str, df) -> None:
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    hits = unpartitioned_window_hits(plan)
+    allowed = UNPARTITIONED_WINDOW_ALLOWLIST.get(name, 0)
+    assert hits <= allowed, (
+        f"{name}: {hits} unpartitioned window(s) fed by Exchange "
+        f"SinglePartition (allowlist permits {allowed}).  A window with "
+        "no PARTITION BY funnels the whole input through one task — "
+        "either partition it, or (if the input is a provably bounded "
+        "aggregate) add the op to UNPARTITIONED_WINDOW_ALLOWLIST with "
+        "its grain justification."
+    )

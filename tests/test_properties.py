@@ -1032,3 +1032,236 @@ def test_zorder_twins_agree_on_random_tables(spark, n, seed, tmp_path_factory):
     plain = sorted(map(tuple, x_etl_zorder_stats(spark, str(d)).collect()))
     sharded = sorted(map(tuple, zorder_stats_sharded(spark, str(d)).collect()))
     assert plain == sharded
+
+
+# --- streaming/runtime kernels (r14 verdict item 6) --------------------------
+
+
+@st.composite
+def _split_event_log(draw):
+    """A tiny keyed event log plus a random TIME split into staging
+    batches: events as (user_id, ts_offset_sec, event_id, event_type,
+    value), sorted by (ts, event_id) so prefix cuts are time-range cuts —
+    the same staging shape ``stream_events_split`` produces, with the cut
+    POSITIONS randomized instead of fixed quartiles."""
+    n = draw(st.integers(min_value=1, max_value=20))
+    rows = [
+        (
+            draw(st.integers(1, 4)),
+            draw(st.integers(0, 48 * 3600)),
+            i,
+            draw(st.sampled_from(["click", "view", "error"])),
+            draw(st.integers(0, 999)) / 10.0,
+        )
+        for i in range(n)
+    ]
+    rows.sort(key=lambda t: (t[1], t[2]))
+    cuts = sorted(draw(st.sets(st.integers(1, n - 1), max_size=3))) if n > 1 else []
+    bounds = [0, *cuts, n]
+    return [rows[a:b] for a, b in zip(bounds, bounds[1:])]
+
+
+@given(batches=_split_event_log())
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_upsert_materialize_is_batch_boundary_independent(
+    spark, batches, tmp_path_factory
+):
+    """x_stream_upsert_materialize's core claim, fuzzed on the REAL
+    streaming runtime: for ANY time-split of the staging dir, running the
+    foreachBatch append-winners upsert one file per micro-batch and
+    compacting must equal the single-batch per-key argmax over the whole
+    log.  The registered op runs one fixed 4-way split; this drives the
+    same upsert kernel over randomized cut positions (including the
+    no-cut and every-row-alone-adjacent shapes hypothesis shrinks to),
+    which is exactly the replay/merge independence a production CDC
+    materialization relies on."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    schema = (
+        "user_id bigint, ts timestamp, event_id bigint, "
+        "event_type string, value double"
+    )
+
+    def to_df(rows):
+        return spark.createDataFrame(
+            [(u, base + dt.timedelta(seconds=s), e, t, v)
+             for u, s, e, t, v in rows],
+            schema,
+        )
+
+    root = tmp_path_factory.mktemp("upsert_prop")
+    src, state_dir, ckpt = str(root / "staging"), str(root / "state"), str(root / "ckpt")
+    for batch in batches:
+        to_df(batch).coalesce(1).write.mode("append").parquet(src)
+
+    latest = F.max(F.struct("ts", "event_id", "event_type", "value")).alias("w")
+    out_cols = ["user_id", "w.ts", "w.event_id", "w.event_type", "w.value"]
+
+    def upsert(b, batch_id):
+        (
+            b.groupBy("user_id").agg(latest).select(*out_cols)
+            .write.mode("append").parquet(state_dir)
+        )
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = sorted(map(tuple, (
+        spark.read.parquet(state_dir)
+        .groupBy("user_id").agg(latest).select(*out_cols).collect()
+    )))
+    want = sorted(map(tuple, (
+        to_df([r for b in batches for r in b])
+        .groupBy("user_id").agg(latest).select(*out_cols).collect()
+    )))
+    assert got == want
+
+
+@given(page_size=st.integers(1, 11), data=st.data())
+@SET
+def test_rest_stream_offsets_are_restart_invariant(spark, sf_dir, page_size, data):
+    """RestStreamReader's offset algebra under random restart points: the
+    offset is an absolute row position, so (1) replaying ANY committed
+    split 0 < o1 < ... < ok < total via readBetweenOffsets must
+    concatenate to exactly the full listing — no duplicated or lost rows
+    across restarts, the exactly-once contract the checkpoint relies on;
+    (2) a fresh read() from any offset resumes with exactly the tail; and
+    (3) offsets are PAGE-SIZE independent — a reader restarted with a
+    different page_size must replay identical ranges (the checkpoint
+    outlives reconfiguration)."""
+    from dataengineer_scripts_spark.operators.etl import _server
+    from dataengineer_scripts_spark.sources.rest import RestStreamReader, login
+
+    api = _server(spark, sf_dir)
+    token = login(api.base_url)
+
+    def reader(ps):
+        return RestStreamReader(
+            {"base_url": api.base_url, "token": token, "page_size": str(ps)}
+        )
+
+    r1 = reader(page_size)
+    it, end = r1.read(r1.initialOffset())
+    full = list(it)
+    total = int(end["row"])
+    assert total == len(full) > 0
+
+    # (1) random split replay: concatenation == full listing
+    mids = sorted(data.draw(st.sets(st.integers(1, total - 1), max_size=5)))
+    offsets = [0, *mids, total]
+    replay = []
+    for a, b in zip(offsets, offsets[1:]):
+        replay.extend(r1.readBetweenOffsets({"row": a}, {"row": b}))
+    assert replay == full
+
+    # (2) resume from an arbitrary committed offset: exactly the tail
+    o = data.draw(st.integers(0, total))
+    it2, end2 = r1.read({"row": o})
+    tail = list(it2)
+    if o >= total:
+        assert tail == [] and int(end2["row"]) == o
+    else:
+        assert int(end2["row"]) == total and tail == full[o:]
+
+    # (3) page-size independence of the committed ranges
+    other = data.draw(st.integers(1, 11).filter(lambda p: p != page_size))
+    r2 = reader(other)
+    for a, b in zip(offsets, offsets[1:]):
+        assert list(r2.readBetweenOffsets({"row": a}, {"row": b})) == full[a:b]
+
+
+@st.composite
+def _xlsx_sheet_rows(draw):
+    """A sheet as 1-5 rows: each row carries an explicit r= row reference
+    (possibly out of order or duplicate) or None (OOXML: previous row + 1),
+    and 1-4 numeric cells whose column refs are likewise randomly present,
+    out of order, or omitted."""
+    n_rows = draw(st.integers(1, 5))
+    out = []
+    for _ in range(n_rows):
+        row_ref = draw(st.one_of(st.none(), st.integers(1, 8)))
+        n = draw(st.integers(1, 4))
+        vals = draw(st.lists(st.integers(-99, 99), min_size=n, max_size=n))
+        refs = draw(
+            st.lists(st.one_of(st.none(), st.integers(1, 6)), min_size=n, max_size=n)
+        )
+        out.append((row_ref, list(zip(vals, refs))))
+    return out
+
+
+@given(sheet_rows=_xlsx_sheet_rows())
+@settings(max_examples=60, deadline=None)
+def test_read_xlsx_row_and_cell_placement_match_ooxml_model(
+    sheet_rows, tmp_path_factory
+):
+    """The full two-level OOXML placement model, fuzzed together: ROW
+    elements may omit their r= reference (landing at previous row + 1 —
+    the same next-after-previous rule as cells) or emit references out of
+    ascending order; CELLS within each row mix explicit, out-of-order and
+    omitted column refs as in the single-row r14 property.  Duplicate
+    row references resolve last-write-wins at the whole-row grain, like
+    duplicate cell references do at the cell grain.  The model is stated
+    independently of the parser; read_xlsx must reproduce it exactly."""
+    import zipfile
+
+    from dataengineer_scripts_spark import xlsx as X
+
+    # A cell's r= encodes the ROW number too, so explicit cell refs are
+    # only emitted inside rows that themselves carry r= (a writer that
+    # leaves the row implicit has no row digit to put in the cell ref);
+    # normalize the EFFECTIVE cell refs once and feed model and XML from
+    # the same normalized spec so they describe the same document.
+    norm = [
+        (row_ref, [(v, ref if row_ref is not None else None) for v, ref in spec])
+        for row_ref, spec in sheet_rows
+    ]
+
+    # independent statement of the placement model
+    grid: dict[int, list] = {}
+    prev_row = 0
+    for row_ref, cell_spec in norm:
+        r = row_ref if row_ref is not None else prev_row + 1
+        prev_row = r
+        cells: dict[int, object] = {}
+        prev = 0
+        for value, ref in cell_spec:
+            col = ref if ref is not None else prev + 1
+            prev = col
+            cells[col] = value
+        grid[r] = [cells.get(i) for i in range(1, max(cells) + 1)]
+
+    ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    body = []
+    for row_ref, cell_spec in norm:
+        cs = []
+        for value, ref in cell_spec:
+            if ref is not None:
+                cs.append(f'<c r="{X.col_letter(ref)}{row_ref}"><v>{value}</v></c>')
+            else:
+                cs.append(f"<c><v>{value}</v></c>")
+        r_attr = f' r="{row_ref}"' if row_ref is not None else ""
+        body.append(f"<row{r_attr}>{''.join(cs)}</row>")
+    sheet = (
+        f'<worksheet xmlns="{ns}"><sheetData>{"".join(body)}</sheetData></worksheet>'
+    )
+    p = str(tmp_path_factory.mktemp("xlsx_rows") / "rows.xlsx")
+    with zipfile.ZipFile(p, "w") as zf:
+        zf.writestr("[Content_Types].xml", X._CONTENT_TYPES)
+        zf.writestr("_rels/.rels", X._ROOT_RELS)
+        zf.writestr("xl/workbook.xml", X._WORKBOOK)
+        zf.writestr("xl/_rels/workbook.xml.rels", X._WORKBOOK_RELS)
+        zf.writestr("xl/styles.xml", X._styles_xml([]))
+        zf.writestr("xl/worksheets/sheet1.xml", sheet)
+    assert X.read_xlsx(p)["rows"] == grid

@@ -9,6 +9,10 @@ import pytest
 from dataengineer_scripts_spark import registry
 
 from .oracle_utils import assert_matches_oracle
+from .plan_sweep import (
+    UNPARTITIONED_WINDOW_ALLOWLIST,
+    assert_no_unexpected_unpartitioned_window,
+)
 
 DEFS = registry.definitions()
 
@@ -17,10 +21,26 @@ DEFS = registry.definitions()
 def test_operator(name, spark, duck, sf_dir):
     qd = DEFS[name]
     df = qd.fn(spark, sf_dir)
+    # registry-wide scale backstop (r14 ADVICE): no NEW window may funnel
+    # its input through a SinglePartition exchange — the WindowExec WARN
+    # that would have hinted at it is muted for bench-output hygiene
+    # (session._quiet_window_exec_warnings), so the plan sweep is the
+    # detector now.  Allowlisted ops are bounded-grain by construction.
+    assert_no_unexpected_unpartitioned_window(name, df)
     if qd.oracle is None:
         assert df.count() >= 0  # rows-only check, mirrors the driver
     else:
         assert_matches_oracle(df, duck, qd.oracle, name)
+
+
+def test_unpartitioned_window_allowlist_is_registered_and_tight():
+    """Every allowlisted id must exist (a typo would silently allow a
+    future op of that name), and the allowlist must not silently grow
+    stale: each entry must still be needed — asserted indirectly by the
+    sweep being a ceiling, and directly here by the ids being real."""
+    unknown = [n for n in UNPARTITIONED_WINDOW_ALLOWLIST if n not in DEFS]
+    assert not unknown, f"allowlisted ids not in registry: {unknown}"
+    assert all(v >= 1 for v in UNPARTITIONED_WINDOW_ALLOWLIST.values())
 
 
 def test_type_guard_catches_uncast_integer_sum(spark, duck, sf_dir):

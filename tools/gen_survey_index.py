@@ -28,6 +28,19 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 PKG = "dataengineer_scripts_spark"
 
 
+def latest_round() -> int:
+    """Highest committed driver round — stamps the §2.11 header so the
+    title can never rot behind the table again (r14 verdict item 3: the
+    header said "round 12" while the table carried r13 grades)."""
+    rounds = [
+        int(re.search(r"_r(\d+)\.json$", f).group(1))
+        for f in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))
+    ]
+    if not rounds:
+        raise SystemExit("no CORRECTNESS_r*.json found — cannot stamp §2.11")
+    return max(rounds)
+
+
 def driver_state() -> dict[str, str]:
     """Latest per-id driver verdict across CORRECTNESS_r*.json rounds."""
     latest: dict[str, tuple[int, str]] = {}
@@ -122,14 +135,25 @@ def main() -> None:
     survey = os.path.join(REPO, "SURVEY.md")
     state = driver_state()  # parsed once; rows() and gate_rows() share it
     text = open(survey).read()
+    # data-row group is OPTIONAL (`*`, not `+`): if the rows-only residue
+    # ever shrinks to zero the previously-regenerated empty table must
+    # still match, or regeneration dies on a valid state (r14 ADVICE)
     g = re.search(
         r"(\| rows-only id \| why no oracle \| gate \|\n\|---\|---\|---\|\n)"
-        r"((?:\|[^\n]*\n)+)",
+        r"((?:\|[^\n]*\n)*)",
         text,
     )
     if not g:
         raise SystemExit("SURVEY.md §2.11 rows-only gate table not found")
     text = text[: g.end(1)] + "\n".join(gate_rows(state)) + "\n" + text[g.end(2):]
+    # stamp the section title with the latest graded round so the header
+    # can never lag the table's grades again — BEFORE matching the table,
+    # since the splice below works on byte offsets into `text`
+    text = re.sub(
+        r"### 2\.11 Implementation index \(round \d+\)",
+        f"### 2.11 Implementation index (round {latest_round()})",
+        text,
+    )
     m = re.search(
         r"(### 2\.11 .*?REGENERATED from `registry\.definitions\(\)`.*?"
         r"\| id \| function \| check (?:\| driver )?\|\n\|---\|---\|---\|(?:---\|)?\n)"
