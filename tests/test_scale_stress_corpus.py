@@ -217,3 +217,66 @@ def test_order_replicas_deepen_facts_per_dimension_key(spark, sf_dir):
     assert sorted(
         r[0] for r in x2.select("o_custkey").distinct().collect()
     ) == sorted(r[0] for r in base.select("o_custkey").distinct().collect())
+
+
+def test_customer_replicas_are_fresh_entities_with_bounded_dims(spark, sf_dir):
+    """customer ×M (r15): M fresh entity populations — keys AND names
+    globally unique across replicas (the customer-grain ops profile /
+    checksum / dedupe on them), while c_nationkey stays fixture-bounded
+    so per-nation groups deepen M× like a real registry against a
+    static dimension."""
+    base = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    x3 = scale_stress._replicate_customer(spark, sf_dir, 3)
+    n = base.count()
+    assert x3.count() == 3 * n
+    assert x3.select("c_custkey").distinct().count() == 3 * n
+    assert x3.select("c_name").distinct().count() == 3 * base.select(
+        "c_name"
+    ).distinct().count()
+    # the nation dimension does NOT scale
+    assert sorted(
+        r[0] for r in x3.select("c_nationkey").distinct().collect()
+    ) == sorted(r[0] for r in base.select("c_nationkey").distinct().collect())
+    # replica 2 is the base bit-for-bit after stripping offset and tag
+    rep2 = x3.filter(
+        F.col("c_custkey") >= 2 * scale_stress.ID_STEP_DOC
+    ).withColumns(
+        {
+            "c_custkey": F.col("c_custkey") - 2 * scale_stress.ID_STEP_DOC,
+            "c_name": F.expr("substring(c_name, 3)"),
+        }
+    )
+    assert sorted(map(tuple, rep2.collect())) == sorted(
+        map(tuple, base.collect())
+    )
+
+
+def test_part_replicas_keep_fuzzy_blocks_disjoint(spark, sf_dir):
+    """part ×M (r15): the fuzzy-join blocking key (LAST p_name token) is
+    tagged per replica, so replica blocks are DISJOINT — block count
+    scales M×, the largest block stays fixture-sized, and the fuzzy
+    candidate-pair count scales linearly instead of M² (the
+    within-vs-across replica reasoning of the documents word-tagging,
+    applied to the one part-grain op with a join on derived text)."""
+    base = spark.read.parquet(f"{sf_dir}/part.parquet")
+    x3 = scale_stress._replicate_part(spark, sf_dir, 3)
+    n = base.count()
+    assert x3.count() == 3 * n
+    assert x3.select("p_partkey").distinct().count() == 3 * n
+
+    blk = F.regexp_extract("p_name", r"(\S+)$", 1).alias("blk")
+    base_blocks = base.select(blk).groupBy("blk").count()
+    x3_blocks = x3.select(blk).groupBy("blk").count()
+    assert x3_blocks.count() == 3 * base_blocks.count()
+    # block depth bounded: the deepest block never grows with M
+    assert (
+        x3_blocks.agg(F.max("count")).first()[0]
+        == base_blocks.agg(F.max("count")).first()[0]
+    )
+    # non-blocking attributes untouched: price distribution identical ×3
+    assert (
+        x3.groupBy("p_retailprice").count().filter(
+            F.col("count") % 3 != 0
+        ).count()
+        == 0
+    )

@@ -34,8 +34,14 @@ shape, so exponents measure the engine, not a pathology:
   the lineitem offset); o_custkey stays fixture-bounded, so
   facts-per-dimension-key deepen M× like a real warehouse.
 
-All other tables are symlinked at 1x (dimensions don't scale with fact
-data).  Usage::
+- ``customer``/``part`` ×M (r15): fresh entity populations (key offset +
+  name tag; part tags the fuzzy-join BLOCKING token so candidate pairs
+  stay linear) — these are the FACT input of the customer-/part-grain
+  ops (profile, checksum, mask-pii, merge-upsert, distribution,
+  grouped-agg, unpivot, range/fuzzy join, csv/orc round-trips).
+
+All other tables (region, nation, supplier) are symlinked at 1x — true
+dimensions that don't scale with fact data.  Usage::
 
     python tools/scale_stress.py                  # 1,3,10 x sf0.1
     python tools/scale_stress.py --multipliers 1,10 --ops x_llm_dedup_minhash
@@ -236,12 +242,61 @@ def _replicate_orders(spark: SparkSession, base: str, m: int):
     return _offset_fact_keys(src, m, {"o_orderkey": ID_STEP_FACT})
 
 
+def _replicate_customer(spark: SparkSession, base: str, m: int):
+    """customer ×M (r15): replica r offsets c_custkey by r·10^7 and tags
+    c_name with an ``r{r}`` prefix (fresh, globally-unique entities —
+    the "bigger entity table" model for the customer-grain ops: profile,
+    checksum, mask-pii, merge-upsert, distribution, grouped-agg, csv/orc
+    round-trips).  c_nationkey is untouched, so nation stays a bounded
+    dimension and per-nation groups deepen M× like a real registry."""
+    src = spark.read.parquet(f"{base}/customer.parquet")
+    return _union_replicas(
+        src,
+        [
+            src.withColumns(
+                {
+                    "c_custkey": F.col("c_custkey") + r * ID_STEP_DOC,
+                    "c_name": F.concat(F.lit(f"r{r}"), F.col("c_name")),
+                }
+            )
+            for r in range(1, m)
+        ],
+    )
+
+
+def _replicate_part(spark: SparkSession, base: str, m: int):
+    """part ×M (r15): replica r offsets p_partkey by r·10^7 and tags the
+    LAST token of p_name with an ``r{r}`` prefix.  The last token is the
+    fuzzy-join BLOCKING key (x_join_fuzzy_name blocks on it), so tagging
+    it makes replica blocks DISJOINT: block count scales M×, block sizes
+    stay fixture-bounded, candidate pairs scale linearly — a bigger
+    catalog, not an M²-deep-block pathology (the same within-vs-across
+    replica reasoning as the documents word-tagging above)."""
+    src = spark.read.parquet(f"{base}/part.parquet")
+    return _union_replicas(
+        src,
+        [
+            src.withColumns(
+                {
+                    "p_partkey": F.col("p_partkey") + r * ID_STEP_DOC,
+                    "p_name": F.regexp_replace(
+                        F.col("p_name"), r"(\S+)$", f"r{r}$1"
+                    ),
+                }
+            )
+            for r in range(1, m)
+        ],
+    )
+
+
 SCALED = {
     "documents": _replicate_documents,
     "embeddings": _replicate_embeddings,
     "lineitem": _replicate_lineitem,
     "events": _replicate_events,
     "orders": _replicate_orders,
+    "customer": _replicate_customer,
+    "part": _replicate_part,
 }
 
 
@@ -251,10 +306,11 @@ def build_corpus(spark: SparkSession, base: str, m: int, force: bool = False) ->
     # marker carries the BASE the corpus derives from AND the construction
     # version: a later run with a different --base, or against a corpus
     # built by an older construction (r11 left events/orders symlinked and
-    # tagged empty doc tokens), must rebuild, not silently reuse
+    # tagged empty doc tokens; v2 left customer/part symlinked), must
+    # rebuild, not silently reuse
     marker = os.path.join(dest, ".complete")
     base_abs = os.path.abspath(base)
-    stamp = f"{base_abs}#v2"
+    stamp = f"{base_abs}#v3"
     if not force:
         try:
             if open(marker).read() == stamp:
