@@ -92,7 +92,19 @@ def unpartitioned_window_hits(plan: str) -> int:
     return hits
 
 
-def assert_no_unexpected_unpartitioned_window(name: str, df) -> None:
+def assert_plan_hygiene(name: str, df) -> None:
+    """The registry-wide physical-plan backstops, one executedPlan read:
+
+    - no Window fed by an Exchange SinglePartition outside the
+      bounded-grain allowlist (the WindowExec-WARN replacement above);
+    - no CartesianProduct ANYWHERE (an r15 sweep of all 274 ops found
+      zero — every crossJoin in the engine broadcasts a 1-row totals
+      frame or a dim, which plans as BroadcastNestedLoopJoin — so the
+      budget is hard 0, not an allowlist);
+    - no BatchEvalPython (row-at-a-time Python UDF) — the dynamic twin
+      of test_plans' static no-F.udf scan: a plan-level catch for any
+      future dependency or expression that smuggles one in.
+    """
     plan = df._jdf.queryExecution().executedPlan().toString()
     hits = unpartitioned_window_hits(plan)
     allowed = UNPARTITIONED_WINDOW_ALLOWLIST.get(name, 0)
@@ -103,4 +115,13 @@ def assert_no_unexpected_unpartitioned_window(name: str, df) -> None:
         "either partition it, or (if the input is a provably bounded "
         "aggregate) add the op to UNPARTITIONED_WINDOW_ALLOWLIST with "
         "its grain justification."
+    )
+    assert "CartesianProduct" not in plan, (
+        f"{name}: CartesianProduct in the physical plan — pair work must "
+        "be blocked/banded/broadcast, never an all-pairs product"
+    )
+    assert "BatchEvalPython" not in plan, (
+        f"{name}: row-at-a-time Python UDF (BatchEvalPython) in the hot "
+        "path — use built-in Column expressions or an Arrow-batched "
+        "pandas UDF"
     )

@@ -9,10 +9,7 @@ import pytest
 from dataengineer_scripts_spark import registry
 
 from .oracle_utils import assert_matches_oracle
-from .plan_sweep import (
-    UNPARTITIONED_WINDOW_ALLOWLIST,
-    assert_no_unexpected_unpartitioned_window,
-)
+from .plan_sweep import UNPARTITIONED_WINDOW_ALLOWLIST, assert_plan_hygiene
 
 DEFS = registry.definitions()
 
@@ -21,12 +18,13 @@ DEFS = registry.definitions()
 def test_operator(name, spark, duck, sf_dir):
     qd = DEFS[name]
     df = qd.fn(spark, sf_dir)
-    # registry-wide scale backstop (r14 ADVICE): no NEW window may funnel
+    # registry-wide scale backstops (r14 ADVICE): no NEW window may funnel
     # its input through a SinglePartition exchange — the WindowExec WARN
     # that would have hinted at it is muted for bench-output hygiene
     # (session._quiet_window_exec_warnings), so the plan sweep is the
-    # detector now.  Allowlisted ops are bounded-grain by construction.
-    assert_no_unexpected_unpartitioned_window(name, df)
+    # detector now (allowlisted ops are bounded-grain by construction) —
+    # and no op may plan a CartesianProduct or row-at-a-time Python UDF.
+    assert_plan_hygiene(name, df)
     if qd.oracle is None:
         assert df.count() >= 0  # rows-only check, mirrors the driver
     else:
