@@ -64,30 +64,43 @@ def _indent(line: str) -> int:
     return m.start() if m else 0
 
 
+#: Window-executing node names: JVM windows AND pandas-UDF windows — a
+#: WindowInPandas with no PARTITION BY funnels through one task exactly
+#: like WindowExec, and its ArrowEvalPython machinery is legitimate
+#: elsewhere, so only THIS sweep can catch it.
+_WINDOW_NODES = ("Window", "WindowInPandas")
+#: Exchange node names: a ReusedExchange line still names the reused
+#: exchange's partitioning ("ReusedExchange [...], Exchange
+#: SinglePartition"), so it adjudicates the chain the same way —
+#: without it, Spark's default exchange reuse would hide every window
+#: after the first over the same single-partition input.
+_EXCHANGE_NODES = ("Exchange", "ReusedExchange")
+
+
 def unpartitioned_window_hits(plan: str) -> int:
-    """Count Window nodes whose input chain's FIRST exchange is
-    SinglePartition — i.e. windows whose required distribution funnels
-    the input through one task.  Walks the plan tree text: for each
-    Window line, scan its subtree (deeper-indented following lines) and
-    adjudicate on the first Exchange reached; another Window ends the
-    chain (its own input is its own problem), as does leaving the
+    """Count window nodes whose input chain's FIRST exchange (reused or
+    not) is SinglePartition — i.e. windows whose required distribution
+    funnels the input through one task.  Walks the plan tree text: for
+    each window line, scan its subtree (deeper-indented following lines)
+    and adjudicate on the first exchange reached; another window ends
+    the chain (its own input is its own problem), as does leaving the
     subtree (input already satisfied the distribution — e.g. bucketed
     or upstream-partitioned, which is fine)."""
     lines = plan.splitlines()
     hits = 0
     for idx, line in enumerate(lines):
-        if _node_name(line) != "Window":
+        if _node_name(line) not in _WINDOW_NODES:
             continue
         wi = _indent(line)
         for nxt in lines[idx + 1:]:
             if _indent(nxt) <= wi:
                 break
             nm = _node_name(nxt)
-            if nm == "Exchange":
+            if nm in _EXCHANGE_NODES:
                 if "SinglePartition" in nxt:
                     hits += 1
                 break
-            if nm == "Window":
+            if nm in _WINDOW_NODES:
                 break
     return hits
 
@@ -108,13 +121,23 @@ def assert_plan_hygiene(name: str, df) -> None:
     plan = df._jdf.queryExecution().executedPlan().toString()
     hits = unpartitioned_window_hits(plan)
     allowed = UNPARTITIONED_WINDOW_ALLOWLIST.get(name, 0)
-    assert hits <= allowed, (
+    # EXACT equality, not a ceiling: window-over-SinglePartition presence
+    # is plan-structural (the exchange is inserted whenever the child's
+    # output partitioning doesn't already satisfy the required
+    # distribution — independent of data size), so fewer hits than
+    # allowed means the entry went STALE, and a stale entry would mask
+    # the next accidental global window in that op.  Remove the entry
+    # when an op sheds its bounded-grain window.
+    assert hits == allowed, (
         f"{name}: {hits} unpartitioned window(s) fed by Exchange "
-        f"SinglePartition (allowlist permits {allowed}).  A window with "
-        "no PARTITION BY funnels the whole input through one task — "
-        "either partition it, or (if the input is a provably bounded "
-        "aggregate) add the op to UNPARTITIONED_WINDOW_ALLOWLIST with "
-        "its grain justification."
+        f"SinglePartition, allowlist expects exactly {allowed}.  "
+        "More than expected: a window with no PARTITION BY funnels the "
+        "whole input through one task — partition it, or (if the input "
+        "is a provably bounded aggregate) raise the op's "
+        "UNPARTITIONED_WINDOW_ALLOWLIST entry with its grain "
+        "justification.  Fewer than expected: the allowlist entry is "
+        "stale — delete or lower it so it cannot mask a future "
+        "accidental global window."
     )
     assert "CartesianProduct" not in plan, (
         f"{name}: CartesianProduct in the physical plan — pair work must "

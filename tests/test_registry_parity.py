@@ -33,9 +33,11 @@ def test_operator(name, spark, duck, sf_dir):
 
 def test_unpartitioned_window_allowlist_is_registered_and_tight():
     """Every allowlisted id must exist (a typo would silently allow a
-    future op of that name), and the allowlist must not silently grow
-    stale: each entry must still be needed — asserted indirectly by the
-    sweep being a ceiling, and directly here by the ids being real."""
+    future op of that name) and carry a positive count.  Staleness is
+    enforced by the sweep itself: assert_plan_hygiene requires EXACT
+    equality with the allowlisted count, so an entry whose op shed its
+    bounded-grain window fails that op's parity test until the entry is
+    removed — a stale entry can never mask a future global window."""
     unknown = [n for n in UNPARTITIONED_WINDOW_ALLOWLIST if n not in DEFS]
     assert not unknown, f"allowlisted ids not in registry: {unknown}"
     assert all(v >= 1 for v in UNPARTITIONED_WINDOW_ALLOWLIST.values())

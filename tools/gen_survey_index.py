@@ -145,15 +145,30 @@ def main() -> None:
     )
     if not g:
         raise SystemExit("SURVEY.md §2.11 rows-only gate table not found")
-    text = text[: g.end(1)] + "\n".join(gate_rows(state)) + "\n" + text[g.end(2):]
+    gate_table = "\n".join(gate_rows(state))
+    # no trailing newline when the table is EMPTY, or each regeneration
+    # would stack one more blank line after the header (non-idempotent
+    # in exactly the zero-residue state the '*' quantifier supports)
+    text = (
+        text[: g.end(1)]
+        + (gate_table + "\n" if gate_table else "")
+        + text[g.end(2):]
+    )
     # stamp the section title with the latest graded round so the header
     # can never lag the table's grades again — BEFORE matching the table,
-    # since the splice below works on byte offsets into `text`
-    text = re.sub(
+    # since the splice below works on byte offsets into `text`; fail
+    # loudly (like the table splices) if the title pattern drifted,
+    # otherwise the stamp would silently no-op and the header rot anew
+    text, n_stamped = re.subn(
         r"### 2\.11 Implementation index \(round \d+\)",
         f"### 2.11 Implementation index (round {latest_round()})",
         text,
     )
+    if n_stamped != 1:
+        raise SystemExit(
+            "SURVEY.md §2.11 title not found in the expected "
+            "'(round N)' form — cannot stamp the round"
+        )
     m = re.search(
         r"(### 2\.11 .*?REGENERATED from `registry\.definitions\(\)`.*?"
         r"\| id \| function \| check (?:\| driver )?\|\n\|---\|---\|---\|(?:---\|)?\n)"
