@@ -55,9 +55,12 @@ batches cover the fact-table warehouse families
 over lineitem/orders/events) and the event-time + per-document text
 families (``scale_stress_r14_ts_text.json``), plus the TPC-H/set/subquery
 residue (``scale_stress_r14_tpch_setsub.json``) and the LLM-doc/ETL/stream
-residue (``scale_stress_r14_llm_etl.json``) — with those, all 198
-stress-measured ops and their output files are indexed in BASELINE.md's
-round addenda.  Ops are timed bench-style (df.count(), housekeeping
+residue (``scale_stress_r14_llm_etl.json``); the r15 batch
+(``scale_stress_r15_residue.json``) covers the customer-/part-grain and
+flagship residue over the v3 corpus, closing measurable coverage at 222
+of 274 — the remaining 52 ids are fixed-grain by construction (REST
+stub / nation / region inputs).  All stress-measured ops and their
+output files are indexed in BASELINE.md's round addenda.  Ops are timed bench-style (df.count(), housekeeping
 between ops, one session).  With the default ``--samples 2`` the MIN of
 two runs is recorded, so every wall is the op's marginal steady-state
 cost over warm session-shared frames — the shingle/pair build cost is
