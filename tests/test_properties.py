@@ -1265,3 +1265,149 @@ def test_read_xlsx_row_and_cell_placement_match_ooxml_model(
         zf.writestr("xl/styles.xml", X._styles_xml([]))
         zf.writestr("xl/worksheets/sheet1.xml", sheet)
     assert X.read_xlsx(p)["rows"] == grid
+
+
+# --- CDC compaction + resample/ffill vs Python references --------------------
+
+
+@st.composite
+def _cdc_log(draw):
+    """A change log with FORCED collisions: few keys, a tiny timestamp
+    pool (so last-writer-wins must fall through to the event_id
+    tiebreak), unique event_ids."""
+    n = draw(st.integers(min_value=1, max_value=25))
+    return [
+        (
+            i,                                   # event_id (unique)
+            draw(st.integers(0, 5)),             # ts slot (ties likely)
+            draw(st.integers(1, 3)),             # user_id
+            draw(st.sampled_from(["click", "view", "error"])),
+            draw(st.integers(-99, 99)) / 4.0,
+        )
+        for i in range(n)
+    ]
+
+
+@given(log=_cdc_log())
+@SET
+def test_cdc_compact_matches_last_writer_wins_reference(
+    spark, log, tmp_path_factory
+):
+    """x_etl_cdc_compact (the aggregate-form argmax, deliberately not a
+    window) must pick exactly the last writer per (user_id, event_type)
+    under the (ts, event_id) total order for ARBITRARY logs with
+    timestamp ties — the tiebreak path the fixture's unique-ish
+    timestamps rarely exercise.  Winners are compared by event_id (a
+    unique row identity), which also pins that ties broke on the HIGHER
+    event_id and that no key was dropped or duplicated."""
+    import datetime as dt
+
+    from dataengineer_scripts_spark import registry
+
+    base = dt.datetime(2024, 3, 1)
+    d = tmp_path_factory.mktemp("cdc_prop")
+    spark.createDataFrame(
+        [
+            (eid, base + dt.timedelta(hours=slot), uid, typ, val)
+            for eid, slot, uid, typ, val in log
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+
+    got = {
+        (r.user_id, r.event_type): r.event_id
+        for r in registry.queries()["x_etl_cdc_compact"](spark, str(d)).collect()
+    }
+
+    want: dict[tuple, int] = {}
+    best: dict[tuple, tuple] = {}
+    for eid, slot, uid, typ, _val in log:
+        k = (uid, typ)
+        if k not in best or (slot, eid) > best[k]:
+            best[k] = (slot, eid)
+            want[k] = eid
+    assert got == want
+
+
+@st.composite
+def _sparse_events(draw):
+    """Sparse per-user day streams: day offsets with GAPS (the ffill
+    path), intra-day ties on the hour slot (the daily-close argmax
+    path), unique event_ids."""
+    n = draw(st.integers(min_value=1, max_value=20))
+    return [
+        (
+            i,
+            draw(st.integers(0, 9)),             # day offset (gaps likely)
+            draw(st.integers(0, 2)),             # hour slot (ties likely)
+            draw(st.integers(1, 3)),             # user_id
+            draw(st.integers(-99, 99)) / 4.0,
+        )
+        for i in range(n)
+    ]
+
+
+@given(events=_sparse_events())
+@SET
+def test_resample_ffill_matches_dense_grid_reference(
+    spark, events, tmp_path_factory
+):
+    """x_etl_resample_ffill must equal the direct Python reference on
+    arbitrary sparse streams: per user a DENSE daily grid from first to
+    last active day (every gap day present with n_events=0), each day's
+    close = the value of the day's last event by (ts, event_id), and
+    gap days carrying the previous close forward.  Randomized gaps and
+    intra-day ties exercise the sequence/explode grid and the argmax
+    collapse harder than the fixture's dense event stream does."""
+    import datetime as dt
+
+    from dataengineer_scripts_spark import registry
+
+    base = dt.datetime(2024, 3, 1)
+    d = tmp_path_factory.mktemp("ffill_prop")
+    spark.createDataFrame(
+        [
+            (
+                eid,
+                base + dt.timedelta(days=day, hours=hour),
+                uid,
+                "click",
+                val,
+            )
+            for eid, day, hour, uid, val in events
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+
+    out = registry.queries()["x_etl_resample_ffill"](spark, str(d))
+    got = sorted(
+        (r.user_id, r.day, r.n_events, r.close_value)
+        for r in out.select(
+            "user_id",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n_events",
+            "close_value",
+        ).collect()
+    )
+
+    per_user: dict[int, dict[int, list]] = {}
+    for eid, day, hour, uid, val in events:
+        per_user.setdefault(uid, {}).setdefault(day, []).append(
+            (hour, eid, val)
+        )
+    want = []
+    for uid, days in per_user.items():
+        close = None
+        for day in range(min(days), max(days) + 1):
+            evs = days.get(day, [])
+            if evs:
+                close = max(evs)[2]  # (hour, eid, val) — last writer's val
+            want.append(
+                (
+                    uid,
+                    (base + dt.timedelta(days=day)).strftime("%Y-%m-%d"),
+                    len(evs),
+                    round(close, 6),
+                )
+            )
+    assert got == sorted(want)
