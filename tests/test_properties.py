@@ -1300,23 +1300,20 @@ def test_cdc_compact_matches_last_writer_wins_reference(
     timestamps rarely exercise.  Winners are compared by event_id (a
     unique row identity), which also pins that ties broke on the HIGHER
     event_id and that no key was dropped or duplicated."""
-    import datetime as dt
-
     from dataengineer_scripts_spark import registry
 
-    base = dt.datetime(2024, 3, 1)
-    d = tmp_path_factory.mktemp("cdc_prop")
-    spark.createDataFrame(
+    d = _write_events(
+        spark,
+        tmp_path_factory,
+        "cdc_prop",
         [
-            (eid, base + dt.timedelta(hours=slot), uid, typ, val)
+            (eid, _EV_EPOCH + slot * 3600, uid, typ, val)
             for eid, slot, uid, typ, val in log
         ],
-        "event_id long, ts timestamp, user_id long, event_type string, value double",
-    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
-
+    )
     got = {
         (r.user_id, r.event_type): r.event_id
-        for r in registry.queries()["x_etl_cdc_compact"](spark, str(d)).collect()
+        for r in registry.queries()["x_etl_cdc_compact"](spark, d).collect()
     }
 
     want: dict[tuple, int] = {}
@@ -1363,32 +1360,32 @@ def test_resample_ffill_matches_dense_grid_reference(
 
     from dataengineer_scripts_spark import registry
 
-    base = dt.datetime(2024, 3, 1)
-    d = tmp_path_factory.mktemp("ffill_prop")
-    spark.createDataFrame(
+    d = _write_events(
+        spark,
+        tmp_path_factory,
+        "ffill_prop",
         [
-            (
-                eid,
-                base + dt.timedelta(days=day, hours=hour),
-                uid,
-                "click",
-                val,
-            )
+            (eid, _EV_EPOCH + day * 86400 + hour * 3600, uid, "click", val)
             for eid, day, hour, uid, val in events
         ],
-        "event_id long, ts timestamp, user_id long, event_type string, value double",
-    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
-
-    out = registry.queries()["x_etl_resample_ffill"](spark, str(d))
+    )
+    out = registry.queries()["x_etl_resample_ffill"](spark, d)
     got = sorted(
         (r.user_id, r.day, r.n_events, r.close_value)
         for r in out.select(
             "user_id",
+            # the session is pinned UTC (apply_runtime_confs), so this
+            # formats the UTC day of the instant — OS-zone-independent
             F.date_format("day", "yyyy-MM-dd").alias("day"),
             "n_events",
             "close_value",
         ).collect()
     )
+
+    def day_str(day: int) -> str:
+        return dt.datetime.fromtimestamp(
+            _EV_EPOCH + day * 86400, tz=dt.timezone.utc
+        ).strftime("%Y-%m-%d")
 
     per_user: dict[int, dict[int, list]] = {}
     for eid, day, hour, uid, val in events:
@@ -1402,12 +1399,198 @@ def test_resample_ffill_matches_dense_grid_reference(
             evs = days.get(day, [])
             if evs:
                 close = max(evs)[2]  # (hour, eid, val) — last writer's val
-            want.append(
-                (
-                    uid,
-                    (base + dt.timedelta(days=day)).strftime("%Y-%m-%d"),
-                    len(evs),
-                    round(close, 6),
-                )
-            )
+            want.append((uid, day_str(day), len(evs), round(close, 6)))
     assert got == sorted(want)
+
+
+# --- tie-boundary fuzz: streaks, session gap, as-of tolerance -----------------
+
+
+#: 2024-02-01 00:00:00 UTC — fixed epoch base for synthesized events.
+_EV_EPOCH = 1_706_745_600
+
+
+def _write_events(spark, tmp_path_factory, tag, rows):
+    """Stage (event_id, epoch_sec, user_id, event_type, value) rows as an
+    events.parquet fixture dir for driving a REGISTERED op.  Timestamps
+    are built INSIDE Spark from epoch seconds (``timestamp_seconds``), so
+    the staged instants are OS-timezone-independent — naive-datetime
+    ``createDataFrame`` would interpret wall times in the OS zone and
+    shift every date-grain reference under a hostile TZ."""
+    d = tmp_path_factory.mktemp(tag)
+    (
+        spark.createDataFrame(
+            rows,
+            "event_id long, tsec long, user_id long, event_type string, "
+            "value double",
+        )
+        .select(
+            "event_id",
+            F.timestamp_seconds("tsec").alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+        )
+        .write.mode("overwrite")
+        .parquet(f"{d}/events.parquet")
+    )
+    return str(d)
+
+
+@given(
+    days=st.lists(
+        st.tuples(st.integers(1, 3), st.integers(0, 15)),
+        min_size=1,
+        max_size=30,
+    )
+)
+@SET
+def test_streaks_match_python_islands_reference(spark, days, tmp_path_factory):
+    """x_win_streaks (the day − row_number islands trick) must equal a
+    direct Python run-length computation on arbitrary (user, day)
+    activity sets — duplicate same-day events collapse first, adjacent
+    days merge, gaps split, and singleton days are streaks of 1."""
+    from dataengineer_scripts_spark import registry
+
+    rows = [
+        (i, _EV_EPOCH + day * 86400 + (i % 3) * 3600, uid, "view", 1.0)
+        for i, (uid, day) in enumerate(days)
+    ]
+    d = _write_events(spark, tmp_path_factory, "streaks_prop", rows)
+    got = {
+        r.user_id: (r.n_active_days, r.n_streaks, r.longest_streak)
+        for r in registry.queries()["x_win_streaks"](spark, d).collect()
+    }
+
+    want = {}
+    per_user: dict[int, set] = {}
+    for uid, day in days:
+        per_user.setdefault(uid, set()).add(day)
+    for uid, ds in per_user.items():
+        sd = sorted(ds)
+        runs = []
+        run = 1
+        for a, b in zip(sd, sd[1:]):
+            if b == a + 1:
+                run += 1
+            else:
+                runs.append(run)
+                run = 1
+        runs.append(run)
+        want[uid] = (len(sd), len(runs), max(runs))
+    assert got == want
+
+
+@given(
+    gaps=st.lists(
+        st.sampled_from([0, 1, 1799, 1800, 1801, 4000]),
+        min_size=1,
+        max_size=15,
+    ),
+    data=st.data(),
+)
+@SET
+def test_sessionize_gap_boundary_matches_reference(
+    spark, gaps, data, tmp_path_factory
+):
+    """x_win_sessionize's session cut is STRICTLY greater than the
+    30-minute gap (a gap of exactly SESSION_GAP_US keeps the session) —
+    the boundary the fixture's organic gaps almost never land on.  Gaps
+    are drawn from around the boundary (1799/1800/1801 s) plus 0 s ties
+    (broken by event_id), and the op must equal a direct Python replay
+    of the rule on every (session bounds, size, duration)."""
+    from dataengineer_scripts_spark import registry
+
+    qs = registry.queries()  # loads operator modules in canonical order
+    from dataengineer_scripts_spark.operators.relational import SESSION_GAP_US
+
+    uid = data.draw(st.integers(1, 2))
+    offs = [0]
+    for g in gaps:
+        offs.append(offs[-1] + g)
+    rows = [
+        (i, _EV_EPOCH + off, uid, "view", 1.0)
+        for i, off in enumerate(offs)
+    ]
+    d = _write_events(spark, tmp_path_factory, "sess_prop", rows)
+    out = qs["x_win_sessionize"](spark, d)
+    got = sorted(
+        (r.session_seq, r.s0, r.s1, r.n_events, r.duration_us)
+        for r in out.select(
+            "session_seq",
+            F.unix_micros("session_start").alias("s0"),
+            F.unix_micros("session_end").alias("s1"),
+            "n_events",
+            "duration_us",
+        ).collect()
+    )
+
+    # timestamps were built from epoch seconds inside Spark, so the
+    # reference clock is plain epoch arithmetic — OS-zone-independent
+    base_us = _EV_EPOCH * 1_000_000
+    sessions = [[offs[0]]]
+    for prev, cur in zip(offs, offs[1:]):
+        # ties (gap 0) stay in-session; the cut is gap > SESSION_GAP_US
+        if (cur - prev) * 1_000_000 > SESSION_GAP_US:
+            sessions.append([cur])
+        else:
+            sessions[-1].append(cur)
+    want = sorted(
+        (
+            seq + 1,
+            base_us + s[0] * 1_000_000,
+            base_us + s[-1] * 1_000_000,
+            len(s),
+            (s[-1] - s[0]) * 1_000_000,
+        )
+        for seq, s in enumerate(sessions)
+    )
+    assert got == want
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(0, 48),                      # hour offset
+            st.sampled_from(["purchase", "error"]),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@SET
+def test_asof_tolerance_boundary_matches_reference(
+    spark, events, tmp_path_factory
+):
+    """x_join_asof_tolerance must keep a match at EXACTLY the 24 h
+    tolerance (>= comparison), match coincident purchase+error pairs
+    (purchases sort before errors at the same ts), and drop errors whose
+    latest purchase is older than the tolerance or absent — verified
+    against the quadratic Python reference on hour-grain streams that
+    land on the boundary by construction."""
+    from dataengineer_scripts_spark import registry
+
+    qs = registry.queries()  # loads operator modules in canonical order
+    from dataengineer_scripts_spark.operators.relational import (
+        ASOF_TOLERANCE_SEC,
+    )
+
+    rows = [
+        (i, _EV_EPOCH + h * 3600, 1, typ, 1.0)
+        for i, (h, typ) in enumerate(events)
+    ]
+    d = _write_events(spark, tmp_path_factory, "asof_tol_prop", rows)
+    out = qs["x_join_asof_tolerance"](spark, d)
+    got = {r.event_id: r.gap_sec for r in out.collect()}
+
+    want = {}
+    for i, (h, typ) in enumerate(events):
+        if typ != "error":
+            continue
+        cands = [h2 for h2, t2 in events if t2 == "purchase" and h2 <= h]
+        if not cands:
+            continue
+        gap = (h - max(cands)) * 3600
+        if gap <= ASOF_TOLERANCE_SEC:
+            want[i] = gap
+    assert got == want
