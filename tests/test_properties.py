@@ -1270,6 +1270,37 @@ def test_read_xlsx_row_and_cell_placement_match_ooxml_model(
 # --- CDC compaction + resample/ffill vs Python references --------------------
 
 
+#: 2024-02-01 00:00:00 UTC — fixed epoch base for synthesized events.
+_EV_EPOCH = 1_706_745_600
+
+
+def _write_events(spark, tmp_path_factory, tag, rows):
+    """Stage (event_id, epoch_sec, user_id, event_type, value) rows as an
+    events.parquet fixture dir for driving a REGISTERED op.  Timestamps
+    are built INSIDE Spark from epoch seconds (``timestamp_seconds``), so
+    the staged instants are OS-timezone-independent — naive-datetime
+    ``createDataFrame`` would interpret wall times in the OS zone and
+    shift every date-grain reference under a hostile TZ."""
+    d = tmp_path_factory.mktemp(tag)
+    (
+        spark.createDataFrame(
+            rows,
+            "event_id long, tsec long, user_id long, event_type string, "
+            "value double",
+        )
+        .select(
+            "event_id",
+            F.timestamp_seconds("tsec").alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+        )
+        .write.mode("overwrite")
+        .parquet(f"{d}/events.parquet")
+    )
+    return str(d)
+
+
 @st.composite
 def _cdc_log(draw):
     """A change log with FORCED collisions: few keys, a tiny timestamp
@@ -1297,9 +1328,11 @@ def test_cdc_compact_matches_last_writer_wins_reference(
     window) must pick exactly the last writer per (user_id, event_type)
     under the (ts, event_id) total order for ARBITRARY logs with
     timestamp ties — the tiebreak path the fixture's unique-ish
-    timestamps rarely exercise.  Winners are compared by event_id (a
-    unique row identity), which also pins that ties broke on the HIGHER
-    event_id and that no key was dropped or duplicated."""
+    timestamps rarely exercise.  Winners carry their FULL payload
+    (event_id, ts, value) in the comparison: the unique event_id pins
+    the tiebreak and no-drop/no-dup, and ts/value pin that the joined-
+    back payload columns come from the winning row, not a join-side
+    mixup."""
     from dataengineer_scripts_spark import registry
 
     d = _write_events(
@@ -1311,18 +1344,19 @@ def test_cdc_compact_matches_last_writer_wins_reference(
             for eid, slot, uid, typ, val in log
         ],
     )
+    out = registry.queries()["x_etl_cdc_compact"](spark, d)
     got = {
-        (r.user_id, r.event_type): r.event_id
-        for r in registry.queries()["x_etl_cdc_compact"](spark, d).collect()
+        (r.user_id, r.event_type): (r.event_id, r.tus, r.value)
+        for r in out.withColumn("tus", F.unix_micros("ts")).collect()
     }
 
-    want: dict[tuple, int] = {}
+    want: dict[tuple, tuple] = {}
     best: dict[tuple, tuple] = {}
-    for eid, slot, uid, typ, _val in log:
+    for eid, slot, uid, typ, val in log:
         k = (uid, typ)
         if k not in best or (slot, eid) > best[k]:
             best[k] = (slot, eid)
-            want[k] = eid
+            want[k] = (eid, (_EV_EPOCH + slot * 3600) * 1_000_000, val)
     assert got == want
 
 
@@ -1330,7 +1364,11 @@ def test_cdc_compact_matches_last_writer_wins_reference(
 def _sparse_events(draw):
     """Sparse per-user day streams: day offsets with GAPS (the ffill
     path), intra-day ties on the hour slot (the daily-close argmax
-    path), unique event_ids."""
+    path), unique event_ids.  Values are quarter-valued (k/4.0, exact
+    in binary) ON PURPOSE: the reference compares Python round()
+    (banker's) to the op's F.round (HALF_UP), which only agree when no
+    6-decimal rounding tie can occur — keep the strategy tie-free if
+    you widen it."""
     n = draw(st.integers(min_value=1, max_value=20))
     return [
         (
@@ -1404,37 +1442,7 @@ def test_resample_ffill_matches_dense_grid_reference(
 
 
 # --- tie-boundary fuzz: streaks, session gap, as-of tolerance -----------------
-
-
-#: 2024-02-01 00:00:00 UTC — fixed epoch base for synthesized events.
-_EV_EPOCH = 1_706_745_600
-
-
-def _write_events(spark, tmp_path_factory, tag, rows):
-    """Stage (event_id, epoch_sec, user_id, event_type, value) rows as an
-    events.parquet fixture dir for driving a REGISTERED op.  Timestamps
-    are built INSIDE Spark from epoch seconds (``timestamp_seconds``), so
-    the staged instants are OS-timezone-independent — naive-datetime
-    ``createDataFrame`` would interpret wall times in the OS zone and
-    shift every date-grain reference under a hostile TZ."""
-    d = tmp_path_factory.mktemp(tag)
-    (
-        spark.createDataFrame(
-            rows,
-            "event_id long, tsec long, user_id long, event_type string, "
-            "value double",
-        )
-        .select(
-            "event_id",
-            F.timestamp_seconds("tsec").alias("ts"),
-            "user_id",
-            "event_type",
-            "value",
-        )
-        .write.mode("overwrite")
-        .parquet(f"{d}/events.parquet")
-    )
-    return str(d)
+# (these reuse _write_events/_EV_EPOCH from the CDC section above)
 
 
 @given(
@@ -1487,11 +1495,10 @@ def test_streaks_match_python_islands_reference(spark, days, tmp_path_factory):
         min_size=1,
         max_size=15,
     ),
-    data=st.data(),
 )
 @SET
 def test_sessionize_gap_boundary_matches_reference(
-    spark, gaps, data, tmp_path_factory
+    spark, gaps, tmp_path_factory
 ):
     """x_win_sessionize's session cut is STRICTLY greater than the
     30-minute gap (a gap of exactly SESSION_GAP_US keeps the session) —
@@ -1504,7 +1511,7 @@ def test_sessionize_gap_boundary_matches_reference(
     qs = registry.queries()  # loads operator modules in canonical order
     from dataengineer_scripts_spark.operators.relational import SESSION_GAP_US
 
-    uid = data.draw(st.integers(1, 2))
+    uid = 1  # single-user stream: the cut rule is per-user by definition
     offs = [0]
     for g in gaps:
         offs.append(offs[-1] + g)

@@ -60,7 +60,9 @@ residue (``scale_stress_r14_llm_etl.json``); the r15 batch
 flagship residue over the v3 corpus, closing measurable coverage at 222
 of 274 — the remaining 52 ids are fixed-grain by construction (REST
 stub / nation / region inputs).  All stress-measured ops and their
-output files are indexed in BASELINE.md's round addenda.  Ops are timed bench-style (df.count(), housekeeping
+output files are indexed in BASELINE.md's round addenda.
+
+Ops are timed bench-style (df.count(), housekeeping
 between ops, one session).  With the default ``--samples 2`` the MIN of
 two runs is recorded, so every wall is the op's marginal steady-state
 cost over warm session-shared frames — the shingle/pair build cost is
