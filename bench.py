@@ -95,6 +95,46 @@ def _sf_of(sf_dir: str) -> float:
         return -1.0
 
 
+#: Who ran this bench.  Interactive runs set SPARK_GRAFT_BENCH_CONTEXT=local;
+#: the grading driver invokes plain ``python bench.py``, so its artifacts
+#: (and any pre-r16 detail file, which predates the field) read as
+#: "unattended" and are preserved by _backup_foreign_detail before a later
+#: run overwrites them.
+BENCH_CONTEXT = os.environ.get("SPARK_GRAFT_BENCH_CONTEXT", "unattended")
+
+
+def _backup_foreign_detail(detail_path: str) -> str | None:
+    """Preserve a pre-existing UNATTENDED detail file before overwriting.
+
+    The grading driver leaves its full per-query run at the default
+    ``bench_detail.json`` path; through r15 preserving it relied on a
+    human (or the judge) copying it to ``BENCH_r{N}_driver_detail.json``
+    before any local run overwrote it (the r15 verdict asked for this
+    step to be hardened away).  A detail whose ``context`` field is not
+    "local" — the driver's runs, any pre-r16 file without the field, or
+    an unparseable file — is copied to ``<detail>.unattended.<sha8>.json``
+    first.  Hash-keyed names make the backup idempotent, and the
+    fail-open default (back up unless provably a local run) means the
+    worst failure mode is an extra ~40 KB file, never a lost driver run.
+    Returns the backup path when a backup was made."""
+    import hashlib
+
+    if not os.path.exists(detail_path):
+        return None
+    data = open(detail_path, "rb").read()
+    try:
+        if json.loads(data).get("context") == "local":
+            return None  # an interactive run — reproducible, overwrite
+    except (ValueError, AttributeError):
+        pass
+    backup = f"{detail_path}.unattended.{hashlib.sha256(data).hexdigest()[:8]}.json"
+    if not os.path.exists(backup):
+        with open(backup, "wb") as fh:
+            fh.write(data)
+    print(f"# preserved unattended detail -> {backup}", file=sys.stderr)
+    return backup
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     only = set(sys.argv[1:])  # optional: bench just the named queries
@@ -221,9 +261,11 @@ def main() -> None:
         "cpu_sec": cpu_secs,
         "sf": _sf_of(sf_dir),
         "machine": {"start": machine_start, "end": _machine_state()},
+        "context": BENCH_CONTEXT,
     }
     if errors:
         detail["errors"] = errors
+    _backup_foreign_detail(detail_path)
     with open(detail_path, "w") as fh:
         json.dump(detail, fh, indent=1)
 

@@ -120,79 +120,97 @@ def _load_all() -> None:
 
 # The grading driver only records CORRECTNESS rows for the first ~50 ids it
 # sees; the window ROTATES each round to keep attestations fresh.  After the
-# r14 window every id carries a ≥r9-era grade; the merge of
-# CORRECTNESS_r01–r14.json puts the stalest cohort at exactly 24 ids graded
-# r9 (the r9 TPC-H wave q7/q8/q12/q15/q17/q21, the r9 timeseries cohort,
-# the set-op pair except_all/symmetric_diff, the r9 LLM block —
-# dedup_containment, dup_rate_by_source, sentence_split, tokenizer_fertility,
-# winnowing_fingerprint — plus win_period_over_period, win_rank_change) and
-# 50 at r10.  This window fronts those 24 r9 ids, padded to 50 with the 26
-# alphabetically-first r10 ids.  Every id in this window is oracle-bearing
-# (the rows-only residue is all graded ≥r10 and the only r10 rows-only id,
-# x_graph_pagerank_converged, sorts past the 26-id padding cut), so any
-# truncation of the window drops only an already-fresher attestation.
-# After this window the stalest grade becomes r10.  The tuple is purely an
-# ordering change: same keys, same callables, same oracles; no new ids.
+# r15 window every id carries a ≥r10-era grade; the merge of
+# CORRECTNESS_r01–r15.json puts the stalest cohort at exactly 24 ids graded
+# r10 (the struct/scd2/pagerank pair/recursive-CTE block, the r10 LLM block —
+# ann_*_scores, cluster_purity, dataset_split, dedup_suffix, dup_graph_degree,
+# lang_confusion, mixture_reweight, ngram_coverage_curve,
+# quality_filter_report, template_extract, zipf_fit — the csv/orc roundtrips,
+# the r10 timeseries trio peak/survival/wow, and the window pair
+# first_last_value/moving_median) and 50 at r11.  This window fronts those
+# 24 r10 ids, padded to 50 with the 26 alphabetically-first r11 ids.  Two
+# window ids are rows-only (x_graph_pagerank_converged, snk_excel_styled) —
+# included DELIBERATELY per the r15 verdict so their rows-only grades
+# refresh along with the oracle-bearing cohort, but listed LAST (after
+# every oracle-bearing id) per the r13 slip-safety convention: a truncated
+# window drops a weak attestation, never an oracle one.  After this window
+# the stalest grade becomes r11.  The tuple is purely an ordering change:
+# same keys, same callables, same oracles; no new ids.
 _PRIORITY_NAMES = (
-    # (1) the 24 r9-era ids — stalest cohort of the rotation (all oracle-bearing)
-    "x_llm_dedup_containment",
-    "x_llm_dup_rate_by_source",
-    "x_llm_sentence_split",
-    "x_llm_tokenizer_fertility",
-    "x_llm_winnowing_fingerprint",
-    "x_set_except_all",
-    "x_set_symmetric_diff",
-    "x_tpch_q12_shipmode_priority",
-    "x_tpch_q15_top_supplier",
-    "x_tpch_q17_small_quantity_revenue",
-    "x_tpch_q21_waiting_suppliers",
-    "x_tpch_q7_volume_shipping",
-    "x_tpch_q8_market_share",
-    "x_ts_anomaly_mad",
-    "x_ts_attribution_linear",
-    "x_ts_autocorrelation",
-    "x_ts_cusum_drift",
-    "x_ts_ewma",
-    "x_ts_hour_of_day_profile",
-    "x_ts_ma_crossover",
-    "x_ts_seasonal_decompose",
-    "x_ts_time_to_convert",
-    "x_win_period_over_period",
-    "x_win_rank_change",
-    # (2) the 26 alphabetically-first r10-era ids as padding to 50
-    "exec_threadpool",
-    "flagship_corpus_health",
-    "flagship_curation",
-    "flagship_health",
-    "flagship_sync",
-    "flt_key_membership",
-    "flt_neq_const",
-    "flt_nonempty_guard",
-    "flt_not_in_list",
-    "flt_not_null",
-    "proj_alias_literal",
-    "proj_nested_field",
-    "x_agg_ab_test",
-    "x_agg_audience_overlap",
-    "x_agg_benford_distribution",
-    "x_agg_bitmask_usage",
-    "x_agg_bool_logic",
-    "x_agg_decile_edges",
-    "x_agg_grouping_id",
-    "x_agg_percentile_cont_disc",
-    "x_agg_weighted_stats",
-    "x_etl_gap_detect",
-    "x_etl_merge_upsert",
-    "x_etl_outlier_iqr",
-    "x_etl_profile_table",
-    "x_fn_date_arith",
+    # (1) the r10-era oracle-bearing ids — stalest cohort of the rotation
+    "x_fn_struct_pack_extract",
+    "x_graph_pagerank",
+    "x_join_scd2_pointintime",
+    "x_llm_ann_ivf_scores",
+    "x_llm_ann_lsh_scores",
+    "x_llm_cluster_purity",
+    "x_llm_dataset_split",
+    "x_llm_dedup_suffix",
+    "x_llm_dup_graph_degree",
+    "x_llm_lang_confusion",
+    "x_llm_mixture_reweight",
+    "x_llm_ngram_coverage_curve",
+    "x_llm_quality_filter_report",
+    "x_llm_template_extract",
+    "x_llm_zipf_fit",
+    "x_sql_recursive_cte",
+    "x_src_csv_roundtrip",
+    "x_src_orc_roundtrip",
+    "x_ts_peak_detection",
+    "x_ts_survival_km",
+    "x_ts_week_over_week",
+    "x_win_first_last_value",
+    "x_win_moving_median",
+    # (2) the alphabetically-first r11-era ids as padding to 50
+    "fn_case_status",
+    "fn_date_extract",
+    "fn_date_ge",
+    "fn_hour_mod_arith",
+    "fn_json_parse",
+    "fn_json_serialize",
+    "fn_lower",
+    "fn_map_lookup",
+    "fn_str_concat",
+    "fn_time_lt",
+    "fn_ts_format",
+    "fn_ts_parse_fmt",
+    "fn_tz_convert",
+    "join_memo_dedup",
+    "join_point_lookup",
+    "join_url_construct",
+    "lim_first_match",
+    "lim_page_fetch",
+    "snk_excel_values",
+    "snk_http_post",
+    "snk_json_records",
+    "snk_parquet_partitioned",
+    "snk_stdout_progress",
+    "src_jdbc_select",
+    "src_json_file",
+    # (3) the window's two rows-only ids, slip-safe at the tail: the r10
+    # converged-pagerank probe and the r11 styled-Excel sink refresh their
+    # rows-only grades without ever displacing an oracle attestation
+    "x_graph_pagerank_converged",
+    "snk_excel_styled",
 )
 _PRIORITY_RANK = {n: i for i, n in enumerate(_PRIORITY_NAMES)}
 
 
-def _driver_order(names: list[str]) -> list[str]:
+def _driver_order(
+    names: list[str], rank: dict[str, int] | None = None
+) -> list[str]:
+    """Priority ids first in listed order, everything else alphabetical.
+
+    ``rank`` defaults to the module's rotation window; the parameter exists
+    so the window-rotation PROPERTY test (r15 verdict item 7) can drive the
+    same code path with arbitrary legal priority tuples instead of only the
+    current one.
+    """
+    if rank is None:
+        rank = _PRIORITY_RANK
+
     def key(n: str) -> tuple[int, str]:
-        return (_PRIORITY_RANK.get(n, len(_PRIORITY_NAMES)), n)
+        return (rank.get(n, len(rank)), n)
 
     return sorted(names, key=key)
 

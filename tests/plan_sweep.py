@@ -26,11 +26,19 @@ import re
 #: Ops whose returned plan LEGITIMATELY windows over a single partition,
 #: with the bounded input grain that makes the pattern safe at 100 TB
 #: (the window input is a fixed-size aggregate, never the fact table).
-#: Values are the maximum number of such windows the plan may contain —
-#: a ceiling, so an op growing a SECOND global window still fails.
+#: Values are the EXACT number of such windows the plan must contain
+#: (assert_plan_hygiene checks equality): more fails the op for growing
+#: a new global window — including one stacked directly on an existing
+#: allowlisted window, now that the scan continues through nested window
+#: nodes — and fewer fails it for carrying a stale entry.
 UNPARTITIONED_WINDOW_ALLOWLIST: dict[str, int] = {
-    # day-grain series (~tens of rows at any SF): trailing means / trend
-    "x_ts_ma_crossover": 1,
+    # day-grain series (~tens of rows at any SF): trailing means / trend.
+    # ma_crossover STACKS its short and long trailing means directly (no
+    # exchange between them — the first window's SinglePartition output
+    # already satisfies the second's distribution); both windows became
+    # countable when the sweep learned to scan through nested windows
+    # (r15 ADVICE), hence 2
+    "x_ts_ma_crossover": 2,
     "x_ts_seasonal_decompose": 2,
     # month-grain lag ratio
     "x_win_period_over_period": 1,
@@ -49,8 +57,11 @@ UNPARTITIONED_WINDOW_ALLOWLIST: dict[str, int] = {
     "x_llm_zipf_fit": 1,
     # flagship composition embedding the holdout-split member above
     "flagship_corpus_health": 1,
-    # churn-time grain (distinct event hours, bounded by the window span)
-    "x_ts_survival_km": 1,
+    # churn-time grain (distinct event hours, bounded by the window span);
+    # the Kaplan-Meier cumulative product stacks a second window directly
+    # on the first (same bounded input, no intervening exchange) — both
+    # countable since the stacked-window-aware sweep (r15 ADVICE)
+    "x_ts_survival_km": 2,
 }
 
 
@@ -82,10 +93,17 @@ def unpartitioned_window_hits(plan: str) -> int:
     not) is SinglePartition — i.e. windows whose required distribution
     funnels the input through one task.  Walks the plan tree text: for
     each window line, scan its subtree (deeper-indented following lines)
-    and adjudicate on the first exchange reached; another window ends
-    the chain (its own input is its own problem), as does leaving the
-    subtree (input already satisfied the distribution — e.g. bucketed
-    or upstream-partitioned, which is fine)."""
+    and adjudicate on the first exchange reached; a nested window does
+    NOT end the chain — the scan continues through it, so the outer
+    window inherits the inner one's adjudication (r15 ADVICE: a SECOND
+    global window stacked directly on an allowlisted one plans WITHOUT
+    an intervening exchange, because the inner window's SinglePartition
+    output already satisfies the outer's required distribution — with a
+    break there, that stacked window was invisible).  Leaving the
+    subtree without an exchange means the input already satisfied the
+    distribution non-globally (bucketed or upstream-partitioned), which
+    is fine.  Window/WindowInPandas are unary, so scanning through a
+    nested window stays on the single input chain."""
     lines = plan.splitlines()
     hits = 0
     for idx, line in enumerate(lines):
@@ -99,8 +117,6 @@ def unpartitioned_window_hits(plan: str) -> int:
             if nm in _EXCHANGE_NODES:
                 if "SinglePartition" in nxt:
                     hits += 1
-                break
-            if nm in _WINDOW_NODES:
                 break
     return hits
 

@@ -5,6 +5,8 @@ runs sf0.01)."""
 from __future__ import annotations
 
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from dataengineer_scripts_spark import registry
 
@@ -145,3 +147,29 @@ def test_priority_window_names_are_registered_and_lead():
     assert all(not k for k in kinds[first_rows_only:]), (
         "oracle-bearing id listed after a rows-only id in the window"
     )
+
+
+@given(data=st.data())
+@settings(max_examples=100, deadline=None)
+def test_driver_order_property_any_legal_window(data):
+    """Property-shaped rotation guard (r15 verdict item 7): for ANY legal
+    priority tuple — unique registered ids, any length, any order — the
+    driver-facing ordering produced by ``registry._driver_order`` is
+    exactly that tuple followed by the remaining registry ids completed
+    alphabetically.  The example-based test above pins the CURRENT window;
+    this pins the MACHINERY, so a future rotation typo (dup id, dropped
+    id, resorted prefix) cannot pass by luck of the one example."""
+    from dataengineer_scripts_spark.registry import _driver_order
+
+    all_names = sorted(DEFS)
+    prio = data.draw(
+        st.lists(st.sampled_from(all_names), unique=True, max_size=60)
+    )
+    rank = {n: i for i, n in enumerate(prio)}
+    out = _driver_order(list(DEFS), rank)
+    assert out[: len(prio)] == prio, "priority prefix not in listed order"
+    assert out[len(prio):] == sorted(set(all_names) - set(prio)), (
+        "tail is not the remaining ids completed alphabetically"
+    )
+    # and the ordering is a permutation — nothing dropped or duplicated
+    assert sorted(out) == all_names

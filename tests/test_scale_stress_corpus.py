@@ -130,7 +130,7 @@ def test_corpus_marker_keyed_by_base(tmp_path, spark, monkeypatch):
 
 def test_document_replicas_leave_empty_tokens_untagged(tmp_path, spark):
     """Consecutive/leading spaces split to '' tokens; tagging those would
-    mint new words 'r{r}' that exist in no base doc, changing token
+    mint new words 'r{r}_' that exist in no base doc, changing token
     counts and shingle structure vs the base (r11 advice item 2).  The
     shipped fixtures contain no empty split tokens (verified: zero docs
     match '%  %'/' %'/'% ' at sf0.001–sf0.1), so this pins the guard on
@@ -149,8 +149,8 @@ def test_document_replicas_leave_empty_tokens_untagged(tmp_path, spark):
         ).collect()
     }
     # empty tokens stay empty (separators preserved), words get tagged
-    assert rep[1] == "r1a  r1b"
-    assert rep[2] == " r1lead r1trail "
+    assert rep[1] == "r1_a  r1_b"
+    assert rep[2] == " r1_lead r1_trail "
     # token multiset sizes (non-empty) identical to base — the invariant
     # the published exponents rest on
     base_counts = [2, 2]
@@ -243,7 +243,8 @@ def test_customer_replicas_are_fresh_entities_with_bounded_dims(spark, sf_dir):
     ).withColumns(
         {
             "c_custkey": F.col("c_custkey") - 2 * scale_stress.ID_STEP_DOC,
-            "c_name": F.expr("substring(c_name, 3)"),
+            # strip the delimited 'r2_' replica tag (3 chars)
+            "c_name": F.expr("substring(c_name, 4)"),
         }
     )
     assert sorted(map(tuple, rep2.collect())) == sorted(

@@ -29,9 +29,12 @@ PKG = "dataengineer_scripts_spark"
 
 
 def latest_round() -> int:
-    """Highest committed driver round — stamps the §2.11 header so the
-    title can never rot behind the table again (r14 verdict item 3: the
-    header said "round 12" while the table carried r13 grades)."""
+    """Highest CORRECTNESS_r*.json present in the repo WORKING TREE
+    (committed or not) — the same glob driver_state() merges, so the
+    stamped header and the table's grades always come from the same file
+    set.  Stamps the §2.11 header so the title can never rot behind the
+    table again (r14 verdict item 3: the header said "round 12" while
+    the table carried r13 grades)."""
     rounds = [
         int(re.search(r"_r(\d+)\.json$", f).group(1))
         for f in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))

@@ -12,7 +12,7 @@ Corpus construction — sized up WITHOUT changing the data's statistical
 shape, so exponents measure the engine, not a pathology:
 
 - ``documents`` ×M: replica r offsets doc_id by r·10^7 and prefixes every
-  word with ``r{r}`` — within-replica duplicate/shingle structure is
+  word with ``r{r}_`` — within-replica duplicate/shingle structure is
   preserved exactly, cross-replica shingle similarity is destroyed, so
   near-dup pair counts scale LINEARLY like a real 10x crawl (a naive
   verbatim union would square every duplicate cluster instead).
@@ -135,13 +135,17 @@ def _replicate_documents(spark: SparkSession, base: str, m: int):
             continue
         # tag only NON-EMPTY tokens (r11 advice item 2): consecutive or
         # leading spaces split to '' tokens, and prefixing those would
-        # mint new words 'r{r}' that exist in no base doc — changing
-        # token counts and shingle structure vs the base corpus
+        # mint new words 'r{r}_' that exist in no base doc — changing
+        # token counts and shingle structure vs the base corpus.  The
+        # tag is DELIMITED (r15 ADVICE item 3): an undelimited 'r{r}'
+        # prefix collides across replicas at m>10 whenever a base word
+        # begins with a digit ('r1'+'1foo' == 'r11'+'foo'); '_' keeps
+        # the tagged word a single \w+ token for regex tokenizers
         tagged = F.array_join(
             F.transform(
                 F.split(F.col("text"), " "),
                 lambda w: F.when(
-                    w != "", F.concat(F.lit(f"r{r}"), w)
+                    w != "", F.concat(F.lit(f"r{r}_"), w)
                 ).otherwise(w),
             ),
             " ",
@@ -249,11 +253,13 @@ def _replicate_orders(spark: SparkSession, base: str, m: int):
 
 def _replicate_customer(spark: SparkSession, base: str, m: int):
     """customer ×M (r15): replica r offsets c_custkey by r·10^7 and tags
-    c_name with an ``r{r}`` prefix (fresh, globally-unique entities —
+    c_name with an ``r{r}_`` prefix (fresh, globally-unique entities —
     the "bigger entity table" model for the customer-grain ops: profile,
     checksum, mask-pii, merge-upsert, distribution, grouped-agg, csv/orc
     round-trips).  c_nationkey is untouched, so nation stays a bounded
-    dimension and per-nation groups deepen M× like a real registry."""
+    dimension and per-nation groups deepen M× like a real registry.
+    The tag is delimited (r15 ADVICE item 3): undelimited, replica 1 of
+    a digit-leading base name collides with replica 11+ at m>10."""
     src = spark.read.parquet(f"{base}/customer.parquet")
     return _union_replicas(
         src,
@@ -261,7 +267,7 @@ def _replicate_customer(spark: SparkSession, base: str, m: int):
             src.withColumns(
                 {
                     "c_custkey": F.col("c_custkey") + r * ID_STEP_DOC,
-                    "c_name": F.concat(F.lit(f"r{r}"), F.col("c_name")),
+                    "c_name": F.concat(F.lit(f"r{r}_"), F.col("c_name")),
                 }
             )
             for r in range(1, m)
@@ -271,12 +277,14 @@ def _replicate_customer(spark: SparkSession, base: str, m: int):
 
 def _replicate_part(spark: SparkSession, base: str, m: int):
     """part ×M (r15): replica r offsets p_partkey by r·10^7 and tags the
-    LAST token of p_name with an ``r{r}`` prefix.  The last token is the
+    LAST token of p_name with an ``r{r}_`` prefix.  The last token is the
     fuzzy-join BLOCKING key (x_join_fuzzy_name blocks on it), so tagging
     it makes replica blocks DISJOINT: block count scales M×, block sizes
     stay fixture-bounded, candidate pairs scale linearly — a bigger
     catalog, not an M²-deep-block pathology (the same within-vs-across
-    replica reasoning as the documents word-tagging above)."""
+    replica reasoning as the documents word-tagging above).  The tag is
+    delimited (r15 ADVICE item 3): undelimited, disjointness at m>10
+    silently relied on base tokens never beginning with a digit."""
     src = spark.read.parquet(f"{base}/part.parquet")
     return _union_replicas(
         src,
@@ -285,7 +293,7 @@ def _replicate_part(spark: SparkSession, base: str, m: int):
                 {
                     "p_partkey": F.col("p_partkey") + r * ID_STEP_DOC,
                     "p_name": F.regexp_replace(
-                        F.col("p_name"), r"(\S+)$", f"r{r}$1"
+                        F.col("p_name"), r"(\S+)$", f"r{r}_$1"
                     ),
                 }
             )
@@ -311,11 +319,12 @@ def build_corpus(spark: SparkSession, base: str, m: int, force: bool = False) ->
     # marker carries the BASE the corpus derives from AND the construction
     # version: a later run with a different --base, or against a corpus
     # built by an older construction (r11 left events/orders symlinked and
-    # tagged empty doc tokens; v2 left customer/part symlinked), must
-    # rebuild, not silently reuse
+    # tagged empty doc tokens; v2 left customer/part symlinked; v3 used
+    # the undelimited 'r{r}' replica tag that collides at m>10 on
+    # digit-leading tokens), must rebuild, not silently reuse
     marker = os.path.join(dest, ".complete")
     base_abs = os.path.abspath(base)
-    stamp = f"{base_abs}#v3"
+    stamp = f"{base_abs}#v4"
     if not force:
         try:
             if open(marker).read() == stamp:
