@@ -112,26 +112,37 @@ def _backup_foreign_detail(detail_path: str) -> str | None:
     before any local run overwrote it (the r15 verdict asked for this
     step to be hardened away).  A detail whose ``context`` field is not
     "local" — the driver's runs, any pre-r16 file without the field, or
-    an unparseable file — is copied to ``<detail>.unattended.<sha8>.json``
-    first.  Hash-keyed names make the backup idempotent, and the
-    fail-open default (back up unless provably a local run) means the
-    worst failure mode is an extra ~40 KB file, never a lost driver run.
-    Returns the backup path when a backup was made."""
+    an unparseable file — is copied to
+    ``<detail>.unattended.v<value>.<sha8>.json`` first (the run's total
+    wall value in the name lets a reader match a backup to its
+    ``BENCH_r{N}.json`` without opening files).  Hash-keyed names make
+    the backup idempotent, and the fail-open default (back up unless
+    provably a local run) means the worst failure mode is an extra
+    ~40 KB file — gitignored via ``bench_detail.json.*`` — never a lost
+    driver run.  Interactive runs should set
+    ``SPARK_GRAFT_BENCH_CONTEXT=local`` (the verify skill's bench recipe
+    does) so only genuinely unattended runs accumulate backups.  Returns
+    the path of the preserved copy (pre-existing or newly written);
+    prints the preservation line only when this call wrote the copy."""
     import hashlib
 
     if not os.path.exists(detail_path):
         return None
     data = open(detail_path, "rb").read()
+    value = ""
     try:
-        if json.loads(data).get("context") == "local":
+        parsed = json.loads(data)
+        if parsed.get("context") == "local":
             return None  # an interactive run — reproducible, overwrite
+        value = f"v{parsed.get('value')}." if "value" in parsed else ""
     except (ValueError, AttributeError):
         pass
-    backup = f"{detail_path}.unattended.{hashlib.sha256(data).hexdigest()[:8]}.json"
+    sha8 = hashlib.sha256(data).hexdigest()[:8]
+    backup = f"{detail_path}.unattended.{value}{sha8}.json"
     if not os.path.exists(backup):
         with open(backup, "wb") as fh:
             fh.write(data)
-    print(f"# preserved unattended detail -> {backup}", file=sys.stderr)
+        print(f"# preserved unattended detail -> {backup}", file=sys.stderr)
     return backup
 
 

@@ -19,14 +19,20 @@ def _write(path, obj):
         json.dump(obj, fh)
 
 
-def test_unattended_detail_is_backed_up(tmp_path):
+def test_unattended_detail_is_backed_up(tmp_path, capsys):
     p = str(tmp_path / "bench_detail.json")
     _write(p, {"value": 281.6, "context": "unattended"})
     backup = bench._backup_foreign_detail(p)
     assert backup and os.path.exists(backup)
     assert json.load(open(backup))["value"] == 281.6
-    # idempotent: same content, same hash-keyed name, no duplicate
+    # the run's wall value is in the name, so a reader can match the
+    # backup to its BENCH_r{N}.json without opening files
+    assert ".v281.6." in os.path.basename(backup)
+    # idempotent: same content, same hash-keyed name, no duplicate —
+    # and the preservation line prints only on the call that WROTE it
+    assert "preserved unattended detail" in capsys.readouterr().err
     assert bench._backup_foreign_detail(p) == backup
+    assert "preserved" not in capsys.readouterr().err
 
 
 def test_pre_r16_detail_without_context_field_is_backed_up(tmp_path):
