@@ -159,6 +159,28 @@ def test_document_replicas_leave_empty_tokens_untagged(tmp_path, spark):
     ] == base_counts
 
 
+def test_replica_tags_stay_disjoint_past_ten_replicas(tmp_path, spark):
+    """The r15 ADVICE collision: an UNDELIMITED tag makes replica 1 of a
+    digit-leading word equal replica 11+ of its suffix ('r1'+'1foo' ==
+    'r11'+'foo'), silently merging cross-replica vocabulary at m>10 —
+    exactly the regime the 30x spot-checks run in.  The delimited
+    ``r{r}_`` tag keeps every (replica, word) globally unique; this pins
+    it on a corpus built to collide under the old scheme."""
+    base = str(tmp_path / "base")
+    os.makedirs(base)
+    spark.createDataFrame(
+        [(1, "1foo foo", "en", "web", 8)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{base}/documents.parquet")
+    x12 = scale_stress._replicate_documents(spark, base, 12)
+    words = x12.select(
+        F.explode(F.split("text", " ")).alias("w")
+    ).distinct()
+    # 12 replicas x 2 distinct words, no cross-replica merge (undelimited,
+    # r1-tagged '1foo' and r11-tagged 'foo' both read 'r11foo': 23 not 24)
+    assert words.count() == 24
+
+
 def test_event_replicas_scale_user_population_linearly(spark, sf_dir, tmp_path):
     """events ×M must be M fresh user populations with IDENTICAL per-user
     history — session counts, CDC keys and latest-per-user states then
