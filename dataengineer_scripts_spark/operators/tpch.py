@@ -17,8 +17,13 @@ report (Q22), and — added round 9 — the bilateral self-joined-dimension
 rollup (Q7), the eight-table conditional market share (Q8), the late-
 shipment priority counts (Q12), the aggregate-then-scalar-max top
 supplier (Q15), the decorrelated per-key-average revenue filter (Q17)
-and the semi+anti "only late supplier" correlation (Q21).  Q2/Q9/Q11/
-Q16/Q20 need ``partsupp``, which the fixture does not carry.
+and the semi+anti "only late supplier" correlation (Q21).  Round 16
+completes the suite: Q2/Q9/Q11/Q16/Q20 need ``partsupp``, which the
+fixture does not carry as a file but fully determines — the DISTINCT
+(l_partkey, l_suppkey) pairs plus two deterministic key-derived
+measures (see the derived-partsupp comment mid-module), computed
+identically in the Spark plan and the DuckDB oracle so the driver's
+value hash attests the derivation itself.
 
 Design notes (100 TB posture):
 - region/nation/part/customer are dimension-sided and broadcast; orders
@@ -953,4 +958,425 @@ def x_tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Derived partsupp (round 16): the five remaining TPC-H shapes — Q2, Q9,
+# Q11, Q16, Q20 — all need ``partsupp``, which the fixture does not carry.
+# The relationship it models IS present in the data: every lineitem row
+# names a (l_partkey, l_suppkey) pair, so the part-supplier dimension is
+# the DISTINCT pair set observed in the fact table, and the two missing
+# measures are deterministic integer functions of the keys (computed
+# IDENTICALLY in the Spark plan and the DuckDB oracle, so the driver's
+# value-hash verifies the whole derivation end-to-end):
+#
+#   ps_availqty   = (47*ps_partkey + 31*ps_suppkey) % 100   + 1   (1..100)
+#   ps_supplycost = ((13*ps_partkey + 7*ps_suppkey) % 90000
+#                    + 10000) / 100.0                 (100.00..999.99)
+#
+# Both engines evaluate % on non-negative BIGINTs and one exact IEEE
+# division by 100.0, so the derived columns are bit-identical.  Deriving
+# from lineitem (rather than dbgen's 4-suppliers-per-part formula, which
+# the fixture's pairs do NOT follow) keeps Q9's spec shape: every
+# lineitem row finds exactly one partsupp row.
+#
+# 100 TB posture: the derivation is one DISTINCT over two int64 columns —
+# partial map-side dedup, 16-byte exchange rows, no payload; downstream
+# joins are pair- or part-grain.  At fixture scale the pair set is ~0.86x
+# the fact rows; at warehouse scale it is sublinear in lineitem (pairs
+# repeat across orders).
+
+_PSUPP_SQL = """
+    psupp AS (
+        SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+               ((l_partkey * 47 + l_suppkey * 31) % 100) + 1 AS ps_availqty,
+               ((l_partkey * 13 + l_suppkey * 7) % 90000 + 10000) / 100.0
+                   AS ps_supplycost
+        FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+    )
+"""
+
+
+def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The derived part-supplier dimension (see module comment above)."""
+    pairs = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    pk, sk = F.col("l_partkey"), F.col("l_suppkey")
+    return pairs.select(
+        pk.alias("ps_partkey"),
+        sk.alias("ps_suppkey"),
+        ((pk * 47 + sk * 31) % 100 + 1).alias("ps_availqty"),
+        (((pk * 13 + sk * 7) % 90000 + 10000) / 100.0).alias("ps_supplycost"),
+    )
+
+
+@register(
+    "x_tpch_q2_minimum_cost_supplier",
+    oracle=f"""
+    WITH {_PSUPP_SQL},
+    cand AS (
+        SELECT ps_partkey, ps_supplycost, s_acctbal, s_name, n_name,
+               p_partkey, p_brand
+        FROM psupp, supplier, nation, region, part
+        WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+          AND n_regionkey = r_regionkey AND r_name = 'ASIA'
+          AND p_partkey = ps_partkey
+          AND p_size <= 25 AND p_type LIKE '%ANDARD'
+    ),
+    min_cost AS (
+        SELECT ps_partkey AS m_partkey, min(ps_supplycost) AS min_sc
+        FROM cand GROUP BY ps_partkey
+    )
+    SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name, p_partkey,
+           p_brand, round(ps_supplycost, 2) AS ps_supplycost
+    FROM cand, min_cost
+    WHERE m_partkey = ps_partkey AND ps_supplycost = min_sc
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def x_tpch_q2_minimum_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (minimum cost supplier): for each qualifying part, the
+    supplier in a region offering it at the lowest supply cost — the
+    correlated-MIN-subquery shape, decorrelated as aggregate + equality
+    join back.  Adaptations: partsupp is the derived dimension (module
+    comment above); fixture part has no ``p_mfgr``, so the report carries
+    ``p_brand``; parts are uniform over 50 sizes x 6 types (a single
+    spec-style (size, type) cell holds ~7 parts), so the size predicate
+    is a range (``p_size <= 25``) to keep the LIMIT-100 top-k
+    load-bearing.
+
+    Plan: region -> nation -> supplier broadcast-prune the pair set; the
+    filtered part dim broadcasts onto it; the per-part MIN groups on
+    ``ps_partkey`` and joins back on (partkey, cost) — the equality join
+    is exact because ps_supplycost is injective in ps_suppkey for a
+    fixed part (7*ds mod 90000 never wraps for ds < 100, so no
+    cost ties).  The top-100 is TakeOrderedAndProject under the unique
+    (acctbal desc, nation, supplier, part) key, never a global sort."""
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    s = (
+        table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_acctbal", "s_name", "n_name")
+    )
+    p = table(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 25) & F.col("p_type").like("%ANDARD")
+    ).select("p_partkey", "p_brand")
+    cand = (
+        _partsupp(spark, sf_dir)
+        .join(F.broadcast(s), F.col("ps_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("ps_partkey"))
+    )
+    min_cost = cand.groupBy(F.col("ps_partkey").alias("m_partkey")).agg(
+        F.min("ps_supplycost").alias("min_sc")
+    )
+    return (
+        cand.join(
+            min_cost,
+            (F.col("m_partkey") == F.col("ps_partkey"))
+            & (F.col("ps_supplycost") == F.col("min_sc")),
+        )
+        .select(
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_brand",
+            F.round("ps_supplycost", 2).alias("ps_supplycost"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "x_tpch_q9_product_type_profit",
+    oracle=f"""
+    WITH {_PSUPP_SQL}
+    SELECT nation, o_year, round(sum(amount), 2)::DOUBLE AS sum_profit
+    FROM (
+        SELECT n_name AS nation, year(o_orderdate) AS o_year,
+               (l_extendedprice * (1 - l_discount)
+                - ps_supplycost * l_quantity)::DECIMAL(30,10) AS amount
+        FROM part, supplier, lineitem, psupp, orders, nation
+        WHERE s_suppkey = l_suppkey
+          AND ps_suppkey = l_suppkey AND ps_partkey = l_partkey
+          AND p_partkey = l_partkey AND o_orderkey = l_orderkey
+          AND s_nationkey = n_nationkey
+          AND p_name LIKE '%red%'
+    ) profit
+    GROUP BY nation, o_year
+    """,
+)
+def x_tpch_q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product type profit): profit on a product line —
+    revenue minus supply cost — by supplier nation and order year, the
+    suite's widest join (six tables, lineitem joined on THREE different
+    keys).  Adaptations: derived partsupp (module comment); the product
+    line is ``p_name LIKE '%red%'`` (the fixture's color vocabulary has
+    no 'green').
+
+    Plan: the name-filtered part dim broadcasts and prunes lineitem
+    first (~13% survives); the pair-grain partsupp joins on the
+    composite (partkey, suppkey) — pair-grain, so AQE broadcasts it at
+    test scale and shuffle-joins at warehouse scale; supplier+nation
+    broadcast; the one unavoidable fact-fact exchange is the orders join
+    on ``l_orderkey``.  Profit terms are per-row doubles (deterministic
+    elementwise IEEE ops) accumulated as DECIMAL(30,10), the suite's
+    exact-sum convention."""
+    p = table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%")).select(
+        "p_partkey"
+    )
+    sn = (
+        table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(table(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "n_name")
+    )
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice", "l_discount",
+    )
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("ps_supplycost") * F.col("l_quantity")
+    ).cast("decimal(30,10)")
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            _partsupp(spark, sf_dir),
+            (F.col("ps_partkey") == F.col("l_partkey"))
+            & (F.col("ps_suppkey") == F.col("l_suppkey")),
+        )
+        .join(F.broadcast(sn), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.round(F.sum("amount"), 2).cast("double").alias("sum_profit"))
+    )
+
+
+@register(
+    "x_tpch_q11_important_stock",
+    oracle=f"""
+    WITH {_PSUPP_SQL},
+    val AS (
+        SELECT ps_partkey, ps_supplycost * ps_availqty AS v
+        FROM psupp, supplier, nation
+        WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+          AND n_name = 'NATION_9'
+    ),
+    tot AS (SELECT sum(v::DECIMAL(30,10))::DOUBLE AS total,
+                   count(DISTINCT ps_partkey) AS n_parts FROM val)
+    SELECT ps_partkey, round(sum(v::DECIMAL(30,10)), 2)::DOUBLE AS value
+    FROM val, tot
+    GROUP BY ps_partkey, tot.total, tot.n_parts
+    HAVING sum(v::DECIMAL(30,10))::DOUBLE > 2.0 * tot.total / tot.n_parts
+    """,
+)
+def x_tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock identification): parts whose stock
+    value held by one nation's suppliers exceeds a fraction of that
+    nation's total stock value — the scalar-subquery-threshold HAVING
+    shape.  Adaptations: derived partsupp (module comment); fixture
+    nation names; the spec's fraction is 0.0001/SF — scale-DEPENDENT by
+    design, which a query can't know — so the threshold here is the
+    self-normalizing equivalent, 2x the nation's AVERAGE per-part value
+    (a fixed fraction goes vacuous as the part universe grows: 0.001
+    kept 215 parts at sf0.01 and ZERO at sf0.1, caught by the r16 scale
+    stress).
+
+    Plan: nation->supplier broadcast-prunes the pair set to one nation
+    (~1/25); ONE shuffle groups value by part; the nation total and the
+    part count are a single-row aggregate broadcast into the HAVING
+    filter (never a per-row subquery, never a second scan of the pair
+    set — the val frame feeds both aggregates).  Both engines
+    accumulate the per-row double terms as DECIMAL(30,10), so the
+    threshold comparison sees bit-identical doubles on a boundary."""
+    sn = (
+        table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                table(spark, sf_dir, "nation").filter(
+                    F.col("n_name") == "NATION_9"
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    val = (
+        _partsupp(spark, sf_dir)
+        .join(F.broadcast(sn), F.col("ps_suppkey") == F.col("s_suppkey"))
+        .select(
+            "ps_partkey",
+            (F.col("ps_supplycost") * F.col("ps_availqty"))
+            .cast("decimal(30,10)")
+            .alias("v"),
+        )
+    )
+    tot = val.agg(
+        F.sum("v").cast("double").alias("total"),
+        F.countDistinct("ps_partkey").alias("n_parts"),
+    )
+    return (
+        val.groupBy("ps_partkey")
+        .agg(F.sum("v").alias("v_sum"))
+        .join(F.broadcast(tot))
+        .filter(
+            F.col("v_sum").cast("double")
+            > 2.0 * F.col("total") / F.col("n_parts")
+        )
+        .select(
+            "ps_partkey",
+            F.round("v_sum", 2).cast("double").alias("value"),
+        )
+    )
+
+
+@register(
+    "x_tpch_q16_parts_supplier_relationship",
+    oracle=f"""
+    WITH {_PSUPP_SQL}
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT ps_suppkey) AS supplier_cnt
+    FROM psupp, part
+    WHERE p_partkey = ps_partkey
+      AND p_brand <> 'Brand#21' AND p_type <> 'MEDIUM'
+      AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+      AND ps_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def x_tpch_q16_parts_supplier_relationship(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q16 (parts/supplier relationship): how many suppliers can
+    provide each surviving (brand, type, size) combination, excluding
+    blacklisted suppliers — the NOT-IN + COUNT-DISTINCT shape.
+    Adaptations: derived partsupp (module comment); the fixture supplier
+    has no ``s_comment``, so the spec's complaint blacklist is
+    ``s_acctbal < 0`` (same rare-exclusion role); spec-style seven-value
+    size list.
+
+    Plan: the brand/type/size filter broadcasts part onto the pair set;
+    the NOT IN lowers to a broadcast left-ANTI join against the
+    (non-null, tiny) blacklist — never a per-row subquery; COUNT
+    DISTINCT shuffles once on the (brand, type, size) group key with
+    partial per-partition dedup."""
+    p = table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#21")
+        & (F.col("p_type") != "MEDIUM")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad = table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        _partsupp(spark, sf_dir)
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("ps_partkey"))
+        .join(
+            F.broadcast(bad),
+            F.col("ps_suppkey") == F.col("s_suppkey"),
+            "anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "x_tpch_q20_potential_part_promotion",
+    oracle=f"""
+    WITH {_PSUPP_SQL},
+    shipped AS (
+        SELECT l_partkey, l_suppkey,
+               0.5 * sum(l_quantity::DECIMAL(30,10))::DOUBLE AS half_qty
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY l_partkey, l_suppkey
+    )
+    SELECT s_name FROM supplier, nation
+    WHERE s_suppkey IN (
+        SELECT ps_suppkey FROM psupp, shipped
+        WHERE ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+          AND ps_partkey IN (
+              SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+          AND ps_availqty > half_qty
+    ) AND s_nationkey = n_nationkey AND n_name = 'NATION_9'
+    """,
+)
+def x_tpch_q20_potential_part_promotion(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q20 (potential part promotion): suppliers in one nation
+    holding surplus stock (availqty above half of what they shipped in a
+    year) of a named part family — the nested IN-chain shape (supplier
+    IN partsupp IN part, with a correlated per-pair shipping aggregate).
+    Adaptations: derived partsupp (module comment); part family
+    ``'small%'`` (no 'forest' in the fixture vocabulary); fixture nation
+    names.  A pair that shipped nothing in the window yields a NULL
+    aggregate in the spec and is excluded — the inner join on the
+    aggregated year reproduces exactly that.
+
+    Plan: the year aggregate groups lineitem on the SAME composite key
+    the pair-set DISTINCT shuffles on — at test scale AQE broadcasts
+    the (smaller, year-filtered) aggregate into the pair join, and at
+    warehouse scale both sides are already hash-partitioned on
+    (partkey, suppkey), so the join adds no exchange beyond the two the
+    derivation itself owns in either regime; the part-family IN
+    lowers to a broadcast left-SEMI join; qualifying pair -> supplier is
+    a second semi join, so each supplier surfaces once; nation
+    broadcasts.  No correlated per-row subquery anywhere."""
+    shipped = (
+        table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= _ts("1997-01-01"))
+            & (F.col("l_shipdate") < _ts("1998-01-01"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            (
+                F.lit(0.5)
+                * F.sum(F.col("l_quantity").cast("decimal(30,10)")).cast(
+                    "double"
+                )
+            ).alias("half_qty")
+        )
+    )
+    small = table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("small%")
+    ).select("p_partkey")
+    qualifying = (
+        _partsupp(spark, sf_dir)
+        .join(
+            shipped,
+            (F.col("ps_partkey") == F.col("l_partkey"))
+            & (F.col("ps_suppkey") == F.col("l_suppkey")),
+        )
+        .join(F.broadcast(small), F.col("ps_partkey") == F.col("p_partkey"), "semi")
+        .filter(F.col("ps_availqty") > F.col("half_qty"))
+        .select("ps_suppkey")
+    )
+    n = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_9")
+    return (
+        table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(qualifying, F.col("s_suppkey") == F.col("ps_suppkey"), "semi")
+        .select("s_name")
     )

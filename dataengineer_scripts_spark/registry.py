@@ -127,16 +127,25 @@ def _load_all() -> None:
 # lang_confusion, mixture_reweight, ngram_coverage_curve,
 # quality_filter_report, template_extract, zipf_fit — the csv/orc roundtrips,
 # the r10 timeseries trio peak/survival/wow, and the window pair
-# first_last_value/moving_median) and 50 at r11.  This window fronts those
-# 24 r10 ids, padded to 50 with the 26 alphabetically-first r11 ids.  Two
-# window ids are rows-only (x_graph_pagerank_converged, snk_excel_styled) —
-# included DELIBERATELY per the r15 verdict so their rows-only grades
-# refresh along with the oracle-bearing cohort, but listed LAST (after
-# every oracle-bearing id) per the r13 slip-safety convention: a truncated
-# window drops a weak attestation, never an oracle one.  After this window
-# the stalest grade becomes r11.  The tuple is purely an ordering change:
-# same keys, same callables, same oracles; no new ids.
+# first_last_value/moving_median) and 50 at r11.  This window fronts the
+# round-16 additions (the five derived-partsupp TPC-H queries — never
+# graded, so stalest of all), then the 24 r10 ids, padded to 50 with the
+# 21 alphabetically-first r11 ids (the next five r11 ids rotate in at
+# r17).  Two window ids are rows-only (x_graph_pagerank_converged,
+# snk_excel_styled) — included DELIBERATELY per the r15 verdict so their
+# rows-only grades refresh along with the oracle-bearing cohort, but
+# listed LAST (after every oracle-bearing id) per the r13 slip-safety
+# convention: a truncated window drops a weak attestation, never an
+# oracle one.  After this window the stalest grade becomes r11.
 _PRIORITY_NAMES = (
+    # (0) round-16 additions: the five TPC-H shapes unlocked by the
+    # derived partsupp dimension (operators/tpch.py) — ungraded until
+    # this window, so they outrank even the r10 cohort
+    "x_tpch_q2_minimum_cost_supplier",
+    "x_tpch_q9_product_type_profit",
+    "x_tpch_q11_important_stock",
+    "x_tpch_q16_parts_supplier_relationship",
+    "x_tpch_q20_potential_part_promotion",
     # (1) the r10-era oracle-bearing ids — stalest cohort of the rotation
     "x_fn_struct_pack_extract",
     "x_graph_pagerank",
@@ -182,11 +191,6 @@ _PRIORITY_NAMES = (
     "lim_page_fetch",
     "snk_excel_values",
     "snk_http_post",
-    "snk_json_records",
-    "snk_parquet_partitioned",
-    "snk_stdout_progress",
-    "src_jdbc_select",
-    "src_json_file",
     # (3) the window's two rows-only ids, slip-safe at the tail: the r10
     # converged-pagerank probe and the r11 styled-Excel sink refresh their
     # rows-only grades without ever displacing an oracle attestation

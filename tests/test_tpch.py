@@ -100,3 +100,140 @@ def test_q22_not_exists_is_anti_join_scalar_broadcast(spark, sf_dir):
     assert "Cartesian" not in plan
     # the scalar average joins broadcast-side (single-row build)
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
+
+
+# --- round 16: the derived-partsupp queries (Q2/Q9/Q11/Q16/Q20) ---------
+
+
+def test_partsupp_derivation_is_bit_identical_to_oracle(spark, duck):
+    """The derived partsupp dimension must be BIT-identical between the
+    Spark plan and the DuckDB oracle CTE — exact double equality, no
+    rounding tolerance — because Q2 joins on ps_supplycost equality and
+    Q11/Q20 compare it on thresholds.  sf0.001 keeps this exact check
+    cheap (~900 pairs)."""
+    from dataengineer_scripts_spark.operators.tpch import _PSUPP_SQL, _partsupp
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r.ps_partkey, r.ps_suppkey, r.ps_availqty, r.ps_supplycost)
+        for r in _partsupp(spark, sf).collect()
+    }
+    want = set(
+        map(
+            tuple,
+            duck.sql(f"WITH {_PSUPP_SQL} SELECT * FROM psupp").fetchall(),
+        )
+    )
+    assert got == want
+
+
+def test_q2_min_cost_is_takeordered_with_broadcast_dims(spark, sf_dir):
+    df = DEFS["x_tpch_q2_minimum_cost_supplier"].fn(spark, sf_dir)
+    plan = _physical(df)
+    # the LIMIT-100 report is a top-k, never a global sort of all parts
+    assert "TakeOrderedAndProject" in plan
+    assert "Cartesian" not in plan
+    assert "BroadcastHashJoin" in plan
+    # the type-suffix filter reaches the part scan
+    assert "StringEndsWith(p_type,ANDARD)" in _scan_meta(df)
+
+
+def test_q9_part_filter_pushes_and_no_cartesian(spark, sf_dir):
+    df = DEFS["x_tpch_q9_product_type_profit"].fn(spark, sf_dir)
+    plan = _physical(df)
+    assert "Cartesian" not in plan
+    # part/supplier/nation ride broadcast joins; only pair-set and orders
+    # joins may shuffle
+    assert "BroadcastHashJoin" in plan
+    # the product-line filter reaches the part scan as a contains pushdown
+    assert "StringContains(p_name,red)" in _scan_meta(df)
+
+
+def test_q11_threshold_is_single_row_broadcast(spark, sf_dir):
+    plan = _physical(DEFS["x_tpch_q11_important_stock"].fn(spark, sf_dir))
+    assert "Cartesian" not in plan
+    # the nation-total denominator joins as a broadcast single-row build,
+    # never a per-row subquery or a cross product
+    assert "BroadcastNestedLoop" in plan or "BroadcastHashJoin" in plan
+
+
+def test_q16_blacklist_is_broadcast_anti_join(spark, sf_dir):
+    plan = _physical(
+        DEFS["x_tpch_q16_parts_supplier_relationship"].fn(spark, sf_dir)
+    )
+    assert "LeftAnti" in plan
+    assert "Cartesian" not in plan
+    anti_line = [ln for ln in plan.splitlines() if "LeftAnti" in ln][0]
+    assert "Broadcast" in anti_line
+
+
+def test_q20_in_chain_lowers_to_semi_joins(spark, sf_dir):
+    plan = _physical(
+        DEFS["x_tpch_q20_potential_part_promotion"].fn(spark, sf_dir)
+    )
+    assert plan.count("LeftSemi") >= 2  # part-family IN + supplier IN
+    assert "Cartesian" not in plan
+
+
+def test_q20_excludes_supplier_without_surplus(spark, tmp_path):
+    """Semantics micro-fixture: at fixture scale nearly every supplier
+    holds SOME qualifying pair, so the availqty>half-shipped filter's
+    exclusion branch never fires in the sf sweeps.  Pin it here: supplier
+    0's only small-part pair has ps_availqty=1 (the key formula at
+    (0,0)) against 10 shipped units (half=5) -> excluded; supplier 1's
+    pair derives ps_availqty=32 against the same shipment -> kept."""
+    import datetime as dt
+
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(9, "NATION_9", 0)], "n_nationkey int, n_name string, n_regionkey int"
+    ).write.parquet(f"{sf}/nation.parquet")
+    spark.createDataFrame(
+        [(0, "S0", 9, 10.0), (1, "S1", 9, 10.0)],
+        "s_suppkey long, s_name string, s_nationkey int, s_acctbal double",
+    ).write.parquet(f"{sf}/supplier.parquet")
+    spark.createDataFrame(
+        [(0, "small ring"), (1, "big bolt")],
+        "p_partkey long, p_name string",
+    ).write.parquet(f"{sf}/part.parquet")
+    ship = dt.datetime(1997, 6, 1)
+    spark.createDataFrame(
+        [(0, 0, 10.0, ship), (0, 1, 10.0, ship)],
+        "l_partkey long, l_suppkey long, l_quantity double, l_shipdate timestamp",
+    ).write.parquet(f"{sf}/lineitem.parquet")
+
+    rows = DEFS["x_tpch_q20_potential_part_promotion"].fn(spark, sf).collect()
+    assert [r.s_name for r in rows] == ["S1"]
+
+
+def test_partsupp_cost_formula_injective_within_supplier_span():
+    """Q2's equality join-back relies on ps_supplycost being injective in
+    ps_suppkey for a fixed part: two suppliers of the same part collide
+    only when 7*(s1-s2) ≡ 0 (mod 90000), i.e. when their keys differ by
+    a multiple of 90000 (gcd(7, 90000) = 1).  Fixture supplier spans are
+    orders of magnitude below that; pin the claim (and its boundary) by
+    property so a formula edit that narrows the collision-free span
+    cannot slip through."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    def cost_cents(p: int, s: int) -> int:
+        return (p * 13 + s * 7) % 90000 + 10000
+
+    @given(
+        p=st.integers(min_value=0, max_value=10**12),
+        s1=st.integers(min_value=0, max_value=89_999),
+        s2=st.integers(min_value=0, max_value=89_999),
+    )
+    @settings(max_examples=300, deadline=None)
+    def check(p: int, s1: int, s2: int) -> None:
+        if s1 != s2:
+            assert cost_cents(p, s1) != cost_cents(p, s2)
+        # the documented boundary: keys 90000 apart DO collide — the
+        # injectivity claim is a span condition, not unconditional
+        assert cost_cents(p, s1) == cost_cents(p, s1 + 90_000)
+        # range claims the oracle arithmetic relies on
+        assert 10_000 <= cost_cents(p, s1) <= 99_999
+        assert 1 <= (p * 47 + s1 * 31) % 100 + 1 <= 100
+
+    check()
