@@ -981,7 +981,8 @@ def x_tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the fixture's pairs do NOT follow) keeps Q9's spec shape: every
 # lineitem row finds exactly one partsupp row.
 #
-# 100 TB posture: the derivation is one DISTINCT over two int64 columns —
+# 100 TB posture: the derivation is one DISTINCT over two int64 columns,
+# built ONCE per session and shared by all five consumers (session_cache) —
 # partial map-side dedup, 16-byte exchange rows, no payload; downstream
 # joins are pair- or part-grain.  At fixture scale the pair set is ~0.86x
 # the fact rows; at warehouse scale it is sublinear in lineitem (pairs
@@ -999,19 +1000,33 @@ _PSUPP_SQL = """
 
 
 def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The derived part-supplier dimension (see module comment above)."""
-    pairs = (
-        table(spark, sf_dir, "lineitem")
-        .select("l_partkey", "l_suppkey")
-        .distinct()
-    )
-    pk, sk = F.col("l_partkey"), F.col("l_suppkey")
-    return pairs.select(
-        pk.alias("ps_partkey"),
-        sk.alias("ps_suppkey"),
-        ((pk * 47 + sk * 31) % 100 + 1).alias("ps_availqty"),
-        (((pk * 13 + sk * 7) % 90000 + 10000) / 100.0).alias("ps_supplycost"),
-    )
+    """The derived part-supplier dimension (see module comment above).
+
+    Session-shared: five queries consume the same derivation, so the
+    DISTINCT-over-lineitem runs once per (session, fixture) and the
+    checkpointed pair frame is reused — the same once-per-session
+    discipline the shingle/pair frames use (``session_cache``).  The
+    derivation is deterministic (distinct + integer arithmetic), so
+    cached-vs-fresh results are bit-identical."""
+    from ..session_cache import session_shared
+
+    def build() -> DataFrame:
+        pairs = (
+            table(spark, sf_dir, "lineitem")
+            .select("l_partkey", "l_suppkey")
+            .distinct()
+        )
+        pk, sk = F.col("l_partkey"), F.col("l_suppkey")
+        return pairs.select(
+            pk.alias("ps_partkey"),
+            sk.alias("ps_suppkey"),
+            ((pk * 47 + sk * 31) % 100 + 1).alias("ps_availqty"),
+            (((pk * 13 + sk * 7) % 90000 + 10000) / 100.0).alias(
+                "ps_supplycost"
+            ),
+        )
+
+    return session_shared(spark, sf_dir, "tpch_partsupp", build)
 
 
 @register(
@@ -1054,8 +1069,10 @@ def x_tpch_q2_minimum_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFra
     filtered part dim broadcasts onto it; the per-part MIN groups on
     ``ps_partkey`` and joins back on (partkey, cost) — the equality join
     is exact because ps_supplycost is injective in ps_suppkey for a
-    fixed part (7*ds mod 90000 never wraps for ds < 100, so no
-    cost ties).  The top-100 is TakeOrderedAndProject under the unique
+    fixed part over any supplier-key span below 90000 (gcd(7, 90000)=1,
+    so 7*ds ≡ 0 mod 90000 only at ds multiples of 90000 — property-
+    tested in tests/test_tpch.py, and far beyond any fixture span).
+    The top-100 is TakeOrderedAndProject under the unique
     (acctbal desc, nation, supplier, part) key, never a global sort."""
     n = table(spark, sf_dir, "nation")
     r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
@@ -1177,7 +1194,7 @@ def x_tpch_q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame
         SELECT ps_partkey, ps_supplycost * ps_availqty AS v
         FROM psupp, supplier, nation
         WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
-          AND n_name = 'NATION_9'
+          AND n_name = 'NATION_15'
     ),
     tot AS (SELECT sum(v::DECIMAL(30,10))::DOUBLE AS total,
                    count(DISTINCT ps_partkey) AS n_parts FROM val)
@@ -1211,7 +1228,7 @@ def x_tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(
             F.broadcast(
                 table(spark, sf_dir, "nation").filter(
-                    F.col("n_name") == "NATION_9"
+                    F.col("n_name") == "NATION_15"
                 )
             ),
             F.col("s_nationkey") == F.col("n_nationkey"),
@@ -1318,7 +1335,7 @@ def x_tpch_q16_parts_supplier_relationship(
           AND ps_partkey IN (
               SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
           AND ps_availqty > half_qty
-    ) AND s_nationkey = n_nationkey AND n_name = 'NATION_9'
+    ) AND s_nationkey = n_nationkey AND n_name = 'NATION_15'
     """,
 )
 def x_tpch_q20_potential_part_promotion(
@@ -1373,7 +1390,7 @@ def x_tpch_q20_potential_part_promotion(
         .filter(F.col("ps_availqty") > F.col("half_qty"))
         .select("ps_suppkey")
     )
-    n = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_9")
+    n = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_15")
     return (
         table(spark, sf_dir, "supplier")
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))

@@ -105,18 +105,18 @@ def test_q22_not_exists_is_anti_join_scalar_broadcast(spark, sf_dir):
 # --- round 16: the derived-partsupp queries (Q2/Q9/Q11/Q16/Q20) ---------
 
 
-def test_partsupp_derivation_is_bit_identical_to_oracle(spark, duck):
+def test_partsupp_derivation_is_bit_identical_to_oracle(spark, duck, sf_dir):
     """The derived partsupp dimension must be BIT-identical between the
     Spark plan and the DuckDB oracle CTE — exact double equality, no
     rounding tolerance — because Q2 joins on ps_supplycost equality and
-    Q11/Q20 compare it on thresholds.  sf0.001 keeps this exact check
-    cheap (~900 pairs)."""
+    Q11/Q20 compare it on thresholds.  Both sides read the suite's
+    ``sf_dir``/``duck`` fixtures (the pair keeps them pointed at the
+    SAME fixture even under the SPARK_GRAFT_TEST_SF override)."""
     from dataengineer_scripts_spark.operators.tpch import _PSUPP_SQL, _partsupp
 
-    sf = "/root/testdata/sf0.001"
     got = {
         (r.ps_partkey, r.ps_suppkey, r.ps_availqty, r.ps_supplycost)
-        for r in _partsupp(spark, sf).collect()
+        for r in _partsupp(spark, sf_dir).collect()
     }
     want = set(
         map(
@@ -186,10 +186,10 @@ def test_q20_excludes_supplier_without_surplus(spark, tmp_path):
 
     sf = str(tmp_path)
     spark.createDataFrame(
-        [(9, "NATION_9", 0)], "n_nationkey int, n_name string, n_regionkey int"
+        [(15, "NATION_15", 0)], "n_nationkey int, n_name string, n_regionkey int"
     ).write.parquet(f"{sf}/nation.parquet")
     spark.createDataFrame(
-        [(0, "S0", 9, 10.0), (1, "S1", 9, 10.0)],
+        [(0, "S0", 15, 10.0), (1, "S1", 15, 10.0)],
         "s_suppkey long, s_name string, s_nationkey int, s_acctbal double",
     ).write.parquet(f"{sf}/supplier.parquet")
     spark.createDataFrame(
@@ -237,3 +237,117 @@ def test_partsupp_cost_formula_injective_within_supplier_span():
         assert 1 <= (p * 47 + s1 * 31) % 100 + 1 <= 100
 
     check()
+
+
+def test_q11_threshold_keeps_above_average_parts_only(spark, tmp_path):
+    """Semantics micro-fixture for Q11's self-normalizing HAVING (the
+    review of the fixed-fraction bug asked for a non-vacuous local gate
+    independent of fixture luck): one NATION_15 supplier (suppkey 2)
+    holds three parts whose derived values are unequal by construction;
+    only the part whose value exceeds 2x the nation average may survive.
+    The expected survivor set is computed HERE from the same formulas,
+    not hard-coded, so a formula change keeps the test honest."""
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(15, "NATION_15", 0)], "n_nationkey int, n_name string, n_regionkey int"
+    ).write.parquet(f"{sf}/nation.parquet")
+    spark.createDataFrame(
+        [(2, "S2", 15, 10.0), (3, "S3", 7, 10.0)],
+        "s_suppkey long, s_name string, s_nationkey int, s_acctbal double",
+    ).write.parquet(f"{sf}/supplier.parquet")
+    import datetime as dt
+
+    ship = dt.datetime(1996, 6, 1)
+    # parts 0/1/3 with supplier 2 (nation 15); part 1 also supplied by
+    # supplier 3 (nation 7) — that pair must NOT contribute to the total
+    pairs = [(0, 2), (1, 2), (3, 2), (1, 3)]
+    spark.createDataFrame(
+        [(p, s, 10.0, ship) for p, s in pairs],
+        "l_partkey long, l_suppkey long, l_quantity double, l_shipdate timestamp",
+    ).write.parquet(f"{sf}/lineitem.parquet")
+
+    def value(p, s):
+        availqty = (p * 47 + s * 31) % 100 + 1
+        cost = ((p * 13 + s * 7) % 90000 + 10000) / 100.0
+        return cost * availqty
+
+    vals = {p: value(p, 2) for p, s in pairs if s == 2}
+    avg = sum(vals.values()) / len(vals)
+    expect = {p for p, v in vals.items() if v > 2.0 * avg}
+    assert expect and expect != set(vals), (
+        "micro-fixture must exercise BOTH branches; got " + str(vals)
+    )
+    rows = DEFS["x_tpch_q11_important_stock"].fn(spark, sf).collect()
+    assert {r.ps_partkey for r in rows} == expect
+    for r in rows:
+        assert abs(r.value - vals[r.ps_partkey]) < 1e-6
+
+
+def _python_partsupp(duck):
+    pairs = duck.execute(
+        "SELECT DISTINCT l_partkey, l_suppkey FROM lineitem"
+    ).fetchall()
+    return {
+        (p, s): (
+            (p * 47 + s * 31) % 100 + 1,
+            ((p * 13 + s * 7) % 90000 + 10000) / 100.0,
+        )
+        for p, s in pairs
+    }
+
+
+def test_q9_profit_matches_python_rollup(spark, duck, sf_dir):
+    """Brute-force Python reference for Q9 (the DuckDB oracle proves
+    cross-engine agreement; this proves the profit FORMULA and the
+    three-key join structure against a dict-join reimplementation over
+    the collected fixture)."""
+    import pytest
+
+    ps = _python_partsupp(duck)
+    nation = dict(duck.execute(
+        "SELECT s_suppkey, n_name FROM supplier "
+        "JOIN nation ON s_nationkey = n_nationkey").fetchall())
+    red = {p for (p,) in duck.execute(
+        "SELECT p_partkey FROM part WHERE p_name LIKE '%red%'").fetchall()}
+    oyear = dict(duck.execute(
+        "SELECT o_orderkey, year(o_orderdate) FROM orders").fetchall())
+    agg: dict[tuple, float] = {}
+    for ok, pk, sk, qty, ext, disc in duck.execute(
+        "SELECT l_orderkey, l_partkey, l_suppkey, l_quantity,"
+        " l_extendedprice, l_discount FROM lineitem").fetchall():
+        if pk not in red or (pk, sk) not in ps or sk not in nation:
+            continue
+        cost = ps[(pk, sk)][1]
+        key = (nation[sk], oyear[ok])
+        agg[key] = agg.get(key, 0.0) + (ext * (1 - disc) - cost * qty)
+    got = {
+        (r.nation, r.o_year): r.sum_profit
+        for r in DEFS["x_tpch_q9_product_type_profit"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(agg)
+    for k, v in agg.items():
+        assert got[k] == pytest.approx(round(v, 2), abs=1e-4)
+
+
+def test_q16_counts_match_python_reference(spark, duck, sf_dir):
+    """Brute-force Python reference for Q16's NOT-IN + COUNT DISTINCT."""
+    ps = _python_partsupp(duck)
+    bad = {s for (s,) in duck.execute(
+        "SELECT s_suppkey FROM supplier WHERE s_acctbal < 0").fetchall()}
+    keep_sizes = {1, 4, 9, 16, 25, 36, 49}
+    part = {
+        pk: (b, t, z)
+        for pk, b, t, z in duck.execute(
+            "SELECT p_partkey, p_brand, p_type, p_size FROM part").fetchall()
+        if b != "Brand#21" and t != "MEDIUM" and z in keep_sizes
+    }
+    supp: dict[tuple, set] = {}
+    for (pk, sk), _ in ps.items():
+        if pk in part and sk not in bad:
+            supp.setdefault(part[pk], set()).add(sk)
+    got = {
+        (r.p_brand, r.p_type, r.p_size): r.supplier_cnt
+        for r in DEFS["x_tpch_q16_parts_supplier_relationship"]
+        .fn(spark, sf_dir).collect()
+    }
+    assert got == {k: len(v) for k, v in supp.items()}

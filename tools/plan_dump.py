@@ -57,7 +57,7 @@ HEADLINERS = [
     ("x_llm_zipf_fit", "two-level vocab rank (range shuffle + pid-partitioned row_number + broadcast offsets) — the r09 verdict's full-vocabulary single-partition sort is gone; only the P-row offsets window and the 1-row moments aggregate funnel"),
     ("x_llm_ann_ivf_scores", "oracle companion of the IVF search: driver-held quantizer + two narrow mapInPandas passes with a broadcast probe join between them — corpus never shuffled"),
     ("x_llm_dedup_exact", "two-phase hash-keyed exact dedup: phase-1 buckets are a checkpointed scan (corpus exchange keyed on xxhash64(text), asserted pre-checkpoint in tests/test_plans.py); the only text-keyed exchange sits above the broadcast semi join on the duplicate-hash set"),
-    ("x_tpch_q9_product_type_profit", "six-table three-key profit rollup over the DERIVED partsupp: p_name contains-filter pushed to the part scan, part/supplier/nation broadcast, the pair-set join AQE-sized; the only fact-fact Exchange is the orders join"),
+    ("x_tpch_q9_product_type_profit", "six-table three-key profit rollup over the DERIVED partsupp: p_name contains-filter pushed to the part scan, part/supplier/nation broadcast, the session-shared checkpointed pair set joined AQE-sized; the only fact-fact Exchange is the orders join"),
 ]
 
 
