@@ -58,7 +58,9 @@ residue (``scale_stress_r14_tpch_setsub.json``) and the LLM-doc/ETL/stream
 residue (``scale_stress_r14_llm_etl.json``); the r15 batch
 (``scale_stress_r15_residue.json``) covers the customer-/part-grain and
 flagship residue over the v3 corpus, closing measurable coverage at 222
-of 274 — the remaining 52 ids are fixed-grain by construction (REST
+of 274; the r16 batch (``scale_stress_r16_partsupp[_x30].json``) adds
+the five derived-partsupp TPC-H queries, keeping coverage closed at 227
+of 279 — the remaining 52 ids are fixed-grain by construction (REST
 stub / nation / region inputs).  All stress-measured ops and their
 output files are indexed in BASELINE.md's round addenda.
 
