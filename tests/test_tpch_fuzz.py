@@ -1,0 +1,171 @@
+"""Differential fuzz for the TPC-H module: random micro-warehouses.
+
+The registry parity sweep proves Spark-vs-DuckDB agreement on the FIXED
+fixtures; this file re-proves it on randomized inputs, where the
+boundary semantics the fixtures can never exercise actually occur:
+empty groups, all-excluded branches (a nation with no suppliers, a
+blacklist that removes everyone), LIMIT windows larger than the result,
+rounding ties from adversarial cent values, and orders with no line
+items.  Each seed builds a complete micro-warehouse (7 random TPC-H
+tables, the non-TPC-H tables symlinked from sf0.001 so the DuckDB view
+set binds), then pushes EVERY oracle-bearing operator of
+``operators/tpch.py`` through the same comparator the grading driver
+uses — so a divergence fails with the first differing row, exactly like
+a driver mismatch would.
+
+Seeds are pinned: the point is deterministic coverage of odd shapes,
+not anew-each-run randomness (which would make CI flaky and failures
+unreproducible).  Money values are generated as integer cents / 100 so
+both engines see bit-identical doubles, matching the suite's
+decimal-accumulation convention.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import inspect
+import os
+import random
+
+import pytest
+
+from dataengineer_scripts_spark import registry
+
+from .conftest import make_duck
+from .oracle_utils import assert_matches_oracle
+
+DEFS = registry.definitions()
+TPCH_IDS = sorted(
+    name
+    for name, d in DEFS.items()
+    if inspect.unwrap(d.fn).__module__
+    == "dataengineer_scripts_spark.operators.tpch"
+    and d.oracle is not None
+)
+
+_ADJ = ["small", "red", "blue", "hot", "big"]
+_NOUN = ["ring", "widget", "bolt", "gear", "gizmo"]
+_TYPES = ["ECONOMY", "STANDARD", "LARGE", "MEDIUM", "SMALL", "PROMO"]
+_SEGMENTS = ["MACHINERY", "AUTOMOBILE", "HOUSEHOLD", "BUILDING", "FURNITURE"]
+_PRIOS = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+_REGIONS = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
+
+
+def _date(rng: random.Random) -> dt.datetime:
+    return dt.datetime(
+        rng.randint(1995, 2001), rng.randint(1, 12), rng.randint(1, 28)
+    )
+
+
+def _cents(rng: random.Random, lo: int, hi: int) -> float:
+    return rng.randint(lo, hi) / 100.0
+
+
+def _write(sf: str, name: str, cols: dict[str, tuple[str, list]]) -> None:
+    """Single-FILE parquet via pyarrow: DuckDB's fixture views read
+    ``{dir}/{table}.parquet`` as one file (the testdata layout), while
+    a Spark write would produce a directory."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    kind = {
+        "i32": pa.int32(),
+        "i64": pa.int64(),
+        "f64": pa.float64(),
+        "str": pa.string(),
+        "ts": pa.timestamp("us"),
+    }
+    table = pa.table(
+        {c: pa.array(vals, type=kind[k]) for c, (k, vals) in cols.items()}
+    )
+    pq.write_table(table, f"{sf}/{name}.parquet")
+
+
+def _build_warehouse(rng: random.Random, sf: str) -> None:
+    n_supp = rng.randint(4, 10)
+    n_cust = rng.randint(8, 25)
+    n_part = rng.randint(12, 40)
+    n_ord = rng.randint(25, 60)
+    n_li = rng.randint(80, 200)
+
+    _write(sf, "region", {
+        "r_regionkey": ("i32", list(range(5))),
+        "r_name": ("str", _REGIONS),
+    })
+    _write(sf, "nation", {
+        "n_nationkey": ("i32", list(range(25))),
+        "n_name": ("str", [f"NATION_{i}" for i in range(25)]),
+        "n_regionkey": ("i32", [rng.randint(0, 4) for _ in range(25)]),
+    })
+    _write(sf, "supplier", {
+        "s_suppkey": ("i64", list(range(n_supp))),
+        "s_name": ("str", [f"Supplier#{i:09d}" for i in range(n_supp)]),
+        "s_nationkey": ("i32", [rng.randint(0, 24) for _ in range(n_supp)]),
+        # negative balances must OCCUR so Q16's blacklist and Q2's
+        # acctbal ordering see both signs
+        "s_acctbal": ("f64", [_cents(rng, -500_00, 9999_99) for _ in range(n_supp)]),
+    })
+    _write(sf, "customer", {
+        "c_custkey": ("i64", list(range(n_cust))),
+        "c_name": ("str", [f"Customer#{i:09d}" for i in range(n_cust)]),
+        "c_nationkey": ("i32", [rng.randint(0, 24) for _ in range(n_cust)]),
+        "c_acctbal": ("f64", [_cents(rng, -999_99, 9999_99) for _ in range(n_cust)]),
+        "c_mktsegment": ("str", [rng.choice(_SEGMENTS) for _ in range(n_cust)]),
+    })
+    _write(sf, "part", {
+        "p_partkey": ("i64", list(range(n_part))),
+        "p_name": ("str", [f"{rng.choice(_ADJ)} {rng.choice(_NOUN)}" for _ in range(n_part)]),
+        "p_brand": ("str", [f"Brand#{rng.randint(1, 25)}" for _ in range(n_part)]),
+        "p_type": ("str", [rng.choice(_TYPES) for _ in range(n_part)]),
+        "p_size": ("i32", [rng.randint(1, 50) for _ in range(n_part)]),
+        "p_retailprice": ("f64", [_cents(rng, 100_00, 2000_00) for _ in range(n_part)]),
+    })
+    _write(sf, "orders", {
+        "o_orderkey": ("i64", list(range(n_ord))),
+        "o_custkey": ("i64", [rng.randrange(n_cust) for _ in range(n_ord)]),
+        "o_orderstatus": ("str", [rng.choice(["F", "O", "P"]) for _ in range(n_ord)]),
+        "o_totalprice": ("f64", [_cents(rng, 1000_00, 50000_00) for _ in range(n_ord)]),
+        "o_orderdate": ("ts", [_date(rng) for _ in range(n_ord)]),
+        "o_orderpriority": ("str", [rng.choice(_PRIOS) for _ in range(n_ord)]),
+    })
+    _write(sf, "lineitem", {
+        "l_orderkey": ("i64", [rng.randrange(n_ord) for _ in range(n_li)]),
+        "l_partkey": ("i64", [rng.randrange(n_part) for _ in range(n_li)]),
+        "l_suppkey": ("i64", [rng.randrange(n_supp) for _ in range(n_li)]),
+        "l_linenumber": ("i32", [rng.randint(1, 7) for _ in range(n_li)]),
+        "l_quantity": ("f64", [float(rng.randint(1, 50)) for _ in range(n_li)]),
+        "l_extendedprice": ("f64", [_cents(rng, 100_00, 99999_99) for _ in range(n_li)]),
+        "l_discount": ("f64", [rng.randint(0, 10) / 100.0 for _ in range(n_li)]),
+        "l_tax": ("f64", [rng.randint(0, 8) / 100.0 for _ in range(n_li)]),
+        "l_returnflag": ("str", [rng.choice(["R", "N", "A"]) for _ in range(n_li)]),
+        "l_linestatus": ("str", [rng.choice(["F", "O"]) for _ in range(n_li)]),
+        "l_shipdate": ("ts", [_date(rng) for _ in range(n_li)]),
+    })
+    # the comparator's DuckDB view set binds every fixture table; the
+    # non-TPC-H ones are irrelevant to these queries, so symlink sf0.001
+    for name in ("events", "documents", "embeddings"):
+        os.symlink(
+            f"/root/testdata/sf0.001/{name}.parquet", f"{sf}/{name}.parquet"
+        )
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_tpch_suite_matches_oracle_on_random_warehouse(spark, tmp_path, seed):
+    sf = str(tmp_path)
+    _build_warehouse(random.Random(0xD1CE + seed), sf)
+    con = make_duck(sf)
+    try:
+        nonempty = 0
+        for name in TPCH_IDS:
+            df = DEFS[name].fn(spark, sf)
+            assert_matches_oracle(df, con, DEFS[name].oracle, name)
+            nonempty += bool(df.head(1))
+        # the fuzz must not silently degenerate into comparing empty
+        # results: with these pinned seeds well over half the suite
+        # produces rows (empty results still compare above — they are
+        # the POINT for branch coverage — but not for every query)
+        assert nonempty >= len(TPCH_IDS) // 2, (
+            f"seed {seed}: only {nonempty}/{len(TPCH_IDS)} non-empty"
+        )
+    finally:
+        con.close()
