@@ -319,12 +319,13 @@ def x_ts_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM pairs GROUP BY segment
     )
     SELECT segment, n,
-           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 8) AS slope,
-           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n,
-                 6) AS intercept,
+           round((n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0), 8)
+               AS slope,
+           round((sy - (n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0)
+                  * sx) / n, 6) AS intercept,
            round((n * sxy - sx * sy)
-                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
-               AS corr
+                 / NULLIF(sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+                          0), 6) AS corr
     FROM s
     """,
 )
@@ -367,7 +368,11 @@ def x_agg_regression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.col("n")
     sx, sy = F.col("sx"), F.col("sy")
     sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
-    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    # Degenerate groups (n=1 or constant x/y) have zero denominators:
+    # SQL's regr_slope answers NULL there, and under ANSI mode a plain
+    # division would instead throw DIVIDE_BY_ZERO.  The fixtures never
+    # produce such a group; the random-warehouse fuzz does (r16).
+    slope = (n * sxy - sx * sy) / F.nullif(n * sxx - sx * sx, F.lit(0))
     return s.select(
         "segment",
         "n",
@@ -375,7 +380,9 @@ def x_agg_regression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((sy - slope * sx) / n, 6).alias("intercept"),
         F.round(
             (n * sxy - sx * sy)
-            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            / F.nullif(
+                F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), F.lit(0)
+            ),
             6,
         ).alias("corr"),
     )

@@ -18,6 +18,14 @@ not anew-each-run randomness (which would make CI flaky and failures
 unreproducible).  Money values are generated as integer cents / 100 so
 both engines see bit-identical doubles, matching the suite's
 decimal-accumulation convention.
+
+The warehouse later grew a random ``events`` table (unique-microsecond
+timestamps, the fixture's five event types), extending the broad batch
+to the events-analytics stack — windows, sessionize, retention, funnel,
+as-of joins, time series.  First blood: the broad batch's maiden run
+caught a real DIVIDE_BY_ZERO in ``x_agg_regression_stats`` on a
+degenerate (constant-x) random segment — a shape the fixtures cannot
+produce but a 100 TB warehouse certainly will.
 """
 
 from __future__ import annotations
@@ -141,9 +149,35 @@ def _build_warehouse(rng: random.Random, sf: str) -> None:
         "l_linestatus": ("str", [rng.choice(["F", "O"]) for _ in range(n_li)]),
         "l_shipdate": ("ts", [_date(rng) for _ in range(n_li)]),
     })
+    # events: the whole events-analytics stack (windows, sessionize,
+    # retention, funnel, as-of joins, time series) fuzzes over this.
+    # Timestamps are globally UNIQUE microseconds — the registry's
+    # order-sensitive ops carry deterministic keys, but uniqueness here
+    # keeps a tie in the RANDOM data from masquerading as an engine
+    # divergence.  Span covers a month boundary.
+    n_users = rng.randint(8, 20)
+    n_ev = rng.randint(150, 400)
+    t0 = dt.datetime(2024, 1, 1)
+    span_us = 40 * 24 * 3600 * 1_000_000
+    offs: set[int] = set()
+    while len(offs) < n_ev:
+        offs.add(rng.randrange(span_us))
+    _write(sf, "events", {
+        "event_id": ("i64", list(range(n_ev))),
+        "ts": ("ts", [t0 + dt.timedelta(microseconds=o) for o in sorted(offs)]),
+        "user_id": ("i64", [rng.randrange(n_users) for _ in range(n_ev)]),
+        "event_type": ("str", [
+            rng.choice(["click", "view", "purchase", "signup", "error"])
+            for _ in range(n_ev)
+        ]),
+        "value": ("f64", [_cents(rng, 1, 50000) for _ in range(n_ev)]),
+        "props": ("str", [
+            '{"k": ' + str(rng.randint(0, 99)) + "}" for _ in range(n_ev)
+        ]),
+    })
     # the comparator's DuckDB view set binds every fixture table; the
-    # non-TPC-H ones are irrelevant to these queries, so symlink sf0.001
-    for name in ("events", "documents", "embeddings"):
+    # corpus tables are irrelevant to these queries, so symlink sf0.001
+    for name in ("documents", "embeddings"):
         os.symlink(
             f"/root/testdata/sf0.001/{name}.parquet", f"{sf}/{name}.parquet"
         )
@@ -166,6 +200,58 @@ def test_tpch_suite_matches_oracle_on_random_warehouse(spark, tmp_path, seed):
         # the POINT for branch coverage — but not for every query)
         assert nonempty >= len(TPCH_IDS) // 2, (
             f"seed {seed}: only {nonempty}/{len(TPCH_IDS)} non-empty"
+        )
+    finally:
+        con.close()
+
+
+# Every oracle-bearing op outside the TPC-H module whose ONLY table
+# reads fall inside the randomized seven-table warehouse (computed from
+# the registered sources; regenerate with the snippet in the commit that
+# added this list).  Effectful ops (snk_*/src_*/exec_* — sinks, JDBC,
+# executor shims) are excluded: their subjects are side effects, pinned
+# by their own tests, and they would add Derby/tmp-artifact churn here.
+BROAD_IDS = sorted(
+    name
+    for name, d in DEFS.items()
+    if d.oracle is not None
+    and not name.startswith(("snk_", "src_", "exec_"))
+    # tpch has its own multi-seed test; streaming ops' subject is the
+    # streaming RUNTIME (micro-batch boundaries), pinned in
+    # test_streaming.py — a batch-table fuzz would test the wrong thing
+    and inspect.unwrap(d.fn).__module__.rsplit(".", 1)[-1]
+    not in ("tpch", "windows")
+    and (lambda src: (
+        (tabs := set(
+            __import__("re").findall(
+                r'table\(spark, sf_dir, "(\w+)"\)', src)))
+        and tabs <= {
+            "region", "nation", "customer", "supplier", "part",
+            "orders", "lineitem", "events",
+        }
+        and "session_shared" not in src
+    ))(inspect.getsource(inspect.unwrap(d.fn)))
+)
+
+
+def test_broad_suite_matches_oracle_on_random_warehouse(spark, tmp_path):
+    """One-seed broad batch: every fixture-table-only oracle op from the
+    other modules (joins, sets, subqueries, windows, aggregates, ETL
+    transforms, BI stats) against a random warehouse — input-space
+    parity beyond the module the warehouse was designed for.  One seed
+    keeps the default-suite cost at ~a minute; the TPC-H test above
+    carries the multi-seed depth."""
+    sf = str(tmp_path)
+    _build_warehouse(random.Random(0xB40AD), sf)
+    con = make_duck(sf)
+    try:
+        nonempty = 0
+        for name in BROAD_IDS:
+            df = DEFS[name].fn(spark, sf)
+            assert_matches_oracle(df, con, DEFS[name].oracle, name)
+            nonempty += bool(df.head(1))
+        assert nonempty >= len(BROAD_IDS) // 2, (
+            f"only {nonempty}/{len(BROAD_IDS)} non-empty"
         )
     finally:
         con.close()
