@@ -319,13 +319,15 @@ def x_ts_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM pairs GROUP BY segment
     )
     SELECT segment, n,
-           round((n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0), 8)
-               AS slope,
-           round((sy - (n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0)
-                  * sx) / n, 6) AS intercept,
            round((n * sxy - sx * sy)
-                 / NULLIF(sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
-                          0), 6) AS corr
+                 / NULLIF(greatest(n * sxx - sx * sx, 0), 0), 8) AS slope,
+           round((sy - (n * sxy - sx * sy)
+                  / NULLIF(greatest(n * sxx - sx * sx, 0), 0) * sx) / n, 6)
+               AS intercept,
+           round((n * sxy - sx * sy)
+                 / NULLIF(sqrt(greatest(n * sxx - sx * sx, 0)
+                               * greatest(n * syy - sy * sy, 0)), 0), 6)
+               AS corr
     FROM s
     """,
 )
@@ -368,21 +370,23 @@ def x_agg_regression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.col("n")
     sx, sy = F.col("sx"), F.col("sy")
     sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
-    # Degenerate groups (n=1 or constant x/y) have zero denominators:
+    # Degenerate groups (n=1 or constant x/y) have zero variance:
     # SQL's regr_slope answers NULL there, and under ANSI mode a plain
-    # division would instead throw DIVIDE_BY_ZERO.  The fixtures never
-    # produce such a group; the random-warehouse fuzz does (r16).
-    slope = (n * sxy - sx * sy) / F.nullif(n * sxx - sx * sx, F.lit(0))
+    # division would instead throw DIVIDE_BY_ZERO.  The variances are
+    # additionally CLAMPED at zero first — n·sxx − sx² is mathematically
+    # ≥ 0 but the decimal→double casts can land an ulp below, and
+    # sqrt(−ε) is a hard error in DuckDB (NaN in Spark).  The fixtures
+    # never produce either shape; the random-warehouse fuzz does (r16).
+    var_x = F.greatest(n * sxx - sx * sx, F.lit(0.0))
+    var_y = F.greatest(n * syy - sy * sy, F.lit(0.0))
+    slope = (n * sxy - sx * sy) / F.nullif(var_x, F.lit(0))
     return s.select(
         "segment",
         "n",
         F.round(slope, 8).alias("slope"),
         F.round((sy - slope * sx) / n, 6).alias("intercept"),
         F.round(
-            (n * sxy - sx * sy)
-            / F.nullif(
-                F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), F.lit(0)
-            ),
+            (n * sxy - sx * sy) / F.nullif(F.sqrt(var_x * var_y), F.lit(0)),
             6,
         ).alias("corr"),
     )

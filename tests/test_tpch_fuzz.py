@@ -234,15 +234,19 @@ BROAD_IDS = sorted(
 )
 
 
-def test_broad_suite_matches_oracle_on_random_warehouse(spark, tmp_path):
-    """One-seed broad batch: every fixture-table-only oracle op from the
-    other modules (joins, sets, subqueries, windows, aggregates, ETL
+@pytest.mark.parametrize("seed", [0xB40AD, 0x53])
+def test_broad_suite_matches_oracle_on_random_warehouse(spark, tmp_path, seed):
+    """Broad batch: every fixture-table-only oracle op from the other
+    modules (joins, sets, subqueries, windows, aggregates, ETL
     transforms, BI stats) against a random warehouse — input-space
-    parity beyond the module the warehouse was designed for.  One seed
-    keeps the default-suite cost at ~a minute; the TPC-H test above
-    carries the multi-seed depth."""
+    parity beyond the module the warehouse was designed for.  The two
+    seeds are the ones that each caught a real x_agg_regression_stats
+    edge on their maiden run: 0xB40AD produced a single-point segment
+    (zero variance → DIVIDE_BY_ZERO before the NULLIF guard) and 0x53 a
+    segment whose double-rounded variance product landed an ulp below
+    zero (sqrt(−ε) → hard DuckDB error before the clamp)."""
     sf = str(tmp_path)
-    _build_warehouse(random.Random(0xB40AD), sf)
+    _build_warehouse(random.Random(seed), sf)
     con = make_duck(sf)
     try:
         nonempty = 0
@@ -251,7 +255,43 @@ def test_broad_suite_matches_oracle_on_random_warehouse(spark, tmp_path):
             assert_matches_oracle(df, con, DEFS[name].oracle, name)
             nonempty += bool(df.head(1))
         assert nonempty >= len(BROAD_IDS) // 2, (
-            f"only {nonempty}/{len(BROAD_IDS)} non-empty"
+            f"seed {seed}: only {nonempty}/{len(BROAD_IDS)} non-empty"
         )
     finally:
         con.close()
+
+
+def test_regression_stats_degenerate_segments_yield_null(spark, tmp_path):
+    """Deterministic pin of the degenerate-regression branch the fuzz
+    found: a single-order segment and a constant-balance segment must
+    answer NULL slope/intercept/corr (SQL regr_slope semantics), not
+    throw, while a healthy segment still regresses."""
+    sf = str(tmp_path)
+    _write(sf, "customer", {
+        "c_custkey": ("i64", [0, 1, 2, 3]),
+        "c_name": ("str", ["A", "B", "C", "D"]),
+        "c_nationkey": ("i32", [0, 0, 0, 0]),
+        # MACHINERY: two customers, SAME balance (constant x);
+        # BUILDING: one customer (n=1); FURNITURE: healthy variance
+        "c_acctbal": ("f64", [100.0, 100.0, 55.0, 10.0]),
+        "c_mktsegment": ("str",
+                         ["MACHINERY", "MACHINERY", "BUILDING", "FURNITURE"]),
+    })
+    _write(sf, "orders", {
+        "o_orderkey": ("i64", list(range(6))),
+        "o_custkey": ("i64", [0, 1, 2, 3, 3, 3]),
+        "o_orderstatus": ("str", ["F"] * 6),
+        "o_totalprice": ("f64", [10.0, 20.0, 30.0, 1.0, 2.0, 3.0]),
+        "o_orderdate": ("ts", [dt.datetime(1996, 1, 1)] * 6),
+        "o_orderpriority": ("str", ["5-LOW"] * 6),
+    })
+    rows = {
+        r.segment: r
+        for r in DEFS["x_agg_regression_stats"].fn(spark, sf).collect()
+    }
+    assert rows["MACHINERY"].slope is None
+    assert rows["MACHINERY"].corr is None
+    assert rows["BUILDING"].slope is None
+    # FURNITURE has one x value (10.0) for three orders — constant x
+    # again, but through a MULTI-ORDER path
+    assert rows["FURNITURE"].slope is None
