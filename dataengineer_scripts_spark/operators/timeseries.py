@@ -306,27 +306,29 @@ def x_ts_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH pairs AS (
         SELECT c_mktsegment AS segment,
-               c_acctbal AS x, o_totalprice AS y
+               CAST(round(c_acctbal * 100) AS BIGINT) AS xc,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS yc
         FROM orders JOIN customer ON o_custkey = c_custkey
     ),
     s AS (
         SELECT segment, count(*) AS n,
-               sum(x::DECIMAL(30,10))::DOUBLE AS sx,
-               sum(y::DECIMAL(30,10))::DOUBLE AS sy,
-               sum((x * y)::DECIMAL(38,8))::DOUBLE AS sxy,
-               sum((x * x)::DECIMAL(38,8))::DOUBLE AS sxx,
-               sum((y * y)::DECIMAL(38,8))::DOUBLE AS syy
+               sum(CAST(xc AS HUGEINT)) AS sxc,
+               sum(CAST(yc AS HUGEINT)) AS syc,
+               sum(CAST(xc AS HUGEINT) * yc) AS sxyc,
+               sum(CAST(xc AS HUGEINT) * xc) AS sxxc,
+               sum(CAST(yc AS HUGEINT) * yc) AS syyc
         FROM pairs GROUP BY segment
     )
     SELECT segment, n,
-           round((n * sxy - sx * sy)
-                 / NULLIF(greatest(n * sxx - sx * sx, 0), 0), 8) AS slope,
-           round((sy - (n * sxy - sx * sy)
-                  / NULLIF(greatest(n * sxx - sx * sx, 0), 0) * sx) / n, 6)
-               AS intercept,
-           round((n * sxy - sx * sy)
-                 / NULLIF(sqrt(greatest(n * sxx - sx * sx, 0)
-                               * greatest(n * syy - sy * sy, 0)), 0), 6)
+           round((n * sxyc - sxc * syc)::DOUBLE
+                 / NULLIF((n * sxxc - sxc * sxc)::DOUBLE, 0), 8) AS slope,
+           round((syc::DOUBLE / 100.0
+                  - (n * sxyc - sxc * syc)::DOUBLE
+                    / NULLIF((n * sxxc - sxc * sxc)::DOUBLE, 0)
+                    * (sxc::DOUBLE / 100.0)) / n, 6) AS intercept,
+           round((n * sxyc - sxc * syc)::DOUBLE
+                 / NULLIF(sqrt((n * sxxc - sxc * sxc)::DOUBLE
+                               * (n * syyc - syc * syc)::DOUBLE), 0), 6)
                AS corr
     FROM s
     """,
@@ -337,12 +339,20 @@ def x_agg_regression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouped-regression shape of cohort analytics (does a bigger balance
     predict bigger orders, per market segment?).
 
-    (n, Σx, Σy, Σxy, Σx², Σy²) are exact decimal aggregates of
-    elementwise products; slope/intercept/corr are closed-form doubles
-    of those six numbers, computed once per group — bit-identical
-    across engines and trivially map-side combinable (this is exactly
-    the merge state a distributed ``regr_slope`` keeps internally,
-    spelled out so the oracle can replay it).
+    (n, Σx, Σy, Σxy, Σx², Σy²) accumulate as EXACT INTEGER CENTS (the
+    money columns are cent-valued, so ``round(v*100)`` recovers the
+    exact integer and every moment is integer arithmetic end-to-end);
+    slope/intercept/corr are closed-form doubles of those six exact
+    numbers — bit-identical across engines and trivially map-side
+    combinable (the merge state a distributed ``regr_slope`` keeps
+    internally, spelled out so the oracle can replay it).  Exactness is
+    load-bearing, not cosmetic: with double moments, a constant-x
+    segment's variance is ±ulp noise, and the r16 fuzz caught the full
+    failure ladder — DIVIDE_BY_ZERO, DuckDB's hard sqrt(−ε) error, and
+    finally engines disagreeing on which side of zero the noise landed
+    (a decimal-cast half-tie in Σxy made slope 0.0 vs 4.0 on a 3-order
+    segment).  Integer moments make zero variance EXACTLY zero in both
+    engines; degenerate segments answer NULL per regr_slope semantics.
 
     Plan: customer broadcasts into the orders fact; ONE hash aggregate
     on segment produces all six moments in a single pass."""
@@ -358,36 +368,42 @@ def x_agg_regression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_totalprice").alias("y"),
         )
     )
-    x, y = F.col("x"), F.col("y")
-    s = pairs.groupBy("segment").agg(
+    cents = pairs.select(
+        "segment",
+        F.round(F.col("x") * 100).cast("long").alias("xc"),
+        F.round(F.col("y") * 100).cast("long").alias("yc"),
+    )
+    xc, yc = F.col("xc"), F.col("yc")
+    # per-row cent products fit a long (≤1e12); sums accumulate decimal
+    s = cents.groupBy("segment").agg(
         F.count("*").alias("n"),
-        F.sum(x.cast("decimal(30,10)")).cast("double").alias("sx"),
-        F.sum(y.cast("decimal(30,10)")).cast("double").alias("sy"),
-        F.sum((x * y).cast("decimal(38,8)")).cast("double").alias("sxy"),
-        F.sum((x * x).cast("decimal(38,8)")).cast("double").alias("sxx"),
-        F.sum((y * y).cast("decimal(38,8)")).cast("double").alias("syy"),
+        F.sum(xc.cast("decimal(20,0)")).alias("sxc"),
+        F.sum(yc.cast("decimal(20,0)")).alias("syc"),
+        F.sum((xc * yc).cast("decimal(38,0)")).alias("sxyc"),
+        F.sum((xc * xc).cast("decimal(38,0)")).alias("sxxc"),
+        F.sum((yc * yc).cast("decimal(38,0)")).alias("syyc"),
     )
     n = F.col("n")
-    sx, sy = F.col("sx"), F.col("sy")
-    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
-    # Degenerate groups (n=1 or constant x/y) have zero variance:
-    # SQL's regr_slope answers NULL there, and under ANSI mode a plain
-    # division would instead throw DIVIDE_BY_ZERO.  The variances are
-    # additionally CLAMPED at zero first — n·sxx − sx² is mathematically
-    # ≥ 0 but the decimal→double casts can land an ulp below, and
-    # sqrt(−ε) is a hard error in DuckDB (NaN in Spark).  The fixtures
-    # never produce either shape; the random-warehouse fuzz does (r16).
-    var_x = F.greatest(n * sxx - sx * sx, F.lit(0.0))
-    var_y = F.greatest(n * syy - sy * sy, F.lit(0.0))
-    slope = (n * sxy - sx * sy) / F.nullif(var_x, F.lit(0))
+    nd = n.cast("decimal(20,0)")
+    sxc, syc = F.col("sxc"), F.col("syc")
+    sxyc, sxxc, syyc = F.col("sxyc"), F.col("sxxc"), F.col("syyc")
+    # EXACT integer moments (decimal scale 0): a degenerate segment's
+    # variance is exactly zero in both engines, so NULLIF is a complete
+    # guard — no epsilon, no clamp.  cents² units cancel in slope/corr;
+    # intercept converts the two first moments back to currency units.
+    den = (nd * sxxc - sxc * sxc).cast("double")
+    cov = (nd * sxyc - sxc * syc).cast("double")
+    var_y = (nd * syyc - syc * syc).cast("double")
+    sx_d = sxc.cast("double") / 100.0
+    sy_d = syc.cast("double") / 100.0
+    slope = cov / F.nullif(den, F.lit(0))
     return s.select(
         "segment",
         "n",
         F.round(slope, 8).alias("slope"),
-        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        F.round((sy_d - slope * sx_d) / n, 6).alias("intercept"),
         F.round(
-            (n * sxy - sx * sy) / F.nullif(F.sqrt(var_x * var_y), F.lit(0)),
-            6,
+            cov / F.nullif(F.sqrt(den * var_y), F.lit(0)), 6
         ).alias("corr"),
     )
 
@@ -532,11 +548,11 @@ AUTOCORR_LAGS = (1, 7)
     oracle=f"""
     WITH daily AS (
         SELECT date_trunc('day', o_orderdate)::DATE AS day,
-               sum(o_totalprice::DECIMAL(30,10))::DOUBLE AS rev
+               sum(CAST(round(o_totalprice * 100) AS HUGEINT)) AS rev_c
         FROM orders GROUP BY day
     ),
     lagged AS (
-        SELECT l.lag, a.rev AS x, b.rev AS y
+        SELECT l.lag, a.rev_c AS xc, b.rev_c AS yc
         FROM daily a
         JOIN (SELECT unnest([{", ".join(str(k) for k in AUTOCORR_LAGS)}])
               AS lag) l ON TRUE
@@ -544,16 +560,16 @@ AUTOCORR_LAGS = (1, 7)
     ),
     s AS (
         SELECT lag, count(*) AS n,
-               sum(x::DECIMAL(38,8))::DOUBLE AS sx,
-               sum(y::DECIMAL(38,8))::DOUBLE AS sy,
-               sum((x * y)::DECIMAL(38,2))::DOUBLE AS sxy,
-               sum((x * x)::DECIMAL(38,2))::DOUBLE AS sxx,
-               sum((y * y)::DECIMAL(38,2))::DOUBLE AS syy
+               sum(xc) AS sxc, sum(yc) AS syc,
+               sum(xc * yc) AS sxyc,
+               sum(xc * xc) AS sxxc,
+               sum(yc * yc) AS syyc
         FROM lagged GROUP BY lag
     )
     SELECT lag::BIGINT AS lag, n,
-           round((n * sxy - sx * sy)
-                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+           round((n * sxyc - sxc * syc)::DOUBLE
+                 / NULLIF(sqrt((n * sxxc - sxc * sxc)::DOUBLE
+                               * (n * syyc - syc * syc)::DOUBLE), 0), 6)
                AS autocorr
     FROM s
     """,
@@ -565,9 +581,14 @@ def x_ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     + lag-1 low ⇒ strong weekly seasonality), feeding the same
     sufficient-statistics machinery as ``x_agg_regression_stats``.
 
-    The day-grain totals are decimal-exact doubles; the lag pairing is
-    an equi-join on shifted dates (no window over the fact), and each
-    lag's six moments accumulate DECIMAL — deterministic across engines.
+    The day-grain totals are EXACT INTEGER CENTS and the six moments
+    accumulate as scale-0 decimals — integer arithmetic end-to-end, so
+    a constant or single-pair series has EXACTLY zero variance in both
+    engines and answers NULL (with double moments the variance is ±ulp
+    noise, and the r16 fuzz hit DuckDB's hard sqrt(−ε) error here; the
+    autocorrelation itself is scale-invariant, so cents cancel).  The
+    lag pairing is an equi-join on shifted dates (no window over the
+    fact).
 
     Plan: the fact collapses to day grain first (one aggregate), so the
     lag self-join and the moments run over hundreds of rows at ANY
@@ -576,38 +597,40 @@ def x_ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "orders")
         .groupBy(F.date_trunc("day", "o_orderdate").cast("date").alias("day"))
         .agg(
-            F.sum(F.col("o_totalprice").cast("decimal(30,10)"))
-            .cast("double")
-            .alias("rev")
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("decimal(20,0)")
+            .alias("rev_c")
         )
         .localCheckpoint(eager=False)
     )
     lags = spark.createDataFrame([(k,) for k in AUTOCORR_LAGS], "lag int")
-    a = daily.select("day", F.col("rev").alias("x"))
-    b = daily.select(F.col("day").alias("bday"), F.col("rev").alias("y"))
+    a = daily.select("day", F.col("rev_c").alias("xc"))
+    b = daily.select(F.col("day").alias("bday"), F.col("rev_c").alias("yc"))
     lagged = (
         a.join(F.broadcast(lags))
         .join(b, F.expr("bday = day + make_interval(0, 0, 0, lag)"))
     )
-    x, y = F.col("x"), F.col("y")
+    xc, yc = F.col("xc"), F.col("yc")
     s = lagged.groupBy("lag").agg(
         F.count("*").alias("n"),
-        F.sum(x.cast("decimal(38,8)")).cast("double").alias("sx"),
-        F.sum(y.cast("decimal(38,8)")).cast("double").alias("sy"),
-        F.sum((x * y).cast("decimal(38,2)")).cast("double").alias("sxy"),
-        F.sum((x * x).cast("decimal(38,2)")).cast("double").alias("sxx"),
-        F.sum((y * y).cast("decimal(38,2)")).cast("double").alias("syy"),
+        F.sum(xc).alias("sxc"),
+        F.sum(yc).alias("syc"),
+        F.sum((xc * yc).cast("decimal(38,0)")).alias("sxyc"),
+        F.sum((xc * xc).cast("decimal(38,0)")).alias("sxxc"),
+        F.sum((yc * yc).cast("decimal(38,0)")).alias("syyc"),
     )
     n = F.col("n")
-    sx, sy = F.col("sx"), F.col("sy")
-    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    nd = n.cast("decimal(20,0)")
+    sxc, syc = F.col("sxc"), F.col("syc")
+    sxyc, sxxc, syyc = F.col("sxyc"), F.col("sxxc"), F.col("syyc")
+    den_x = (nd * sxxc - sxc * sxc).cast("double")
+    den_y = (nd * syyc - syc * syc).cast("double")
+    cov = (nd * sxyc - sxc * syc).cast("double")
     return s.select(
         F.col("lag").cast("bigint").alias("lag"),
         "n",
         F.round(
-            (n * sxy - sx * sy)
-            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
-            6,
+            cov / F.nullif(F.sqrt(den_x * den_y), F.lit(0)), 6
         ).alias("autocorr"),
     )
 

@@ -234,17 +234,22 @@ BROAD_IDS = sorted(
 )
 
 
-@pytest.mark.parametrize("seed", [0xB40AD, 0x53])
+@pytest.mark.parametrize("seed", [0xB40AD, 0x62, 0x65])
 def test_broad_suite_matches_oracle_on_random_warehouse(spark, tmp_path, seed):
     """Broad batch: every fixture-table-only oracle op from the other
     modules (joins, sets, subqueries, windows, aggregates, ETL
     transforms, BI stats) against a random warehouse — input-space
-    parity beyond the module the warehouse was designed for.  The two
-    seeds are the ones that each caught a real x_agg_regression_stats
-    edge on their maiden run: 0xB40AD produced a single-point segment
-    (zero variance → DIVIDE_BY_ZERO before the NULLIF guard) and 0x53 a
-    segment whose double-rounded variance product landed an ulp below
-    zero (sqrt(−ε) → hard DuckDB error before the clamp)."""
+    parity beyond the module the warehouse was designed for.  The seeds
+    are the ones that each caught a REAL bug on their maiden run, kept
+    as regression pins for the exact-integer-moment rewrite they
+    forced: 0xB40AD produced a single-point segment (zero variance →
+    DIVIDE_BY_ZERO in x_agg_regression_stats); 0x62 hit DuckDB's hard
+    sqrt(−ε) error in x_ts_autocorrelation AND an engine value
+    divergence in regression_stats; 0x65 made the engines disagree on
+    which SIDE of zero a constant-x segment's ulp-noise variance landed
+    (slope 0.0 vs 4.0 — a decimal-cast half-tie in Σxy).  (Seed 0x53,
+    the original sqrt(−ε) finder, is subsumed by 0x62's same-class
+    coverage.)"""
     sf = str(tmp_path)
     _build_warehouse(random.Random(seed), sf)
     con = make_duck(sf)
