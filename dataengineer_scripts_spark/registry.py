@@ -120,82 +120,75 @@ def _load_all() -> None:
 
 # The grading driver only records CORRECTNESS rows for the first ~50 ids it
 # sees; the window ROTATES each round to keep attestations fresh.  After the
-# r15 window every id carries a ≥r10-era grade; the merge of
-# CORRECTNESS_r01–r15.json puts the stalest cohort at exactly 24 ids graded
-# r10 (the struct/scd2/pagerank pair/recursive-CTE block, the r10 LLM block —
-# ann_*_scores, cluster_purity, dataset_split, dedup_suffix, dup_graph_degree,
-# lang_confusion, mixture_reweight, ngram_coverage_curve,
-# quality_filter_report, template_extract, zipf_fit — the csv/orc roundtrips,
-# the r10 timeseries trio peak/survival/wow, and the window pair
-# first_last_value/moving_median) and 50 at r11.  This window fronts the
-# round-16 additions (the five derived-partsupp TPC-H queries — never
-# graded, so stalest of all), then the 24 r10 ids, padded to 50 with the
-# 21 alphabetically-first r11 ids (the next five r11 ids rotate in at
-# r17).  Two window ids are rows-only (x_graph_pagerank_converged,
-# snk_excel_styled) — included DELIBERATELY per the r15 verdict so their
-# rows-only grades refresh along with the oracle-bearing cohort, but
-# listed LAST (after every oracle-bearing id) per the r13 slip-safety
-# convention: a truncated window drops a weak attestation, never an
-# oracle one.  After this window the stalest grade becomes r11.
+# r16 window every id carries a ≥r11-era grade; the merge of
+# CORRECTNESS_r01–r16.json puts the stalest cohort at exactly 29 ids graded
+# r11 (the snk/src connector block and the LLM dedup/knn/fingerprint family)
+# and 50 at r12.  This r17 window (prescribed id-for-id by the r16 verdict,
+# item 2) takes those 29 r11 ids plus the 21 alphabetically-first r12 ids
+# (agg_collect_errors … x_llm_lm_doc_score; the remaining 29 r12 ids rotate
+# in at r18).  Five window ids are rows-only (the approx-sketch pair, the
+# simhash dedup, and the two ANN index probes — each gated by an exact or
+# *_scores oracle twin) — included so their rows-only grades refresh with
+# the cohort, but listed LAST per the r13 slip-safety convention: a
+# truncated window drops a weak attestation, never an oracle one.  After
+# this window the stalest grade becomes r12.
 _PRIORITY_NAMES = (
-    # (0) round-16 additions: the five TPC-H shapes unlocked by the
-    # derived partsupp dimension (operators/tpch.py) — ungraded until
-    # this window, so they outrank even the r10 cohort
-    "x_tpch_q2_minimum_cost_supplier",
-    "x_tpch_q9_product_type_profit",
-    "x_tpch_q11_important_stock",
-    "x_tpch_q16_parts_supplier_relationship",
-    "x_tpch_q20_potential_part_promotion",
-    # (1) the r10-era oracle-bearing ids — stalest cohort of the rotation
-    "x_fn_struct_pack_extract",
-    "x_graph_pagerank",
-    "x_join_scd2_pointintime",
-    "x_llm_ann_ivf_scores",
-    "x_llm_ann_lsh_scores",
-    "x_llm_cluster_purity",
-    "x_llm_dataset_split",
-    "x_llm_dedup_suffix",
-    "x_llm_dup_graph_degree",
-    "x_llm_lang_confusion",
-    "x_llm_mixture_reweight",
-    "x_llm_ngram_coverage_curve",
-    "x_llm_quality_filter_report",
-    "x_llm_template_extract",
-    "x_llm_zipf_fit",
-    "x_sql_recursive_cte",
-    "x_src_csv_roundtrip",
-    "x_src_orc_roundtrip",
-    "x_ts_peak_detection",
-    "x_ts_survival_km",
-    "x_ts_week_over_week",
-    "x_win_first_last_value",
-    "x_win_moving_median",
-    # (2) the alphabetically-first r11-era ids as padding to 50
-    "fn_case_status",
-    "fn_date_extract",
-    "fn_date_ge",
-    "fn_hour_mod_arith",
-    "fn_json_parse",
-    "fn_json_serialize",
-    "fn_lower",
-    "fn_map_lookup",
-    "fn_str_concat",
-    "fn_time_lt",
-    "fn_ts_format",
-    "fn_ts_parse_fmt",
-    "fn_tz_convert",
-    "join_memo_dedup",
-    "join_point_lookup",
-    "join_url_construct",
-    "lim_first_match",
-    "lim_page_fetch",
-    "snk_excel_values",
-    "snk_http_post",
-    # (3) the window's two rows-only ids, slip-safe at the tail: the r10
-    # converged-pagerank probe and the r11 styled-Excel sink refresh their
-    # rows-only grades without ever displacing an oracle attestation
-    "x_graph_pagerank_converged",
-    "snk_excel_styled",
+    # (0) the r11-era oracle-bearing ids — stalest cohort of the rotation
+    "snk_json_records",
+    "snk_parquet_partitioned",
+    "snk_stdout_progress",
+    "src_jdbc_select",
+    "src_json_file",
+    "src_parquet_schema_evolution",
+    "src_rest_auth",
+    "src_rest_get",
+    "src_rest_limit_push",
+    "x_llm_decontaminate",
+    "x_llm_dedup_clusters",
+    "x_llm_dedup_embed",
+    "x_llm_dedup_exact",
+    "x_llm_dedup_incremental",
+    "x_llm_dedup_incremental_indexed",
+    "x_llm_dedup_minhash",
+    "x_llm_dedup_ngram_jaccard",
+    "x_llm_dup_spans",
+    "x_llm_fingerprint",
+    "x_llm_knn_batch",
+    "x_llm_knn_batch_blocked",
+    "x_llm_knn_cosine",
+    "x_llm_nearest_class",
+    "x_llm_ngram_lm_counts",
+    "x_llm_semdedup",
+    "x_llm_vocab_topk",
+    # (1) the alphabetically-first r12-era oracle-bearing ids, padding to 50
+    "agg_collect_errors",
+    "agg_count_threshold",
+    "agg_exists_to_status",
+    "agg_first_per_key",
+    "exec_async",
+    "exec_memo_cache",
+    "exec_retry",
+    "exec_sequential",
+    "x_etl_scd2_merge",
+    "x_etl_zorder_stats_sharded",
+    "x_join_asof",
+    "x_join_bucketed",
+    "x_join_skew_salted",
+    "x_llm_bpe_pair_counts",
+    "x_llm_chunk_windows",
+    "x_llm_dedup_keep_best",
+    "x_llm_embed_quantize",
+    "x_llm_lang_id",
+    "x_llm_lm_doc_score",
+    # (2) the window's five rows-only ids, slip-safe at the tail: the r11
+    # approx-sketch pair + simhash dedup and the r12 ANN index probes
+    # refresh their rows-only grades without ever displacing an oracle
+    # attestation
+    "x_agg_approx_distinct",
+    "x_agg_approx_quantile",
+    "x_llm_dedup_simhash",
+    "x_llm_ann_ivf",
+    "x_llm_ann_lsh",
 )
 _PRIORITY_RANK = {n: i for i, n in enumerate(_PRIORITY_NAMES)}
 
