@@ -841,21 +841,45 @@ def _normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     the normalization into downstream expressions, but it is a linear O(dim)
     pass per row — re-evaluation is strictly cheaper than the full-corpus
     shuffle a repartition barrier would cost at scale (every consumer either
-    broadcasts this side or shuffles it exactly once on its own key)."""
+    broadcasts this side or shuffles it exactly once on its own key).
+
+    Zero-norm convention (corpus fuzz, r17): ``normalize(0⃗) = 0⃗``.  A
+    corrupt/empty embedding then has cosine exactly 0.0 with everything —
+    below every threshold, deterministically last in rankings — instead
+    of ANSI Spark THROWING on x/0 while DuckDB yields NULL elements whose
+    NULL-vs-NaN propagation differs per consumer.  The CASE short-circuits,
+    so the division never evaluates on the zero-norm row — and it sits
+    OUTSIDE the transform (one norm test per ROW, mirroring the oracle's
+    CASE-around-list_transform): a per-ELEMENT guard would add a second
+    re-inlined reference to the norm aggregate inside every lambda
+    element, which measured ~1.5-2× wall on every consumer."""
     d = F.transform("embedding", lambda x: x.cast("double"))
     df = table(spark, sf_dir, "embeddings").select("vec_id", d.alias("d"))
     norm = F.sqrt(F.aggregate("d", F.lit(0.0), lambda acc, x: acc + x * x))
-    return df.select("vec_id", F.transform("d", lambda x: x / norm).alias("e"))
+    return df.select(
+        "vec_id",
+        F.when(norm > 0, F.transform("d", lambda x: x / norm))
+        .otherwise(F.array_repeat(F.lit(0.0), F.size("d")))
+        .alias("e"),
+    )
 
 
 #: DuckDB twin of _normalized (+ the element-wise dot used in oracles).
+#: Mirrors the zero-norm convention: normalize(0⃗) = 0⃗ (CASE on the norm,
+#: never x/0 → NULL elements).
 _SQL_NORMED = """
     normed AS (
         SELECT vec_id,
-               list_transform(embedding, x -> x::DOUBLE /
+               CASE WHEN nrm > 0
+                    THEN list_transform(embedding, x -> x::DOUBLE / nrm)
+                    ELSE list_transform(embedding, x -> 0.0::DOUBLE)
+               END AS e
+        FROM (
+            SELECT vec_id, embedding,
                    sqrt(list_sum(list_transform(embedding,
-                        y -> y::DOUBLE * y::DOUBLE)))) AS e
-        FROM embeddings
+                        y -> y::DOUBLE * y::DOUBLE))) AS nrm
+            FROM embeddings
+        )
     )
 """
 
@@ -3067,8 +3091,14 @@ def x_llm_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # path drops them row-wise); drop them array-side here
     arr = F.filter(_tri_shingle_array(F.col("text")), lambda x: x.isNotNull())
     n_tri = F.size(arr)
+    # try_divide, not /: the n_tri > 0 filter below DROPS the zero-shingle
+    # rows, but only filter PUSHDOWN keeps the division from evaluating on
+    # them first — under ANSI a plan change would turn that luck into a
+    # DIVIDE_BY_ZERO throw (corpus fuzz, r17)
     rep = F.round(
-        F.lit(1.0) - F.size(F.array_distinct(arr)) / n_tri.cast("double"), 6
+        F.lit(1.0)
+        - F.try_divide(F.size(F.array_distinct(arr)), n_tri.cast("double")),
+        6,
     )
     return (
         table(spark, sf_dir, "documents")
@@ -3180,7 +3210,13 @@ def flagship_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded sweeps, and the final per-lang window."""
     docs = table(spark, sf_dir, "documents")
     arr = F.filter(_tri_shingle_array(F.col("text")), lambda x: x.isNotNull())
-    rep = F.lit(1.0) - F.size(F.array_distinct(arr)) / F.size(arr).cast("double")
+    # try_divide: a sub-shingle doc (< 3 words) has NO rows in the
+    # oracle's `rep` CTE, so its INNER JOIN drops the doc from t1.  NULL
+    # rep < REP_MAX_RATIO is NULL → this filter drops the same doc; a
+    # plain division would THROW under ANSI (corpus fuzz, r17).
+    rep = F.lit(1.0) - F.try_divide(
+        F.size(F.array_distinct(arr)), F.size(arr).cast("double")
+    )
     t1 = docs.filter(
         (F.pmod("doc_id", F.lit(10)) != _DECON_BENCH_MOD) & (rep < REP_MAX_RATIO)
     ).select("doc_id", "text", "lang", "n_chars")
@@ -4203,8 +4239,10 @@ ADC_ORACLE_QUERIES = 5
         FROM embeddings
     ),
     nv AS (
+        -- zero-norm convention mirrors _normalized: normalize(0) = 0
         SELECT vec_id, len(d) // {PQ_M} AS w,
-               list_transform(d, x -> x / n) AS e
+               CASE WHEN n > 0 THEN list_transform(d, x -> x / n)
+                    ELSE list_transform(d, x -> 0.0) END AS e
         FROM (SELECT vec_id, d,
                      sqrt(list_sum(list_transform(d, y -> y * y))) AS n
               FROM v)
@@ -5272,9 +5310,14 @@ def x_llm_quality_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     a stack() projection unpivots the 1-row frame to rule rows — four
     rules cost one pass, not four."""
     toks = F.split("text", " ")
-    alpha_ratio = (
-        F.length(F.regexp_replace("text", "[^a-z]", "")).cast("double")
-        / F.col("n_chars")
+    # try_divide: an EMPTY document (n_chars = 0) has an undefined
+    # alphabetic ratio — NULL in DuckDB (double/0 → NULL), so the CASE
+    # falls through to not-flagged; ANSI Spark would THROW on the same
+    # row (corpus-fuzz first blood, r17).  The token-ratio denominators
+    # below need no guard: split() never returns an empty array.
+    alpha_ratio = F.try_divide(
+        F.length(F.regexp_replace("text", "[^a-z]", "")).cast("double"),
+        F.col("n_chars"),
     )
     distinct_ratio = (
         F.size(F.array_distinct(toks)).cast("double") / F.size(toks)

@@ -1102,8 +1102,9 @@ def x_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(list_sum(list_transform(embedding,
                                          x -> CAST(x AS DOUBLE) * x)), 3)
              AS norm_sq,
-           round(list_sum(list_transform(list_filter(embedding, x -> x > 0),
-                                         x -> CAST(x AS DOUBLE))), 3)
+           round(coalesce(list_sum(list_transform(
+                     list_filter(embedding, x -> x > 0),
+                     x -> CAST(x AS DOUBLE))), 0.0), 3)
              AS pos_sum
     FROM embeddings
     """,
@@ -1111,6 +1112,10 @@ def x_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x_fn_array_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Higher-order array functions (`transform` / `filter` / `aggregate`)
     — JVM lambda evaluation over the embedding arrays, no Python."""
+    # pos_sum of an all-nonpositive vector is the FOLD IDENTITY 0.0 (this
+    # is a higher-order fold with an explicit seed, not SQL SUM) — the
+    # oracle coalesces DuckDB's sum-over-empty NULL to match (corpus
+    # fuzz, r17: the all-zero vector exposed the divergence).
     emb = F.col("embedding")
     norm_sq = F.aggregate(
         emb, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")

@@ -374,7 +374,10 @@ def x_agg_regression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("y") * 100).cast("long").alias("yc"),
     )
     xc, yc = F.col("xc"), F.col("yc")
-    # per-row cent products fit a long (≤1e12); sums accumulate decimal
+    # per-row cent products fit a long: x is c_acctbal cents (~1e6),
+    # y is o_totalprice cents (~5.5e7), so the largest per-row product is
+    # y*y ≈ 3e15 (x*y ≈ 5.5e13) — vs int64 max ~9.2e18, ≥3000×
+    # headroom; sums accumulate decimal
     s = cents.groupBy("segment").agg(
         F.count("*").alias("n"),
         F.sum(xc.cast("decimal(20,0)")).alias("sxc"),
@@ -391,6 +394,13 @@ def x_agg_regression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # variance is exactly zero in both engines, so NULLIF is a complete
     # guard — no epsilon, no clamp.  cents² units cancel in slope/corr;
     # intercept converts the two first moments back to currency units.
+    # Magnitude budget for nd*sxxc (decimal(20,0) × decimal(38,0), result
+    # capped at decimal(38,0)): at 1e9 rows/segment of ~1e14-cent²
+    # products, sxxc ~1e23 and nd*sxxc ~1e32 — six orders under the
+    # decimal(38,0) cap; the cap is only approached near ~1e14
+    # rows/segment, where non-ANSI Spark would yield NULL while DuckDB's
+    # HUGEINT (max ~1.7e38) raises — revisit the moment layout (mean-shift
+    # the cents first) before claiming segments that large.
     den = (nd * sxxc - sxc * sxc).cast("double")
     cov = (nd * sxyc - sxc * syc).cast("double")
     var_y = (nd * syyc - syc * syc).cast("double")

@@ -233,6 +233,17 @@ BROAD_IDS = sorted(
     ))(inspect.getsource(inspect.unwrap(d.fn)))
 )
 
+# Enrollment is derived by SOURCE-SCANNING for literal table() reads, so a
+# refactor that wraps reads in a helper (or adopts session_shared) would
+# silently drop ops from fuzz coverage with no other signal.  Pin the
+# count (r16 ADVICE): a legitimate registry change updates the pin
+# consciously; silent shrinkage fails loudly instead.
+assert len(BROAD_IDS) == 138, (
+    f"BROAD_IDS enrollment changed: {len(BROAD_IDS)} != 138 — if the "
+    "registry legitimately grew/shrank, update the pin; if not, a "
+    "refactor just silently dropped ops from fuzz coverage"
+)
+
 
 @pytest.mark.parametrize("seed", [0xB40AD, 0x62, 0x65])
 def test_broad_suite_matches_oracle_on_random_warehouse(spark, tmp_path, seed):
