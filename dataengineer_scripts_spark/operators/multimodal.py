@@ -131,15 +131,27 @@ def x_mm_record(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "x_mm_binary_decode",
     oracle="""
+    -- mean_byte sums the UTF-8 BYTES (hex-pair walk over the encoded
+    -- blob), matching the Spark side's np.frombuffer(uint8): a per-
+    -- CHARACTER ascii() sum only coincides on pure-ASCII text (corpus
+    -- fuzz hostile-text probe, r17: 'café' diverged)
+    WITH b AS (
+        SELECT doc_id, octet_length(encode(text)) AS n,
+               hex(encode(text)) AS h
+        FROM documents
+    )
     SELECT doc_id,
-           octet_length(encode(text)) AS n_bytes,
-           octet_length(encode(text)) % 640 AS width,
-           (octet_length(encode(text)) * 7) % 480 AS height,
-           CASE WHEN octet_length(encode(text)) = 0 THEN NULL
-                ELSE round(list_sum(list_transform(string_split(text, ''),
-                          c -> ascii(c)::DOUBLE))
-                     / octet_length(encode(text)), 4) END AS mean_byte
-    FROM documents
+           n AS n_bytes,
+           n % 640 AS width,
+           (n * 7) % 480 AS height,
+           CASE WHEN n = 0 THEN NULL
+                ELSE round(list_sum(list_transform(generate_series(1, n),
+                       i -> ((strpos('0123456789ABCDEF',
+                                     substr(h, 2*i-1, 1)) - 1) * 16
+                           + (strpos('0123456789ABCDEF',
+                                     substr(h, 2*i, 1)) - 1))::DOUBLE))
+                     / n, 4) END AS mean_byte
+    FROM b
     """,
 )
 def x_mm_binary_decode(spark: SparkSession, sf_dir: str) -> DataFrame:

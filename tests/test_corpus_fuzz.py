@@ -127,19 +127,42 @@ _VOCAB = (
     "merge batch stream spark table dup small index row shuffle plan cache "
     "skew limit filter count map"
 ).split()
+#: Hostile-text alphabet: punctuation, digits, mixed case, unicode
+#: (multibyte UTF-8), embedded tab — the cross-engine tokenizer/regex
+#: surface the fixture's lowercase-ASCII vocabulary never exercises.
+#: Caught on the maiden probe: x_mm_binary_decode's oracle summed
+#: CHARACTER code points where the Spark side sums UTF-8 BYTES.
+_HOSTILE_WORDS = [
+    "Foo.", "bar,baz", "QUX", "a", "the", "x1y2", "42", "hello-world",
+    "café", "naïve", "日本語", "tab\tchar", "semi;colon", "(paren)", "e.g.",
+    "don't", "A/B", "100%", "über",
+]
+#: Whitespace-hostile whole documents (leading/trailing/double spaces,
+#: bare whitespace) overwriting the first few docs in hostile mode.
+_HOSTILE_TEXTS = [
+    "  leading spaces",
+    "trailing spaces  ",
+    "double  space  gap",
+    " ",
+    "\t",
+    "mix  of\tTabs and  DOUBLE  gaps",
+]
 _LANGS = ["en", "de", "es", "fr", "zh"]
 EMBED_DIM = 64
 
 
-def _build_corpus(rng: random.Random, sf: str) -> None:
+def _build_corpus(rng: random.Random, sf: str, hostile: bool = False) -> None:
     # ---- documents -------------------------------------------------
+    vocab = _VOCAB + _HOSTILE_WORDS if hostile else _VOCAB
     texts: list[str] = []
     n_base = rng.randint(40, 80)
     for _ in range(n_base):
         n_words = rng.choice(
             [0, 1, 2, rng.randint(3, 8), rng.randint(9, 40), rng.randint(41, 120)]
         )
-        texts.append(" ".join(rng.choice(_VOCAB) for _ in range(n_words)))
+        texts.append(" ".join(rng.choice(vocab) for _ in range(n_words)))
+    if hostile:
+        texts[: len(_HOSTILE_TEXTS)] = _HOSTILE_TEXTS
     # one-word-repeated doc: exactly ONE distinct shingle
     texts.append(" ".join([rng.choice(_VOCAB)] * rng.randint(5, 30)))
     # exact-duplicate groups (sizes 2–4)
@@ -226,10 +249,24 @@ def _build_corpus(rng: random.Random, sf: str) -> None:
         )
 
 
-@pytest.mark.parametrize("seed", [0xC0FFEE, 0x5EED])
-def test_corpus_suite_matches_oracle_on_random_corpus(spark, tmp_path, seed):
+@pytest.mark.parametrize(
+    "seed,hostile",
+    [
+        # 0xC0FFEE: the maiden-run finder seed — caught 13 divergences
+        # (ANSI divide-by-zero on empty/sub-shingle docs, the zero-norm
+        # vector, DuckDB's sum-over-empty NULL) — kept as the regression
+        # pin for those fixes; 0x5EED: independent structural coverage;
+        # 0x111 hostile: the byte-vs-codepoint finder (x_mm_binary_decode)
+        (0xC0FFEE, False),
+        (0x5EED, False),
+        (0x111, True),
+    ],
+)
+def test_corpus_suite_matches_oracle_on_random_corpus(
+    spark, tmp_path, seed, hostile
+):
     sf = str(tmp_path)
-    _build_corpus(random.Random(seed), sf)
+    _build_corpus(random.Random(seed), sf, hostile=hostile)
     con = make_duck(sf)
     try:
         nonempty = 0
