@@ -279,3 +279,38 @@ def test_corpus_suite_matches_oracle_on_random_corpus(
         )
     finally:
         con.close()
+
+
+# Rows-only corpus readers (no oracle → excluded from CORPUS_IDS): the
+# approximate ANN/sketch paths whose correctness gates live in
+# test_ann_recall.py against the FIXTURE.  Here they get the degenerate
+# inputs (zero-norm vector, empty docs) as a no-crash smoke — their
+# numpy mapInPandas bodies are exactly where a NaN/empty-batch would
+# detonate, and the oracle harness can never reach them.
+ROWS_ONLY_CORPUS_IDS = sorted(
+    n
+    for n, d in DEFS.items()
+    if d.oracle is None
+    and not n.startswith(("snk_", "src_", "exec_"))
+    and inspect.unwrap(d.fn).__module__.rsplit(".", 1)[-1]
+    not in ("tpch", "windows")
+    and (t := _transitive_tables(d.fn)) is not None
+    and t & {"documents", "embeddings"}
+    and t <= _ALL_TABLES
+)
+
+
+def test_rows_only_corpus_ops_survive_degenerate_corpus(spark, tmp_path):
+    assert ROWS_ONLY_CORPUS_IDS == [
+        "x_llm_ann_ivf",
+        "x_llm_ann_lsh",
+        "x_llm_dedup_simhash",
+        "x_llm_pq_adc_topk",
+    ]
+    sf = str(tmp_path)
+    _build_corpus(random.Random(0xC0FFEE), sf)
+    for name in ROWS_ONLY_CORPUS_IDS:
+        df = DEFS[name].fn(spark, sf)
+        # force full execution; the ANN paths must still return rows
+        # (the corpus minus one zero vector is still searchable)
+        assert df.count() > 0, f"{name}: empty on the degenerate corpus"
