@@ -183,3 +183,47 @@ def assert_matches_oracle(df, con, sql: str, name: str = "") -> None:
     d_sorted = sorted(d_rows, key=repr)
     for i, (a, b) in enumerate(zip(s_sorted, d_sorted)):
         assert a == b, f"{name}: first differing row #{i}:\n spark={a}\n duck ={b}"
+
+
+def transitive_tables(fn):
+    """Fixture tables ``fn`` reads, following ``helper(spark, sf_dir``
+    calls through the op's own module (and registered ops it composes,
+    e.g. the flagships).  Returns ``None`` when a callee threading
+    ``(spark, sf_dir)`` cannot be resolved to a module function — the
+    caller must then EXCLUDE the op rather than enroll it with an
+    underestimated read set.  Shared by both fuzz harnesses' enrollment
+    (tests/test_tpch_fuzz.py, tests/test_corpus_fuzz.py)."""
+    import inspect
+    import re
+    import sys
+
+    tabs: set[str] = set()
+    seen: set = set()
+    ok = True
+
+    def walk(f) -> None:
+        nonlocal ok
+        f = inspect.unwrap(f)
+        if f in seen:
+            return
+        seen.add(f)
+        try:
+            src = inspect.getsource(f)
+        except (OSError, TypeError):
+            ok = False
+            return
+        tabs.update(re.findall(r'table\(spark, sf_dir, "(\w+)"\)', src))
+        mod = sys.modules.get(f.__module__)
+        for callee in set(
+            re.findall(r"\b([A-Za-z_]\w*)\(\s*spark,\s*sf_dir", src)
+        ):
+            if callee == "table":
+                continue
+            g = getattr(mod, callee, None)
+            if callable(g):
+                walk(g)
+            else:
+                ok = False
+
+    walk(fn)
+    return tabs if ok else None

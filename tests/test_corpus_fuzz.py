@@ -38,15 +38,13 @@ from __future__ import annotations
 import inspect
 import os
 import random
-import re
-import sys
 
 import pytest
 
 from dataengineer_scripts_spark import registry
 
 from .conftest import make_duck
-from .oracle_utils import assert_matches_oracle
+from .oracle_utils import assert_matches_oracle, transitive_tables
 from .test_tpch_fuzz import _write
 
 DEFS = registry.definitions()
@@ -57,41 +55,10 @@ _ALL_TABLES = {
 }
 
 
-def _transitive_tables(fn) -> set[str] | None:
-    """Fixture tables ``fn`` reads, following ``helper(spark, sf_dir``
-    calls through the op's own module (and registered ops it composes,
-    e.g. the flagships).  Returns ``None`` when a callee threading
-    ``(spark, sf_dir)`` cannot be resolved to a module function — the
-    caller must then EXCLUDE the op rather than enroll it with an
-    underestimated read set."""
-    tabs: set[str] = set()
-    seen: set = set()
-    ok = True
-
-    def walk(f) -> None:
-        nonlocal ok
-        f = inspect.unwrap(f)
-        if f in seen:
-            return
-        seen.add(f)
-        try:
-            src = inspect.getsource(f)
-        except (OSError, TypeError):
-            ok = False
-            return
-        tabs.update(re.findall(r'table\(spark, sf_dir, "(\w+)"\)', src))
-        mod = sys.modules.get(f.__module__)
-        for callee in set(re.findall(r"\b([A-Za-z_]\w*)\(\s*spark,\s*sf_dir", src)):
-            if callee == "table":
-                continue
-            g = getattr(mod, callee, None)
-            if callable(g):
-                walk(g)
-            else:
-                ok = False
-
-    walk(fn)
-    return tabs if ok else None
+# Enrollment resolver shared with the TPC-H warehouse fuzz — see
+# tests/oracle_utils.py (moved there in r17 when the warehouse batch
+# upgraded from direct-read scanning to the same transitive resolution).
+_transitive_tables = transitive_tables
 
 
 CORPUS_IDS = sorted(

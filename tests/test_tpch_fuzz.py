@@ -40,7 +40,7 @@ import pytest
 from dataengineer_scripts_spark import registry
 
 from .conftest import make_duck
-from .oracle_utils import assert_matches_oracle
+from .oracle_utils import assert_matches_oracle, transitive_tables
 
 DEFS = registry.definitions()
 TPCH_IDS = sorted(
@@ -205,41 +205,42 @@ def test_tpch_suite_matches_oracle_on_random_warehouse(spark, tmp_path, seed):
         con.close()
 
 
-# Every oracle-bearing op outside the TPC-H module whose ONLY table
-# reads fall inside the randomized seven-table warehouse (computed from
-# the registered sources; regenerate with the snippet in the commit that
-# added this list).  Effectful ops (snk_*/src_*/exec_* — sinks, JDBC,
-# executor shims) are excluded: their subjects are side effects, pinned
-# by their own tests, and they would add Derby/tmp-artifact churn here.
+# Every oracle-bearing op whose table reads (followed TRANSITIVELY
+# through module helpers — tests/oracle_utils.transitive_tables, the
+# resolver shared with the corpus fuzz) fall inside the randomized
+# eight-table warehouse.  Effectful ops are excluded: their subjects are
+# side effects, pinned by their own tests, and they would add
+# Derby/tmp-artifact/HTTP-server churn here — the name-prefixed families
+# (snk_*/src_*/exec_*) plus flagship_sync (REST read + HTTP POST fan-out
+# against a per-call stub server; same class, different name).
 BROAD_IDS = sorted(
     name
     for name, d in DEFS.items()
     if d.oracle is not None
     and not name.startswith(("snk_", "src_", "exec_"))
+    and name != "flagship_sync"
     # tpch has its own multi-seed test; streaming ops' subject is the
     # streaming RUNTIME (micro-batch boundaries), pinned in
     # test_streaming.py — a batch-table fuzz would test the wrong thing
     and inspect.unwrap(d.fn).__module__.rsplit(".", 1)[-1]
     not in ("tpch", "windows")
-    and (lambda src: (
-        (tabs := set(
-            __import__("re").findall(
-                r'table\(spark, sf_dir, "(\w+)"\)', src)))
-        and tabs <= {
-            "region", "nation", "customer", "supplier", "part",
-            "orders", "lineitem", "events",
-        }
-        and "session_shared" not in src
-    ))(inspect.getsource(inspect.unwrap(d.fn)))
+    and (tabs := transitive_tables(d.fn)) is not None
+    and tabs
+    and tabs <= {
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events",
+    }
 )
 
-# Enrollment is derived by SOURCE-SCANNING for literal table() reads, so a
-# refactor that wraps reads in a helper (or adopts session_shared) would
-# silently drop ops from fuzz coverage with no other signal.  Pin the
-# count (r16 ADVICE): a legitimate registry change updates the pin
-# consciously; silent shrinkage fails loudly instead.
-assert len(BROAD_IDS) == 138, (
-    f"BROAD_IDS enrollment changed: {len(BROAD_IDS)} != 138 — if the "
+# Pin the count (r16 ADVICE): enrollment is derived by source-scanning,
+# so a refactor the resolver cannot follow would silently drop ops from
+# fuzz coverage with no other signal.  A legitimate registry change
+# updates the pin consciously; silent shrinkage fails loudly instead.
+# 138 direct-read ops + x_graph_pagerank and x_etl_global_row_number,
+# whose reads the r16 direct-only scan missed (helper / line-wrapped
+# table() calls) — recovered by the transitive upgrade, r17.
+assert len(BROAD_IDS) == 140, (
+    f"BROAD_IDS enrollment changed: {len(BROAD_IDS)} != 140 — if the "
     "registry legitimately grew/shrank, update the pin; if not, a "
     "refactor just silently dropped ops from fuzz coverage"
 )
