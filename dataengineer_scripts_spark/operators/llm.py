@@ -3475,7 +3475,10 @@ def x_llm_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     tot = s.agg(F.sum("n_tokens").alias("t"), F.count("*").alias("k"))
-    share = F.col("n_tokens").cast("double") / F.col("t")
+    # try_divide: a corpus whose EVERY source has zero tokens makes the
+    # total t = 0 — share is then NULL in DuckDB (x/0 double → NULL)
+    # while plain division throws under ANSI (adversarial probe, r17)
+    share = F.try_divide(F.col("n_tokens").cast("double"), F.col("t"))
     # NULL (not Spark's silent divide-by-zero NULL vs DuckDB's inf) for a
     # zero-token source — made explicit in BOTH engines so they agree.
     weight = F.when(
@@ -4822,14 +4825,20 @@ def x_llm_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("transform(sequence(1, length(t) - 1), i -> substring(t, i, 2))")
         ).alias("pair")
     )
-    top1 = (
+    top_rows = (
         pairs.groupBy("pair")
         .agg(F.count("*").alias("c"))
         .orderBy(F.desc("c"), "pair")
         .limit(1)
-        .collect()[0]
-        .pair
+        .collect()
     )
+    if not top_rows:
+        # no token anywhere reaches length 2 (empty / single-char-word
+        # corpus): the oracle's CTE chain is empty end to end, so the
+        # merge step's answer is the empty recount — not an IndexError
+        # on the driver (adversarial corpus probe, r17)
+        return spark.createDataFrame([], "pair string, freq bigint")
+    top1 = top_rows[0].pair
     merged = tok.select(
         F.replace(F.col("t"), F.lit(top1), F.expr("chr(1)")).alias("m")
     ).filter(F.length("m") >= 2)
@@ -5055,8 +5064,15 @@ def x_llm_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("bigint").alias("n_docs"),
             F.sum("n_chars").cast("bigint").alias("total_chars"),
             F.sum(toks).cast("bigint").alias("total_tokens"),
+            # try_divide: a language whose every doc lexes to ZERO tokens
+            # (empty/whitespace/symbol-only texts) has undefined fertility
+            # — NULL in DuckDB (0/0 double → NULL); ANSI Spark would
+            # throw (adversarial corpus probe, r17)
             F.round(
-                F.sum("n_chars").cast("double") / F.sum(toks).cast("double"), 4
+                F.try_divide(
+                    F.sum("n_chars").cast("double"), F.sum(toks).cast("double")
+                ),
+                4,
             ).alias("chars_per_token"),
         )
     )

@@ -312,14 +312,21 @@ def x_llm_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.col("n")
     sx, sy = F.col("sx"), F.col("sy")
     sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
-    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    # try_divide: a SINGLE-term vocabulary (e.g. an all-empty-text corpus,
+    # whose only "word" is the empty string) has exactly-zero rank
+    # variance — n*sxx - sx² is bit-exactly 0 in both engines (one
+    # element: 1·lx² − lx·lx), so DuckDB's double/0 → NULL is mirrored by
+    # try_divide where ANSI Spark would throw (adversarial probe, r17)
+    slope = F.try_divide(n * sxy - sx * sy, n * sxx - sx * sx)
     return s.select(
         n.alias("n_terms"),
         F.round(slope, 6).alias("slope"),
         F.round((sy - slope * sx) / n, 6).alias("intercept"),
         F.round(
-            ((n * sxy - sx * sy) * (n * sxy - sx * sy))
-            / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            F.try_divide(
+                (n * sxy - sx * sy) * (n * sxy - sx * sy),
+                (n * sxx - sx * sx) * (n * syy - sy * sy),
+            ),
             6,
         ).alias("r2"),
     )

@@ -248,6 +248,95 @@ def test_corpus_suite_matches_oracle_on_random_corpus(
         con.close()
 
 
+# ---------------------------------------------------------------------
+# Adversarial whole-corpus shapes: entire tables collapsed to one extreme
+# (every doc identical / empty; single-char-word vocabulary; one giant
+# doc; every embedding zero / identical).  These exercised branches the
+# per-row degenerates above cannot: a LANGUAGE with zero lexable tokens
+# (fertility 0/0), a corpus-wide zero token total (source_mix share),
+# a single-term vocabulary (zipf's bit-exactly-zero rank variance), and
+# a corpus with NO length-2 token at all (the BPE merge step's empty
+# top-pair collect).  Maiden probe caught 5 failures across 4 ops, all
+# ANSI-throw-vs-DuckDB-NULL or driver IndexError — fixed with the same
+# NULL-mirror conventions.
+# ---------------------------------------------------------------------
+
+
+def _adv_write_docs(sf, texts):
+    n = len(texts)
+    _write(sf, "documents", {
+        "doc_id": ("i64", list(range(n))),
+        "text": ("str", texts),
+        "lang": ("str", ["en"] * n),
+        "source": ("str", ["src0"] * n),
+        "n_chars": ("i64", [len(t) for t in texts]),
+    })
+
+
+def _adv_identical(rng, sf):
+    # 60 copies of one text of SINGLE-CHAR words: beyond total duplication,
+    # no token reaches length 2, so the BPE pair universe is empty
+    t = " ".join(rng.choice("a b c d e f g h".split()) for _ in range(50))
+    _adv_write_docs(sf, [t] * 60)
+
+
+def _adv_empty(rng, sf):
+    _adv_write_docs(sf, [""] * 40)
+
+
+def _adv_giant(rng, sf):
+    _adv_write_docs(sf, ["small doc here"] * 10 + [
+        " ".join(rng.choice("x y z w".split()) for _ in range(8000))
+    ])
+
+
+def _adv_allzero_emb(rng, sf):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    pq.write_table(pa.table({
+        "vec_id": pa.array(range(40), type=pa.int64()),
+        "embedding": pa.array([[0.0] * EMBED_DIM] * 40,
+                              type=pa.list_(pa.float32())),
+        "label": pa.array([0] * 40, type=pa.int32()),
+    }), f"{sf}/embeddings.parquet")
+    del np
+
+
+def _adv_identical_emb(rng, sf):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    v = np.random.RandomState(7).randn(EMBED_DIM).astype(np.float32)
+    v /= np.linalg.norm(v)
+    pq.write_table(pa.table({
+        "vec_id": pa.array(range(50), type=pa.int64()),
+        "embedding": pa.array([v.tolist()] * 50, type=pa.list_(pa.float32())),
+        "label": pa.array([i % 3 for i in range(50)], type=pa.int32()),
+    }), f"{sf}/embeddings.parquet")
+
+
+@pytest.mark.parametrize(
+    "shape",
+    [_adv_identical, _adv_empty, _adv_giant, _adv_allzero_emb,
+     _adv_identical_emb],
+    ids=["identical_docs", "empty_docs", "giant_doc", "allzero_embeddings",
+         "identical_embeddings"],
+)
+def test_corpus_suite_survives_adversarial_shape(spark, tmp_path, shape):
+    sf = str(tmp_path)
+    rng = random.Random(0xA11)
+    _build_corpus(rng, sf)  # baseline; the shape overwrites its one table
+    shape(rng, sf)
+    con = make_duck(sf)
+    try:
+        for name in CORPUS_IDS:
+            df = DEFS[name].fn(spark, sf)
+            assert_matches_oracle(df, con, DEFS[name].oracle, name)
+    finally:
+        con.close()
+
+
 # Rows-only corpus readers (no oracle → excluded from CORPUS_IDS): the
 # approximate ANN/sketch paths whose correctness gates live in
 # test_ann_recall.py against the FIXTURE.  Here they get the degenerate
