@@ -739,10 +739,17 @@ def x_agg_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         csum(~a, F.lit(1), "n_b"),
         csum(~a, F.col("conv"), "c_b"),
     )
-    ra = F.col("c_a").cast("double") / F.col("n_a")
-    rb = F.col("c_b").cast("double") / F.col("n_b")
-    p = (F.col("c_a") + F.col("c_b")).cast("double") / (
-        F.col("n_a") + F.col("n_b")
+    # try_divide throughout the rate/z algebra: an EMPTY ARM (every user
+    # hashing to one side — the one-user warehouse, or any single-user
+    # shard at scale) has n = 0, where DuckDB's double/0 yields NULL and
+    # ANSI Spark would throw (adversarial warehouse probe, r17).  NULL
+    # rates/z propagate to significant = false via the coalesce below,
+    # identically in both engines.
+    ra = F.try_divide(F.col("c_a").cast("double"), F.col("n_a"))
+    rb = F.try_divide(F.col("c_b").cast("double"), F.col("n_b"))
+    p = F.try_divide(
+        (F.col("c_a") + F.col("c_b")).cast("double"),
+        (F.col("n_a") + F.col("n_b")),
     )
     # degenerate pooled proportion (nobody / everybody converted) has
     # zero variance: z is NULL, significant false — and the guard keeps
@@ -753,7 +760,14 @@ def x_agg_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     z = F.when(
         nondegen,
         (ra - rb)
-        / F.sqrt(p * (1.0 - p) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))),
+        / F.sqrt(
+            p
+            * (1.0 - p)
+            * (
+                F.try_divide(F.lit(1.0), F.col("n_a"))
+                + F.try_divide(F.lit(1.0), F.col("n_b"))
+            )
+        ),
     )
     return s.select(
         "n_a",
