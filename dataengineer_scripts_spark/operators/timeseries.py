@@ -156,10 +156,17 @@ def x_ts_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         d.groupBy("user_id", "day")
         .agg(
+            # try_divide: a user-day whose events are ALL simultaneous has
+            # zero total duration (every lead gap is 0) — TWAP is then
+            # undefined: NULL in DuckDB (double/0), a throw under ANSI
+            # Spark (duplicate-timestamp warehouse probe, r17)
             F.round(
-                F.sum((F.col("value") * F.col("dt_us")).cast("decimal(38,6)"))
-                .cast("double")
-                / F.sum(F.col("dt_us").cast("decimal(38,6)")).cast("double"),
+                F.try_divide(
+                    F.sum(
+                        (F.col("value") * F.col("dt_us")).cast("decimal(38,6)")
+                    ).cast("double"),
+                    F.sum(F.col("dt_us").cast("decimal(38,6)")).cast("double"),
+                ),
                 6,
             ).alias("twap"),
             F.count("*").alias("n_intervals"),

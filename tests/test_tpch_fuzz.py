@@ -337,6 +337,32 @@ def _adv_one_user_events(rng, sf):
     })
 
 
+def _adv_dup_timestamps(rng, sf):
+    """200 events over only 8 distinct timestamps — the base generator
+    deliberately makes timestamps UNIQUE (so random ties can't
+    masquerade as divergence), which means incomplete ordering
+    tiebreaks and zero-duration intervals were never exercised.  Caught
+    x_ts_time_weighted_avg throwing on an all-simultaneous user-day
+    (zero total duration → 0/0)."""
+    _build_warehouse(rng, sf)
+    n = 200
+    t0 = dt.datetime(2024, 1, 15)
+    stamps = [t0 + dt.timedelta(hours=h * 37) for h in range(8)]
+    _write(sf, "events", {
+        "event_id": ("i64", list(range(n))),
+        "ts": ("ts", [stamps[rng.randrange(8)] for _ in range(n)]),
+        "user_id": ("i64", [rng.randrange(12) for _ in range(n)]),
+        "event_type": ("str", [
+            rng.choice(["click", "view", "purchase", "signup", "error"])
+            for _ in range(n)
+        ]),
+        "value": ("f64", [rng.randint(1, 50000) / 100.0 for _ in range(n)]),
+        "props": ("str", [
+            '{"k": ' + str(rng.randint(0, 99)) + "}" for _ in range(n)
+        ]),
+    })
+
+
 def _adv_same_date_orders(rng, sf):
     _build_warehouse(rng, sf)
     n = 50
@@ -352,8 +378,10 @@ def _adv_same_date_orders(rng, sf):
 
 @pytest.mark.parametrize(
     "shape",
-    [_adv_empty_facts, _adv_one_user_events, _adv_same_date_orders],
-    ids=["empty_facts", "one_user_events", "same_date_orders"],
+    [_adv_empty_facts, _adv_one_user_events, _adv_dup_timestamps,
+     _adv_same_date_orders],
+    ids=["empty_facts", "one_user_events", "dup_timestamps",
+         "same_date_orders"],
 )
 def test_warehouse_suite_survives_adversarial_shape(spark, tmp_path, shape):
     sf = str(tmp_path)
