@@ -843,34 +843,44 @@ def _normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle a repartition barrier would cost at scale (every consumer either
     broadcasts this side or shuffles it exactly once on its own key).
 
-    Zero-norm convention (corpus fuzz, r17): ``normalize(0⃗) = 0⃗``.  A
-    corrupt/empty embedding then has cosine exactly 0.0 with everything —
-    below every threshold, deterministically last in rankings — instead
-    of ANSI Spark THROWING on x/0 while DuckDB yields NULL elements whose
-    NULL-vs-NaN propagation differs per consumer.  The CASE short-circuits,
-    so the division never evaluates on the zero-norm row — and it sits
-    OUTSIDE the transform (one norm test per ROW, mirroring the oracle's
-    CASE-around-list_transform): a per-ELEMENT guard would add a second
-    re-inlined reference to the norm aggregate inside every lambda
-    element, which measured ~1.5-2× wall on every consumer."""
+    Degenerate-norm convention (corpus fuzz, r17): any vector whose norm
+    is not a positive FINITE double — the all-zero vector (norm 0) and
+    corrupt embeddings carrying NaN/Inf components (norm NaN/Inf) —
+    normalizes to the ZERO vector: cosine exactly 0.0 with everything,
+    below every threshold, deterministically last in rankings.  Without
+    the guard, ANSI Spark throws on x/0 while DuckDB yields NULL
+    elements, and NaN propagates with per-consumer semantics (numpy GEMM
+    vs SQL sums vs NaN-is-greatest comparisons) — the NaN/Inf probe broke
+    11 of 15 similarity ops before this convention.  The ``0 < norm <
+    inf`` test evaluates identically in both engines (both order NaN
+    above every value, so ``NaN < inf`` is false in each).  The CASE
+    short-circuits, so the division never evaluates on degenerate rows —
+    and it sits OUTSIDE the transform (one norm test per ROW, mirroring
+    the oracle's CASE-around-list_transform): a per-ELEMENT guard would
+    add a second re-inlined reference to the norm aggregate inside every
+    lambda element, which measured ~1.5-2× wall on every consumer."""
     d = F.transform("embedding", lambda x: x.cast("double"))
     df = table(spark, sf_dir, "embeddings").select("vec_id", d.alias("d"))
     norm = F.sqrt(F.aggregate("d", F.lit(0.0), lambda acc, x: acc + x * x))
     return df.select(
         "vec_id",
-        F.when(norm > 0, F.transform("d", lambda x: x / norm))
+        F.when(
+            (norm > 0) & (norm < F.lit(float("inf"))),
+            F.transform("d", lambda x: x / norm),
+        )
         .otherwise(F.array_repeat(F.lit(0.0), F.size("d")))
         .alias("e"),
     )
 
 
 #: DuckDB twin of _normalized (+ the element-wise dot used in oracles).
-#: Mirrors the zero-norm convention: normalize(0⃗) = 0⃗ (CASE on the norm,
-#: never x/0 → NULL elements).
+#: Mirrors the degenerate-norm convention: a zero/NaN/Inf norm (empty or
+#: corrupt embedding) normalizes to the zero vector — the 0 < nrm < inf
+#: test evaluates identically in both engines (NaN orders above inf).
 _SQL_NORMED = """
     normed AS (
         SELECT vec_id,
-               CASE WHEN nrm > 0
+               CASE WHEN nrm > 0 AND nrm < 'infinity'::DOUBLE
                     THEN list_transform(embedding, x -> x::DOUBLE / nrm)
                     ELSE list_transform(embedding, x -> 0.0::DOUBLE)
                END AS e
@@ -1360,15 +1370,31 @@ def x_llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "x_llm_nearest_class",
     oracle="""
-    WITH ex AS (
+    WITH se AS (
+        -- degenerate-norm sanitization (the _SQL_NORMED convention, but
+        -- UNNORMALIZED): a NaN/Inf-poisoned vector is replaced by the
+        -- zero vector so it cannot poison its class centroid; the
+        -- all-zero vector is its own sanitized form
+        SELECT vec_id, label,
+               CASE WHEN nrm > 0 AND nrm < 'infinity'::DOUBLE
+                    THEN list_transform(embedding, x -> x::DOUBLE)
+                    ELSE list_transform(embedding, x -> 0.0::DOUBLE)
+               END AS d
+        FROM (
+            SELECT vec_id, label, embedding,
+                   sqrt(list_sum(list_transform(embedding,
+                        y -> y::DOUBLE * y::DOUBLE))) AS nrm
+            FROM embeddings
+        )
+    ),
+    ex AS (
         -- dimension from the fixture itself (generate_series as a table
         -- function only takes constants, so unnest in the select list)
-        SELECT label, embedding,
-               unnest(generate_series(1, len(embedding))) AS i
-        FROM embeddings
+        SELECT label, d, unnest(generate_series(1, len(d))) AS i
+        FROM se
     ),
     comp AS (
-        SELECT label, i, round(avg(embedding[i]::DOUBLE), 6) AS c
+        SELECT label, i, round(avg(d[i]), 6) AS c
         FROM ex
         GROUP BY label, i
     ),
@@ -1379,8 +1405,8 @@ def x_llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored AS (
         SELECT e.vec_id, e.label, c.clabel,
                round(list_sum(list_transform(generate_series(1, len(c.cent)),
-                     i -> e.embedding[i]::DOUBLE * c.cent[i])), 4) AS score
-        FROM embeddings e CROSS JOIN cents c
+                     i -> e.d[i] * c.cent[i])), 4) AS score
+        FROM se e CROSS JOIN cents c
     )
     SELECT vec_id, label, clabel AS pred_label, score FROM (
         SELECT *, row_number() OVER (
@@ -1402,12 +1428,30 @@ def x_llm_nearest_class(spark: SparkSession, sf_dir: str) -> DataFrame:
     once, never joined or shuffled.  Centroid components are rounded to 6
     decimals on both engines BEFORE scoring and scores to 4 after (double
     sum order differs between engines; rounding makes the comparison
-    order-insensitive)."""
+    order-insensitive).
+
+    Inputs pass the degenerate-norm sanitization first (the _normalized
+    convention, unnormalized): a NaN/Inf-poisoned vector becomes the
+    zero vector in BOTH engines, so one corrupt row cannot poison its
+    entire class centroid (NaN/Inf probe, r17)."""
     emb = table(spark, sf_dir, "embeddings")
-    comp = (
-        emb.select(
-            "label", F.posexplode(F.transform("embedding", lambda x: x.cast("double")))
+    d_raw = F.transform("embedding", lambda x: x.cast("double"))
+    nrm = F.sqrt(
+        F.aggregate(
+            "embedding",
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
         )
+    )
+    se = emb.select(
+        "vec_id",
+        "label",
+        F.when((nrm > 0) & (nrm < F.lit(float("inf"))), d_raw)
+        .otherwise(F.array_repeat(F.lit(0.0), F.size("embedding")))
+        .alias("d"),
+    )
+    comp = (
+        se.select("label", F.posexplode("d"))
         .groupBy("label", "pos")
         .agg(F.round(F.avg("col"), 6).alias("c"))
     )
@@ -1436,11 +1480,7 @@ def x_llm_nearest_class(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    vecs = emb.select(
-        "vec_id",
-        "label",
-        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
-    )
+    vecs = se.select("vec_id", "label", F.col("d").alias("e"))
     return vecs.mapInPandas(
         assign, "vec_id long, label int, pred_label int, score double"
     )
@@ -4242,9 +4282,11 @@ ADC_ORACLE_QUERIES = 5
         FROM embeddings
     ),
     nv AS (
-        -- zero-norm convention mirrors _normalized: normalize(0) = 0
+        -- degenerate-norm convention mirrors _normalized: a zero/NaN/Inf
+        -- norm normalizes to the zero vector
         SELECT vec_id, len(d) // {PQ_M} AS w,
-               CASE WHEN n > 0 THEN list_transform(d, x -> x / n)
+               CASE WHEN n > 0 AND n < 'infinity'::DOUBLE
+                    THEN list_transform(d, x -> x / n)
                     ELSE list_transform(d, x -> 0.0) END AS e
         FROM (SELECT vec_id, d,
                      sqrt(list_sum(list_transform(d, y -> y * y))) AS n

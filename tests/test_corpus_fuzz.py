@@ -316,21 +316,65 @@ def _adv_identical_emb(rng, sf):
     }), f"{sf}/embeddings.parquet")
 
 
+def _adv_nan_inf_emb(rng, sf):
+    """30 clean unit vectors plus one NaN-component and one
+    Inf-component vector: corrupt embeddings a 100 TB ingest WILL carry.
+    Broke 11 of 15 similarity ops before the degenerate-norm convention
+    (normalize/sanitize any vector whose norm is not a positive finite
+    double to the ZERO vector, identically in both engines — NaN
+    propagation otherwise differs between numpy GEMM, SQL sums, and
+    NaN-is-greatest comparisons)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    vecs = []
+    for _ in range(30):
+        v = np.array([rng.gauss(0, 1) for _ in range(EMBED_DIM)],
+                     dtype=np.float32)
+        vecs.append(v / np.linalg.norm(v))
+    bad = np.zeros(EMBED_DIM, np.float32)
+    bad[3] = np.float32("nan")
+    vecs.append(bad)
+    bad2 = np.ones(EMBED_DIM, np.float32)
+    bad2[7] = np.float32("inf")
+    vecs.append(bad2)
+    pq.write_table(pa.table({
+        "vec_id": pa.array(range(len(vecs)), type=pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              type=pa.list_(pa.float32())),
+        "label": pa.array([i % 5 for i in range(len(vecs))],
+                          type=pa.int32()),
+    }), f"{sf}/embeddings.parquet")
+
+
+#: Excluded from the NaN/Inf case ONLY: the raw-embedding fixed-point
+#: ops (int64 micro-unit output encodings) overflow/reject NaN·1e6 casts
+#: in BOTH engines — loud, symmetric, outside the documented magnitude
+#: contract (same adjudication as the 1e30 probe); a production pipeline
+#: quarantines such rows upstream, as the similarity family now does
+#: internally via the degenerate-norm sanitization.
+_NAN_OUT_OF_CONTRACT = {"x_llm_embed_quantize", "x_llm_embed_outlier",
+                        "x_llm_embed_pq"}
+
+
 @pytest.mark.parametrize(
     "shape",
     [_adv_identical, _adv_empty, _adv_giant, _adv_allzero_emb,
-     _adv_identical_emb],
+     _adv_identical_emb, _adv_nan_inf_emb],
     ids=["identical_docs", "empty_docs", "giant_doc", "allzero_embeddings",
-         "identical_embeddings"],
+         "identical_embeddings", "nan_inf_embeddings"],
 )
 def test_corpus_suite_survives_adversarial_shape(spark, tmp_path, shape):
     sf = str(tmp_path)
     rng = random.Random(0xA11)
     _build_corpus(rng, sf)  # baseline; the shape overwrites its one table
     shape(rng, sf)
+    skip = _NAN_OUT_OF_CONTRACT if shape is _adv_nan_inf_emb else set()
     con = make_duck(sf)
     try:
         for name in CORPUS_IDS:
+            if name in skip:
+                continue
             df = DEFS[name].fn(spark, sf)
             assert_matches_oracle(df, con, DEFS[name].oracle, name)
     finally:
