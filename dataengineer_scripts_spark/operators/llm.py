@@ -846,8 +846,10 @@ def _normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     Degenerate-norm convention (corpus fuzz, r17): any vector whose norm
     is not a positive FINITE double — the all-zero vector (norm 0) and
     corrupt embeddings carrying NaN/Inf components (norm NaN/Inf) —
-    normalizes to the ZERO vector: cosine exactly 0.0 with everything,
-    below every threshold, deterministically last in rankings.  Without
+    normalizes to the ZERO vector: cosine exactly 0.0 with everything —
+    below every positive threshold, though still above negative cosines
+    (the fuzz's antipodal probes score −1.0), so it is out of every
+    near-dup pairing but not literally last in a ranking.  Without
     the guard, ANSI Spark throws on x/0 while DuckDB yields NULL
     elements, and NaN propagates with per-consumer semantics (numpy GEMM
     vs SQL sums vs NaN-is-greatest comparisons) — the NaN/Inf probe broke

@@ -120,75 +120,75 @@ def _load_all() -> None:
 
 # The grading driver only records CORRECTNESS rows for the first ~50 ids it
 # sees; the window ROTATES each round to keep attestations fresh.  After the
-# r16 window every id carries a ≥r11-era grade; the merge of
-# CORRECTNESS_r01–r16.json puts the stalest cohort at exactly 29 ids graded
-# r11 (the snk/src connector block and the LLM dedup/knn/fingerprint family)
-# and 50 at r12.  This r17 window (prescribed id-for-id by the r16 verdict,
-# item 2) takes those 29 r11 ids plus the 21 alphabetically-first r12 ids
-# (agg_collect_errors … x_llm_lm_doc_score; the remaining 29 r12 ids rotate
-# in at r18).  Five window ids are rows-only (the approx-sketch pair, the
-# simhash dedup, and the two ANN index probes — each gated by an exact or
-# *_scores oracle twin) — included so their rows-only grades refresh with
-# the cohort, but listed LAST per the r13 slip-safety convention: a
-# truncated window drops a weak attestation, never an oracle one.  After
-# this window the stalest grade becomes r12.
+# r17 window every id carries a ≥r12-era grade; the merge of
+# CORRECTNESS_r01–r17.json puts the stalest cohort at exactly 29 ids graded
+# r12 (the LLM text/packing family, the multimodal block, and the streaming
+# windows) and 50 at r13.  This r18 window (prescribed id-for-id by the r17
+# verdict, item 2) takes those 29 r12 ids plus the 21 alphabetically-first
+# r13 ids (flagship_dataset_card … x_etl_shard_assign; the remaining 29 r13
+# ids rotate in at r19).  Two window ids are rows-only (`x_stream_smoke`, a
+# liveness probe of the micro-batch runtime, and `x_agg_hll_merge`, gated by
+# its exact twin `x_agg_hll_merge_exact`) — included so their rows-only
+# grades refresh with the cohort, but listed LAST per the r13 slip-safety
+# convention: a truncated window drops a weak attestation, never an oracle
+# one.  After this window the stalest grade becomes r13.
 _PRIORITY_NAMES = (
-    # (0) the r11-era oracle-bearing ids — stalest cohort of the rotation
-    "snk_json_records",
-    "snk_parquet_partitioned",
-    "snk_stdout_progress",
-    "src_jdbc_select",
-    "src_json_file",
-    "src_parquet_schema_evolution",
-    "src_rest_auth",
-    "src_rest_get",
-    "src_rest_limit_push",
-    "x_llm_decontaminate",
-    "x_llm_dedup_clusters",
-    "x_llm_dedup_embed",
-    "x_llm_dedup_exact",
-    "x_llm_dedup_incremental",
-    "x_llm_dedup_incremental_indexed",
-    "x_llm_dedup_minhash",
-    "x_llm_dedup_ngram_jaccard",
-    "x_llm_dup_spans",
-    "x_llm_fingerprint",
-    "x_llm_knn_batch",
-    "x_llm_knn_batch_blocked",
-    "x_llm_knn_cosine",
-    "x_llm_nearest_class",
-    "x_llm_ngram_lm_counts",
-    "x_llm_semdedup",
-    "x_llm_vocab_topk",
-    # (1) the alphabetically-first r12-era oracle-bearing ids, padding to 50
-    "agg_collect_errors",
-    "agg_count_threshold",
-    "agg_exists_to_status",
-    "agg_first_per_key",
-    "exec_async",
-    "exec_memo_cache",
-    "exec_retry",
-    "exec_sequential",
-    "x_etl_scd2_merge",
-    "x_etl_zorder_stats_sharded",
-    "x_join_asof",
-    "x_join_bucketed",
-    "x_join_skew_salted",
-    "x_llm_bpe_pair_counts",
-    "x_llm_chunk_windows",
-    "x_llm_dedup_keep_best",
-    "x_llm_embed_quantize",
-    "x_llm_lang_id",
-    "x_llm_lm_doc_score",
-    # (2) the window's five rows-only ids, slip-safe at the tail: the r11
-    # approx-sketch pair + simhash dedup and the r12 ANN index probes
-    # refresh their rows-only grades without ever displacing an oracle
-    # attestation
-    "x_agg_approx_distinct",
-    "x_agg_approx_quantile",
-    "x_llm_dedup_simhash",
-    "x_llm_ann_ivf",
-    "x_llm_ann_lsh",
+    # (0) the remaining r12-era oracle-bearing ids — stalest cohort
+    "x_llm_pack_sequences",
+    "x_llm_pack_sequences_sharded",
+    "x_llm_pii_scrub",
+    "x_llm_quality_score",
+    "x_llm_repetition_score",
+    "x_llm_sample_stratified",
+    "x_llm_text_normalize",
+    "x_llm_text_stats",
+    "x_llm_token_count",
+    "x_mm_audio_chunk",
+    "x_mm_binary_decode",
+    "x_mm_frame_sample",
+    "x_mm_image_resize",
+    "x_mm_record",
+    "x_scan_parquet",
+    "x_stream_dedup",
+    "x_stream_join",
+    "x_stream_rest_poll",
+    "x_stream_session",
+    "x_stream_sliding",
+    "x_stream_stateful",
+    "x_stream_stream_join",
+    "x_stream_tumbling",
+    "x_stream_upsert_materialize",
+    "x_stream_watermark_late",
+    "x_topk_per_group",
+    "x_udf_pandas",
+    "x_win_sessionize",
+    # (1) the alphabetically-first r13-era oracle-bearing ids, padding to 50
+    "flagship_dataset_card",
+    "x_agg_funnel",
+    "x_agg_gini",
+    "x_agg_histogram",
+    "x_agg_hll_merge_exact",
+    "x_agg_market_basket",
+    "x_agg_median",
+    "x_agg_mode",
+    "x_agg_pivot",
+    "x_agg_regression_stats",
+    "x_agg_retention",
+    "x_agg_rolling_distinct",
+    "x_etl_compact_small_files",
+    "x_etl_dq_report",
+    "x_etl_global_row_number",
+    "x_etl_incremental_agg",
+    "x_etl_key_skew_profile",
+    "x_etl_resample_ffill",
+    "x_etl_sample_consistent",
+    "x_etl_shard_assign",
+    # (2) the window's two rows-only ids, slip-safe at the tail: the r12
+    # streaming liveness probe and the r13 HLL sketch (gated by the exact
+    # twin above) refresh their rows-only grades without ever displacing an
+    # oracle attestation
+    "x_stream_smoke",
+    "x_agg_hll_merge",
 )
 _PRIORITY_RANK = {n: i for i, n in enumerate(_PRIORITY_NAMES)}
 

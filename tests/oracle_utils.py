@@ -212,11 +212,23 @@ def transitive_tables(fn):
         except (OSError, TypeError):
             ok = False
             return
-        tabs.update(re.findall(r'table\(spark, sf_dir, "(\w+)"\)', src))
+        # Tolerant to re-formatting (\s* matches newlines from a wrapped
+        # call); captures only string-literal table names.
+        name_hits = re.findall(
+            r'table\(\s*spark,\s*sf_dir,\s*"(\w+)"', src
+        )
+        tabs.update(name_hits)
         mod = sys.modules.get(f.__module__)
-        for callee in set(
-            re.findall(r"\b([A-Za-z_]\w*)\(\s*spark,\s*sf_dir", src)
-        ):
+        callees = re.findall(r"\b([A-Za-z_]\w*)\(\s*spark,\s*sf_dir", src)
+        # Cross-check (r17 ADVICE): every table( call the callee scan sees
+        # must have yielded a captured name — a non-literal third argument
+        # (table(spark, sf_dir, tbl_var)) or formatting beyond the tolerant
+        # regex would otherwise silently UNDERESTIMATE the read set, and
+        # the enrollment pins only catch count changes, not same-count
+        # swaps.  Undercount ⇒ refuse to resolve: caller must exclude.
+        if callees.count("table") > len(name_hits):
+            ok = False
+        for callee in set(callees):
             if callee == "table":
                 continue
             g = getattr(mod, callee, None)
