@@ -844,8 +844,10 @@ def _normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts this side or shuffles it exactly once on its own key).
 
     Degenerate-norm convention (corpus fuzz, r17): any vector whose norm
-    is not a positive FINITE double — the all-zero vector (norm 0) and
-    corrupt embeddings carrying NaN/Inf components (norm NaN/Inf) —
+    is not a positive FINITE double — the all-zero vector (norm 0),
+    corrupt embeddings carrying NaN/Inf components (norm NaN/Inf), and
+    embeddings carrying NULL elements (norm NULL: the fold propagates
+    NULL; the oracle's explicit any-NULL test mirrors it, r17 ADVICE) —
     normalizes to the ZERO vector: cosine exactly 0.0 with everything —
     below every positive threshold, though still above negative cosines
     (the fuzz's antipodal probes score −1.0), so it is out of every
@@ -879,6 +881,11 @@ def _normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: Mirrors the degenerate-norm convention: a zero/NaN/Inf norm (empty or
 #: corrupt embedding) normalizes to the zero vector — the 0 < nrm < inf
 #: test evaluates identically in both engines (NaN orders above inf).
+#: NULL elements (r17 ADVICE): Spark's fold propagates a NULL element
+#: into a NULL norm (→ zero-vector branch), but DuckDB's list_sum
+#: IGNORES NULLs — the explicit any-NULL test below forces nrm to NULL
+#: so both engines sanitize a NULL-carrying embedding to the zero
+#: vector, same as NaN/Inf corruption.
 _SQL_NORMED = """
     normed AS (
         SELECT vec_id,
@@ -888,8 +895,11 @@ _SQL_NORMED = """
                END AS e
         FROM (
             SELECT vec_id, embedding,
-                   sqrt(list_sum(list_transform(embedding,
-                        y -> y::DOUBLE * y::DOUBLE))) AS nrm
+                   CASE WHEN len(list_filter(embedding, y -> y IS NULL)) > 0
+                        THEN NULL
+                        ELSE sqrt(list_sum(list_transform(embedding,
+                             y -> y::DOUBLE * y::DOUBLE)))
+                   END AS nrm
             FROM embeddings
         )
     )
@@ -1384,8 +1394,14 @@ def x_llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                END AS d
         FROM (
             SELECT vec_id, label, embedding,
-                   sqrt(list_sum(list_transform(embedding,
-                        y -> y::DOUBLE * y::DOUBLE))) AS nrm
+                   -- NULL-element guard (r17 ADVICE): mirror Spark's
+                   -- NULL-propagating fold so an embedding carrying any
+                   -- NULL element sanitizes to the zero vector too
+                   CASE WHEN len(list_filter(embedding, y -> y IS NULL)) > 0
+                        THEN NULL
+                        ELSE sqrt(list_sum(list_transform(embedding,
+                             y -> y::DOUBLE * y::DOUBLE)))
+                   END AS nrm
             FROM embeddings
         )
     ),
@@ -4285,13 +4301,17 @@ ADC_ORACLE_QUERIES = 5
     ),
     nv AS (
         -- degenerate-norm convention mirrors _normalized: a zero/NaN/Inf
-        -- norm normalizes to the zero vector
+        -- norm — or any NULL element (NULL-propagating fold on the Spark
+        -- side, r18) — normalizes to the zero vector
         SELECT vec_id, len(d) // {PQ_M} AS w,
                CASE WHEN n > 0 AND n < 'infinity'::DOUBLE
                     THEN list_transform(d, x -> x / n)
                     ELSE list_transform(d, x -> 0.0) END AS e
         FROM (SELECT vec_id, d,
-                     sqrt(list_sum(list_transform(d, y -> y * y))) AS n
+                     CASE WHEN len(list_filter(d, y -> y IS NULL)) > 0
+                          THEN NULL
+                          ELSE sqrt(list_sum(list_transform(d, y -> y * y)))
+                     END AS n
               FROM v)
     ),
     cb AS (

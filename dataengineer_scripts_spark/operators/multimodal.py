@@ -86,8 +86,14 @@ def _decode_geometry(data: bytes) -> tuple[int, int]:
     oracle="""
     SELECT d.doc_id, d.lang, e.label,
            len(string_split(d.text, ' ')) AS text_tokens,
-           round(sqrt(list_sum(list_transform(e.embedding,
-                 x -> x::DOUBLE * x::DOUBLE))), 6) AS vec_norm,
+           -- a NULL element means "no norm": the Spark fold propagates
+           -- NULL; mirror it (DuckDB list_sum would ignore the NULL and
+           -- report a misleading partial norm) — NULL-element probe, r18
+           CASE WHEN len(list_filter(e.embedding, x -> x IS NULL)) > 0
+                THEN NULL
+                ELSE round(sqrt(list_sum(list_transform(e.embedding,
+                     x -> x::DOUBLE * x::DOUBLE))), 6)
+           END AS vec_norm,
            octet_length(encode(d.text)) AS media_bytes
     FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
     """,

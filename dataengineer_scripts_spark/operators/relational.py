@@ -1099,9 +1099,14 @@ def x_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT vec_id,
            len(embedding) AS dim,
-           round(list_sum(list_transform(embedding,
-                                         x -> CAST(x AS DOUBLE) * x)), 3)
-             AS norm_sq,
+           -- a fold PROPAGATES a NULL element (Spark F.aggregate; SQL
+           -- `+` semantics) while DuckDB's list_sum IGNORES NULLs — the
+           -- any-NULL case mirrors the fold (NULL-element probe, r18)
+           CASE WHEN len(list_filter(embedding, x -> x IS NULL)) > 0
+                THEN NULL
+                ELSE round(list_sum(list_transform(embedding,
+                                    x -> CAST(x AS DOUBLE) * x)), 3)
+           END AS norm_sq,
            round(coalesce(list_sum(list_transform(
                      list_filter(embedding, x -> x > 0),
                      x -> CAST(x AS DOUBLE))), 0.0), 3)

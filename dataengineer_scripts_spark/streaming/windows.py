@@ -98,7 +98,7 @@ def x_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ), flagged AS (
       SELECT *, CASE WHEN prev_ts IS NULL
-                       OR ts - prev_ts >= INTERVAL '{SESSION_GAP}'
+                       OR ts - prev_ts > INTERVAL '{SESSION_GAP}'
                      THEN 1 ELSE 0 END AS new_s
       FROM ordered
     ), numbered AS (
@@ -115,9 +115,12 @@ def x_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def x_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows (gap-merged per user).  Spark merges events whose
-    `[ts, ts+gap)` windows overlap; the oracle is the equivalent
-    gaps-and-islands SQL (new session when the gap ≥ SESSION_GAP,
-    session_end = last event + gap)."""
+    `[ts, ts+gap)` windows overlap OR TOUCH — an event at exactly
+    prev + gap extends the session (empirically pinned by the stream
+    fuzz's exact-gap probe, tests/test_stream_fuzz.py; the fixture's
+    irregular gaps never land on the boundary).  The oracle is the
+    equivalent gaps-and-islands SQL: new session only when the gap is
+    STRICTLY greater than SESSION_GAP, session_end = last event + gap."""
     e = table(spark, sf_dir, "events")
     return (
         e.groupBy(F.session_window("ts", SESSION_GAP).alias("w"), "user_id")

@@ -347,12 +347,43 @@ def _adv_nan_inf_emb(rng, sf):
     }), f"{sf}/embeddings.parquet")
 
 
-#: Excluded from the NaN/Inf case ONLY: the raw-embedding fixed-point
-#: ops (int64 micro-unit output encodings) overflow/reject NaN·1e6 casts
-#: in BOTH engines — loud, symmetric, outside the documented magnitude
-#: contract (same adjudication as the 1e30 probe); a production pipeline
+def _adv_null_element_emb(rng, sf):
+    """30 clean unit vectors plus one embedding carrying a NULL element
+    (r17 ADVICE): Spark's F.aggregate fold propagates the NULL into a
+    NULL norm (→ zero-vector branch) while DuckDB's list_sum IGNORES
+    NULLs (→ positive norm, normalized vector RETAINING the NULL).  The
+    pinned convention: any-NULL embedding sanitizes to the ZERO vector
+    in both engines — _SQL_NORMED and the nearest-class inline twin
+    carry an explicit any-NULL test mirroring the Spark fold."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    vecs: list[list] = []
+    for _ in range(30):
+        v = np.array([rng.gauss(0, 1) for _ in range(EMBED_DIM)],
+                     dtype=np.float32)
+        vecs.append((v / np.linalg.norm(v)).tolist())
+    bad = [1.0] * EMBED_DIM
+    bad[5] = None  # a single NULL element poisons the whole vector
+    vecs.append(bad)
+    pq.write_table(pa.table({
+        "vec_id": pa.array(range(len(vecs)), type=pa.int64()),
+        "embedding": pa.array(vecs, type=pa.list_(pa.float32())),
+        "label": pa.array([i % 5 for i in range(len(vecs))],
+                          type=pa.int32()),
+    }), f"{sf}/embeddings.parquet")
+
+
+#: Excluded from the NaN/Inf AND null-element cases ONLY: the
+#: raw-embedding fixed-point ops (int64 micro-unit output encodings)
+#: overflow/reject NaN·1e6 casts in BOTH engines — loud, symmetric,
+#: outside the documented magnitude contract (same adjudication as the
+#: 1e30 probe) — and their raw amax/centroid folds have no sanitization
+#: seam to pin a NULL convention behind (Spark propagates, DuckDB
+#: ignores, numpy sees NaN — three-way); a production pipeline
 #: quarantines such rows upstream, as the similarity family now does
-#: internally via the degenerate-norm sanitization.
+#: internally via the degenerate-norm sanitization (which the r18
+#: NULL-element probe extended to any-NULL embeddings).
 _NAN_OUT_OF_CONTRACT = {"x_llm_embed_quantize", "x_llm_embed_outlier",
                         "x_llm_embed_pq"}
 
@@ -360,16 +391,21 @@ _NAN_OUT_OF_CONTRACT = {"x_llm_embed_quantize", "x_llm_embed_outlier",
 @pytest.mark.parametrize(
     "shape",
     [_adv_identical, _adv_empty, _adv_giant, _adv_allzero_emb,
-     _adv_identical_emb, _adv_nan_inf_emb],
+     _adv_identical_emb, _adv_nan_inf_emb, _adv_null_element_emb],
     ids=["identical_docs", "empty_docs", "giant_doc", "allzero_embeddings",
-         "identical_embeddings", "nan_inf_embeddings"],
+         "identical_embeddings", "nan_inf_embeddings",
+         "null_element_embeddings"],
 )
 def test_corpus_suite_survives_adversarial_shape(spark, tmp_path, shape):
     sf = str(tmp_path)
     rng = random.Random(0xA11)
     _build_corpus(rng, sf)  # baseline; the shape overwrites its one table
     shape(rng, sf)
-    skip = _NAN_OUT_OF_CONTRACT if shape is _adv_nan_inf_emb else set()
+    skip = (
+        _NAN_OUT_OF_CONTRACT
+        if shape in (_adv_nan_inf_emb, _adv_null_element_emb)
+        else set()
+    )
     con = make_duck(sf)
     try:
         for name in CORPUS_IDS:
@@ -398,6 +434,20 @@ ROWS_ONLY_CORPUS_IDS = sorted(
     and t & {"documents", "embeddings"}
     and t <= _ALL_TABLES
 )
+
+
+def test_rows_only_ann_ops_survive_null_element_embeddings(spark, tmp_path):
+    """The numpy mapInPandas ANN bodies receive a NULL element as NaN
+    (Arrow → pandas); they consume _normalized, whose r18 convention
+    sanitizes any-NULL vectors to zero — so the index builds and the
+    search still returns rows instead of detonating on NaN."""
+    sf = str(tmp_path)
+    _build_corpus(random.Random(0xC0FFEE), sf)
+    _adv_null_element_emb(random.Random(1), sf)
+    for name in ("x_llm_ann_ivf", "x_llm_ann_lsh", "x_llm_pq_adc_topk"):
+        assert DEFS[name].fn(spark, sf).count() > 0, (
+            f"{name}: empty on the NULL-element corpus"
+        )
 
 
 def test_rows_only_corpus_ops_survive_degenerate_corpus(spark, tmp_path):
