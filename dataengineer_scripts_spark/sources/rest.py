@@ -60,10 +60,36 @@ NODE_FIELDS = ("id", "name", "type", "status", "export_status")
 DEFAULT_PAGE_SIZE = 8  # reference default: app.py:126 `page_size=8`
 
 
+GET_RETRIES = 3  # same bounded budget as the POST sink (sync_app3.py:58)
+
+
 def _get_json(url: str, token: str) -> dict:
+    """Bounded-retry GET — the one chokepoint every page/probe fetch of
+    the rest source and stream reader goes through.  A paginated read at
+    fleet scale sees transient 5xx/connection blips on SOME page fetch;
+    without per-request retry one blip kills the executor task (and in
+    local mode tasks are never re-run, so it kills the whole query).
+    Deterministic 4xx (bad token, bad path) still fails fast — retrying
+    those would just mask configuration errors.  Linear backoff keeps
+    the worst-case stall at 150 ms for the 3-attempt budget."""
+    import time
+    import urllib.error
+
     req = urllib.request.Request(url, headers={"Authorization": token})
-    with urllib.request.urlopen(req, timeout=10) as resp:
-        return json.loads(resp.read())
+    last: Exception | None = None
+    for attempt in range(1, GET_RETRIES + 1):
+        try:
+            with urllib.request.urlopen(req, timeout=10) as resp:
+                return json.loads(resp.read())
+        except urllib.error.HTTPError as e:
+            if e.code < 500:
+                raise
+            last = e
+        except (urllib.error.URLError, TimeoutError, ConnectionError) as e:
+            last = e
+        if attempt < GET_RETRIES:
+            time.sleep(0.05 * attempt)
+    raise last
 
 
 def login(base_url: str, username: str | None = None, password: str | None = None) -> str:

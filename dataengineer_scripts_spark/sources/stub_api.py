@@ -51,9 +51,20 @@ RESET_PATH = "/reset"
 class StubApi:
     """In-process API stub seeded with a list of node dicts."""
 
-    def __init__(self, nodes: list[dict[str, Any]], fail_first: int = 0):
+    def __init__(
+        self,
+        nodes: list[dict[str, Any]],
+        fail_first: int = 0,
+        fail_first_get: int = 0,
+    ):
         self.nodes = nodes
         self.fail_first = fail_first
+        #: transient-5xx injection on the READ side: the first N GET
+        #: requests to the paginated listing answer 500 (a blip mid-
+        #: pagination), exercising the source's bounded GET retry the
+        #: way ``fail_first`` exercises the sink's POST retry.
+        self.fail_first_get = fail_first_get
+        self._gets_failed = 0
         self.synced: list[int] = []
         #: per node: the set of X-Attempt idempotency keys seen.  A client
         #: replaying the SAME attempt (connection reset after the server
@@ -141,6 +152,12 @@ class StubApi:
                 if not self._authed():
                     self._json(401, {"error": "unauthorized"})
                     return
+                if parsed.path in (PROJECTS_PATH, RECEIPTS_LIST_PATH):
+                    with stub._lock:
+                        if stub._gets_failed < stub.fail_first_get:
+                            stub._gets_failed += 1
+                            self._json(500, {"error": "transient"})
+                            return
                 if parsed.path == RECEIPTS_LIST_PATH:
                     # paginated row-oriented receipts view (REST-source
                     # readable): one {node_id, attempts} row per synced

@@ -161,6 +161,89 @@ def test_connector_suite_matches_oracle_on_random_listing(
         con.close()
 
 
+# ---------------------------------------------------------------------
+# READ-side failure injection (r18): the sink/exec family's POST retry
+# was always fuzzed via the "flaky" stub flavor, but a transient 5xx on
+# a page GET would previously kill the executor task (and in local mode
+# the whole query).  The source now carries the same bounded retry
+# budget as the reference's POST path (GET_RETRIES == 3, mirroring
+# sync_app3.py:58); these tests pin recovery, boundedness, and 4xx
+# fail-fast.
+# ---------------------------------------------------------------------
+
+
+def _mk_nodes(n):
+    return [
+        {"id": i, "name": f"n{i}", "type": "job", "status": "SUCCESS",
+         "export_status": "SUCCESS"}
+        for i in range(n)
+    ]
+
+
+def test_rest_get_retry_survives_transient_5xx(spark):
+    from dataengineer_scripts_spark.sources.rest import login, rest_read
+    from dataengineer_scripts_spark.sources.stub_api import StubApi
+
+    with StubApi(_mk_nodes(20), fail_first_get=2) as api:
+        token = login(api.base_url)
+        got = sorted(
+            r.id
+            for r in rest_read(spark, api.base_url, token, page_size=8)
+            .collect()
+        )
+        assert got == list(range(20))
+
+
+def test_rest_get_retry_budget_is_bounded(spark):
+    """More consecutive 5xx than the budget → the read FAILS (bounded
+    retry, not an infinite loop), and the listing saw at most
+    GET_RETRIES attempts per fetch before giving up."""
+    import pytest as _pytest
+
+    from dataengineer_scripts_spark.sources.rest import (
+        GET_RETRIES,
+        login,
+        rest_read,
+    )
+    from dataengineer_scripts_spark.sources.stub_api import (
+        PROJECTS_PATH,
+        StubApi,
+    )
+
+    with StubApi(_mk_nodes(20), fail_first_get=10_000) as api:
+        token = login(api.base_url)
+        with _pytest.raises(Exception):
+            rest_read(spark, api.base_url, token, page_size=8).collect()
+        listing_gets = [
+            r for r in api.requests_seen
+            if r.startswith("GET " + PROJECTS_PATH)
+        ]
+        assert 1 <= len(listing_gets) <= GET_RETRIES
+
+
+def test_rest_get_4xx_fails_fast(spark):
+    """Deterministic 4xx (bad token) must NOT be retried — exactly one
+    listing request goes out before the error surfaces."""
+    import pytest as _pytest
+
+    from dataengineer_scripts_spark.sources.rest import rest_read
+    from dataengineer_scripts_spark.sources.stub_api import (
+        PROJECTS_PATH,
+        StubApi,
+    )
+
+    with StubApi(_mk_nodes(5)) as api:
+        with _pytest.raises(Exception):
+            rest_read(
+                spark, api.base_url, "Bearer wrong-token", page_size=8
+            ).collect()
+        listing_gets = [
+            r for r in api.requests_seen
+            if r.startswith("GET " + PROJECTS_PATH)
+        ]
+        assert len(listing_gets) == 1
+
+
 def test_rows_only_connector_ops_survive_random_warehouse(spark, tmp_path):
     sf = str(tmp_path)
     rng = random.Random(0xC0FF)

@@ -547,6 +547,39 @@ def test_stream_stream_join_out_of_order_arrival(spark, tmp_path):
     assert got == want and len(got) >= 4
 
 
+def test_stream_tumbling_rocksdb_state_store(spark, tmp_path):
+    """State-store PROVIDER diversity: the same out-of-order multi-batch
+    complete-mode aggregation under the RocksDB state store (the
+    provider a production cluster runs for large state) must equal the
+    batch result exactly like the default HDFS-backed provider does.
+    The conf is restored afterwards — the session is shared and every
+    other streaming test must keep running under the default provider."""
+    rng = random.Random(0xB05)
+    cols = _fuzz_event_cols(rng)
+    d = str(tmp_path / "staged")
+    _stage_batches(d, cols, _random_parts(rng, len(cols["ts"][1]), 4))
+    stream, batch = _staged_stream(spark, d)
+    key = "spark.sql.streaming.stateStore.providerClass"
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        run_to_memory(tumbling_counts(stream), "fuzz_rocks_out", "complete")
+    finally:
+        spark.conf.unset(key)
+    got = {
+        (r.window_start, r.event_type): (r.n, r.total)
+        for r in spark.sql("SELECT * FROM fuzz_rocks_out").collect()
+    }
+    want = {
+        (r.window_start, r.event_type): (r.n, r.total)
+        for r in tumbling_counts(batch).collect()
+    }
+    assert got == want and len(got) > 0
+
+
 def test_stream_windowed_agg_checkpoint_recovery(spark, tmp_path):
     """State-store + watermark recovery across a RESTART: a windowed
     append-mode aggregation stopped after its first file and restarted
