@@ -72,6 +72,7 @@ def _get_json(url: str, token: str) -> dict:
     Deterministic 4xx (bad token, bad path) still fails fast — retrying
     those would just mask configuration errors.  Linear backoff keeps
     the worst-case stall at 150 ms for the 3-attempt budget."""
+    import http.client
     import time
     import urllib.error
 
@@ -86,6 +87,14 @@ def _get_json(url: str, token: str) -> dict:
                 raise
             last = e
         except (urllib.error.URLError, TimeoutError, ConnectionError) as e:
+            last = e
+        except (json.JSONDecodeError, http.client.HTTPException) as e:
+            # a truncated/unparsable body is a connection dropped
+            # mid-payload (http.client raises IncompleteRead against the
+            # promised Content-Length; a proxy may instead deliver the
+            # short body, surfacing as JSONDecodeError) — transient,
+            # same budget; a genuinely malformed API still fails loudly
+            # after 3 tries
             last = e
         if attempt < GET_RETRIES:
             time.sleep(0.05 * attempt)

@@ -65,6 +65,11 @@ class StubApi:
         #: way ``fail_first`` exercises the sink's POST retry.
         self.fail_first_get = fail_first_get
         self._gets_failed = 0
+        #: truncated-payload injection: the first N listing GETs answer
+        #: 200 with HALF a JSON body (connection dropped mid-payload) —
+        #: the other transient read-failure class the GET retry covers.
+        self.garble_first_get = 0
+        self._gets_garbled = 0
         self.synced: list[int] = []
         #: per node: the set of X-Attempt idempotency keys seen.  A client
         #: replaying the SAME attempt (connection reset after the server
@@ -157,6 +162,19 @@ class StubApi:
                         if stub._gets_failed < stub.fail_first_get:
                             stub._gets_failed += 1
                             self._json(500, {"error": "transient"})
+                            return
+                        if stub._gets_garbled < stub.garble_first_get:
+                            stub._gets_garbled += 1
+                            # 200 with a truncated body: headers promise
+                            # the full length but the payload stops half
+                            # way — what a dropped connection looks like
+                            # to the client
+                            body = json.dumps({"data": [], "total": 0}).encode()
+                            self.send_response(200)
+                            self.send_header("Content-Type", "application/json")
+                            self.send_header("Content-Length", str(len(body)))
+                            self.end_headers()
+                            self.wfile.write(body[: len(body) // 2])
                             return
                 if parsed.path == RECEIPTS_LIST_PATH:
                     # paginated row-oriented receipts view (REST-source

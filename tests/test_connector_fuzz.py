@@ -194,6 +194,24 @@ def test_rest_get_retry_survives_transient_5xx(spark):
         assert got == list(range(20))
 
 
+def test_rest_get_retry_survives_truncated_json(spark):
+    """A 200 whose body stops mid-payload (connection dropped) is the
+    OTHER transient read-failure class: json parsing fails, the bounded
+    retry refetches, the read completes."""
+    from dataengineer_scripts_spark.sources.rest import login, rest_read
+    from dataengineer_scripts_spark.sources.stub_api import StubApi
+
+    with StubApi(_mk_nodes(20)) as api:
+        api.garble_first_get = 2
+        token = login(api.base_url)
+        got = sorted(
+            r.id
+            for r in rest_read(spark, api.base_url, token, page_size=8)
+            .collect()
+        )
+        assert got == list(range(20))
+
+
 def test_rest_get_retry_budget_is_bounded(spark):
     """More consecutive 5xx than the budget → the read FAILS (bounded
     retry, not an infinite loop), and the listing saw at most
