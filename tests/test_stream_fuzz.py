@@ -580,6 +580,42 @@ def test_stream_tumbling_rocksdb_state_store(spark, tmp_path):
     assert got == want and len(got) > 0
 
 
+def test_stream_session_rocksdb_state_store(spark, tmp_path):
+    """RocksDB under the hardest state layout: session-window state
+    MERGES entries (not just upserts) when a bridging event arrives in a
+    later micro-batch — run the shuffled-arrival session test under the
+    RocksDB provider and require batch equality."""
+    rng = random.Random(0xB06)
+    cols = _fuzz_event_cols(rng)
+    d = str(tmp_path / "staged")
+    _stage_batches(d, cols, _random_parts(rng, len(cols["ts"][1]), 4))
+    stream, batch = _staged_stream(spark, d)
+
+    def sessions(df):
+        return (
+            df.groupBy("user_id", F.session_window("ts", "12 hours").alias("w"))
+            .agg(F.count("*").alias("n"))
+            .select("user_id", F.col("w.start").alias("ws"), "n")
+        )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        run_to_memory(sessions(stream), "fuzz_rocks_sess_out", "complete")
+    finally:
+        spark.conf.unset(key)
+    got = {
+        (r.user_id, r.ws): r.n
+        for r in spark.sql("SELECT * FROM fuzz_rocks_sess_out").collect()
+    }
+    want = {(r.user_id, r.ws): r.n for r in sessions(batch).collect()}
+    assert got == want and len(got) > 0
+
+
 def test_stream_windowed_agg_checkpoint_recovery(spark, tmp_path):
     """State-store + watermark recovery across a RESTART: a windowed
     append-mode aggregation stopped after its first file and restarted
