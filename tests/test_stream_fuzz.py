@@ -616,6 +616,71 @@ def test_stream_session_rocksdb_state_store(spark, tmp_path):
     assert got == want and len(got) > 0
 
 
+def test_stream_stream_join_rocksdb_state_store(spark, tmp_path):
+    """RocksDB under the dual-buffer layout: a stream-stream interval
+    join keeps one state store per side; run a small two-sided join
+    under the RocksDB provider and require batch equality.  With the
+    tumbling-agg, session-merge, and join-buffer tests, all three state
+    layouts the engine uses are provider-diverse."""
+    from dataengineer_scripts_spark.streaming.windows import (
+        clickstream_attribution,
+    )
+
+    rows = []
+    for i in range(12):
+        cts = _T0 + dt.timedelta(hours=7 * i)
+        rows.append((cts, i % 4, "click"))
+        rows.append((cts + dt.timedelta(hours=3), i % 4, "purchase"))
+    cols = {
+        "event_id": ("i64", list(range(len(rows)))),
+        "ts": ("ts", [t for t, _, _ in rows]),
+        "user_id": ("i64", [u for _, u, _ in rows]),
+        "event_type": ("str", [e for _, _, e in rows]),
+        "value": ("f64", [1.0] * len(rows)),
+        "props": ("str", ["{}"] * len(rows)),
+    }
+    d = str(tmp_path / "staged")
+    rng = random.Random(0xB07)
+    _stage_batches(d, cols, _random_parts(rng, len(rows), 3))
+
+    def side(df, event_type, id_alias, ts_alias, wm):
+        df = df.filter(F.col("event_type") == event_type).select(
+            "user_id",
+            F.col("event_id").alias(id_alias),
+            F.col("ts").alias(ts_alias),
+        )
+        return df.withWatermark(ts_alias, wm) if wm else df
+
+    stream_a, batch_a = _staged_stream(spark, d)
+    stream_b, batch_b = _staged_stream(spark, d)
+    joined = clickstream_attribution(
+        side(stream_a, "click", "click_id", "click_ts", "30 days"),
+        side(stream_b, "purchase", "purchase_id", "purchase_ts", "30 days"),
+    )
+    key = "spark.sql.streaming.stateStore.providerClass"
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        run_to_memory(joined, "fuzz_rocks_join_out", "append")
+    finally:
+        spark.conf.unset(key)
+    got = {
+        (r.user_id, r.click_id, r.purchase_id, r.lag_sec)
+        for r in spark.sql("SELECT * FROM fuzz_rocks_join_out").collect()
+    }
+    want = {
+        (r.user_id, r.click_id, r.purchase_id, r.lag_sec)
+        for r in clickstream_attribution(
+            side(batch_a, "click", "click_id", "click_ts", None),
+            side(batch_b, "purchase", "purchase_id", "purchase_ts", None),
+        ).collect()
+    }
+    assert got == want and len(got) >= 12
+
+
 def test_stream_windowed_agg_checkpoint_recovery(spark, tmp_path):
     """State-store + watermark recovery across a RESTART: a windowed
     append-mode aggregation stopped after its first file and restarted
