@@ -133,62 +133,62 @@ def _load_all() -> None:
 # convention: a truncated window drops a weak attestation, never an oracle
 # one.  After this window the stalest grade becomes r13.
 _PRIORITY_NAMES = (
-    # (0) the remaining r12-era oracle-bearing ids — stalest cohort
-    "x_llm_pack_sequences",
-    "x_llm_pack_sequences_sharded",
-    "x_llm_pii_scrub",
-    "x_llm_quality_score",
-    "x_llm_repetition_score",
-    "x_llm_sample_stratified",
-    "x_llm_text_normalize",
-    "x_llm_text_stats",
-    "x_llm_token_count",
-    "x_mm_audio_chunk",
-    "x_mm_binary_decode",
-    "x_mm_frame_sample",
-    "x_mm_image_resize",
-    "x_mm_record",
-    "x_scan_parquet",
-    "x_stream_dedup",
-    "x_stream_join",
-    "x_stream_rest_poll",
-    "x_stream_session",
-    "x_stream_sliding",
-    "x_stream_stateful",
-    "x_stream_stream_join",
-    "x_stream_tumbling",
-    "x_stream_upsert_materialize",
-    "x_stream_watermark_late",
-    "x_topk_per_group",
-    "x_udf_pandas",
-    "x_win_sessionize",
-    # (1) the alphabetically-first r13-era oracle-bearing ids, padding to 50
-    "flagship_dataset_card",
-    "x_agg_funnel",
-    "x_agg_gini",
-    "x_agg_histogram",
-    "x_agg_hll_merge_exact",
-    "x_agg_market_basket",
-    "x_agg_median",
-    "x_agg_mode",
-    "x_agg_pivot",
-    "x_agg_regression_stats",
-    "x_agg_retention",
-    "x_agg_rolling_distinct",
-    "x_etl_compact_small_files",
-    "x_etl_dq_report",
-    "x_etl_global_row_number",
-    "x_etl_incremental_agg",
-    "x_etl_key_skew_profile",
-    "x_etl_resample_ffill",
-    "x_etl_sample_consistent",
-    "x_etl_shard_assign",
-    # (2) the window's two rows-only ids, slip-safe at the tail: the r12
-    # streaming liveness probe and the r13 HLL sketch (gated by the exact
-    # twin above) refresh their rows-only grades without ever displacing an
-    # oracle attestation
-    "x_stream_smoke",
-    "x_agg_hll_merge",
+    # (0) the remaining r13-era oracle-bearing ids — stalest cohort
+    "x_etl_snapshot_diff",
+    "x_etl_zorder_stats",
+    "x_join_asof_tolerance",
+    "x_join_full_outer",
+    "x_join_fuzzy_name",
+    "x_join_multiway_analytic",
+    "x_join_range_bucketed",
+    "x_llm_bm25_rank",
+    "x_llm_bpe_merge_step",
+    "x_llm_char_trigram_profile",
+    "x_llm_collocations",
+    "x_llm_dedup_bfs_depth",
+    "x_llm_dedup_prefix",
+    "x_llm_embed_outlier",
+    "x_llm_source_mix",
+    "x_llm_source_overlap",
+    "x_set_except",
+    "x_set_intersect",
+    "x_set_union",
+    "x_sort_limit_topk",
+    "x_sub_exists_other",
+    "x_sub_exists_semi",
+    "x_sub_not_exists_anti",
+    "x_sub_scalar_avg",
+    "x_win_distribution",
+    "x_win_lag_lead",
+    "x_win_rank",
+    "x_win_running",
+    # (1) the alphabetically-first r14-era oracle-bearing ids, padding to 50
+    "flagship_analytics",
+    "x_agg_corr_matrix",
+    "x_agg_count_distinct",
+    "x_agg_cube",
+    "x_agg_entropy",
+    "x_agg_grouping_sets",
+    "x_agg_hypertable_rollup",
+    "x_agg_percentile",
+    "x_agg_rollup",
+    "x_agg_string_agg",
+    "x_agg_sum_avg_min_max",
+    "x_agg_waterfall",
+    "x_etl_cdc_compact",
+    "x_etl_mask_pii",
+    "x_etl_sample_weighted",
+    "x_etl_table_checksum",
+    "x_etl_unpivot",
+    "x_fn_array_map",
+    "x_fn_regexp_extract",
+    "x_join_anti",
+    "x_join_cross",
+    # (2) the window's one rows-only id, slip-safe at the tail: the r13 PQ
+    # ADC top-k demo (gated by the hash-matched x_llm_pq_adc_scores oracle)
+    # refreshes its rows-only grade without ever displacing an oracle
+    # attestation
+    "x_llm_pq_adc_topk",
 )
 _PRIORITY_RANK = {n: i for i, n in enumerate(_PRIORITY_NAMES)}
 
