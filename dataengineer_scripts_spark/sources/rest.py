@@ -63,6 +63,26 @@ DEFAULT_PAGE_SIZE = 8  # reference default: app.py:126 `page_size=8`
 GET_RETRIES = 3  # same bounded budget as the POST sink (sync_app3.py:58)
 
 
+class TokenExpiredError(RuntimeError):
+    """The API rejected the bearer token (HTTP 401) after a read began.
+
+    The reference's token model (``sync.py:14-32``: one module-global
+    login, token assumed to outlive the run) has exactly one failure
+    mode: the token expires MID-pagination.  The two read paths pin
+    different recoveries:
+
+    - **Batch reads fail fast with this error.**  Page fetches run on
+      executors, which hold only the short-lived token — never the
+      credentials — so they *cannot* re-login; retrying a deterministic
+      401 would only burn the retry budget and mask the cause.  The
+      caller re-logins (driver-side, where credentials live) and re-runs.
+    - **The streaming reader recovers automatically**: its poll loop runs
+      driver-side (``SimpleDataSourceStreamReader``), so on a 401 it
+      performs ONE re-login and replays the request; a second consecutive
+      401 propagates (that's a real auth failure, not expiry).
+    """
+
+
 def _get_json(url: str, token: str) -> dict:
     """Bounded-retry GET — the one chokepoint every page/probe fetch of
     the rest source and stream reader goes through.  A paginated read at
@@ -83,6 +103,12 @@ def _get_json(url: str, token: str) -> dict:
             with urllib.request.urlopen(req, timeout=10) as resp:
                 return json.loads(resp.read())
         except urllib.error.HTTPError as e:
+            if e.code == 401:
+                raise TokenExpiredError(
+                    f"HTTP 401 from {url}: bearer token rejected "
+                    "(expired or invalid); re-login for a fresh token "
+                    "and re-run — see TokenExpiredError"
+                ) from e
             if e.code < 500:
                 raise
             last = e
@@ -280,9 +306,22 @@ class RestStreamReader(SimpleDataSourceStreamReader):
     def initialOffset(self) -> dict:
         return {"row": 0}
 
+    def _get(self, url: str) -> dict:
+        """GET with single re-login on token expiry.  The poll loop runs
+        DRIVER-side, where credentials are available (environment /
+        defaults — see :func:`login`), so a long-running stream survives
+        token expiry with one re-login + replay; the fresh token is kept
+        for subsequent microbatches.  A second consecutive 401 propagates
+        — that's a real auth failure, not expiry."""
+        try:
+            return _get_json(url, self.token)
+        except TokenExpiredError:
+            self.token = login(self.base_url)
+            return _get_json(url, self.token)
+
     def _page(self, page: int) -> list[dict]:
         url = f"{self.base_url}{self.path}?page={page}&page_size={self.page_size}"
-        return _get_json(url, self.token)["data"]
+        return self._get(url)["data"]
 
     def _fetch_range(self, lo: int, hi: int) -> list[tuple]:
         # a LIST, not a generator: Spark's simple-stream wrapper caches the
@@ -299,7 +338,7 @@ class RestStreamReader(SimpleDataSourceStreamReader):
     def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
         lo = int(start["row"])
         url = f"{self.base_url}{self.path}?page=0&page_size=1"
-        total = int(_get_json(url, self.token)["total"])
+        total = int(self._get(url)["total"])
         if total <= lo:
             return iter(()), start
         return iter(self._fetch_range(lo, total)), {"row": total}

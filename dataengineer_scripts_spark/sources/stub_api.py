@@ -56,6 +56,8 @@ class StubApi:
         nodes: list[dict[str, Any]],
         fail_first: int = 0,
         fail_first_get: int = 0,
+        garble_first_get: int = 0,
+        expire_token_after: int | None = None,
     ):
         self.nodes = nodes
         self.fail_first = fail_first
@@ -68,8 +70,20 @@ class StubApi:
         #: truncated-payload injection: the first N listing GETs answer
         #: 200 with HALF a JSON body (connection dropped mid-payload) —
         #: the other transient read-failure class the GET retry covers.
-        self.garble_first_get = 0
+        self.garble_first_get = garble_first_get
         self._gets_garbled = 0
+        #: token-expiry injection: each issued bearer token is valid for
+        #: only N successful listing GETs, then 401s — the failure mode
+        #: of the reference's module-global token (``sync.py:14-32``
+        #: logs in once and assumes the token outlives the whole run).
+        #: ``None`` (default) = tokens never expire and login returns the
+        #: fixed ``TOKEN`` constant; when set, each login mints a FRESH
+        #: token with its own use budget (so a re-login genuinely
+        #: recovers).  POSTs authenticate but don't consume listing uses.
+        self.expire_token_after = expire_token_after
+        self._issued: set[str] = {TOKEN}
+        self._token_listing_uses: dict[str, int] = defaultdict(int)
+        self._token_seq = 1
         self.synced: list[int] = []
         #: per node: the set of X-Attempt idempotency keys seen.  A client
         #: replaying the SAME attempt (connection reset after the server
@@ -95,8 +109,28 @@ class StubApi:
                 self.end_headers()
                 self.wfile.write(body)
 
+            def _listing_token_ok(self) -> bool:
+                # Atomic check-and-consume of the token's listing-use
+                # budget: one lock section, so concurrent page fetches
+                # can never both slip past an exhausted budget.  Injected
+                # 500s/truncations return before this — an incomplete
+                # serve doesn't consume a use.  Only listing GETs expire;
+                # POSTs authenticate via the issued set alone.
+                if stub.expire_token_after is None:
+                    return True
+                tok = self.headers.get("Authorization")
+                with stub._lock:
+                    if (
+                        stub._token_listing_uses[tok]
+                        >= stub.expire_token_after
+                    ):
+                        return False
+                    stub._token_listing_uses[tok] += 1
+                    return True
+
             def _authed(self) -> bool:
-                return self.headers.get("Authorization") == TOKEN
+                with stub._lock:
+                    return self.headers.get("Authorization") in stub._issued
 
             def do_POST(self):
                 parsed = urlparse(self.path)
@@ -113,7 +147,14 @@ class StubApi:
                         creds.get("username") == USERNAME
                         and creds.get("password") == PASSWORD
                     ):
-                        self._json(200, {"ok": True}, {"Authorization": TOKEN})
+                        with stub._lock:
+                            if stub.expire_token_after is None:
+                                tok = TOKEN
+                            else:
+                                stub._token_seq += 1
+                                tok = f"Bearer stub-token-{stub._token_seq:04d}"
+                                stub._issued.add(tok)
+                        self._json(200, {"ok": True}, {"Authorization": tok})
                     else:
                         self._json(401, {"error": "bad credentials"})
                     return
@@ -194,6 +235,9 @@ class StubApi:
                             for i in sorted(set(stub.synced))
                         ]
                     window = rows[page * size:(page + 1) * size]
+                    if not self._listing_token_ok():
+                        self._json(401, {"error": "token expired"})
+                        return
                     self._json(200, {"data": window, "total": len(rows)})
                     return
                 if parsed.path == RECEIPTS_PATH:
@@ -214,6 +258,9 @@ class StubApi:
                     page = int(q.get("page", ["0"])[0])
                     size = int(q.get("page_size", ["8"])[0])
                     window = rows[page * size:(page + 1) * size]
+                    if not self._listing_token_ok():
+                        self._json(401, {"error": "token expired"})
+                        return
                     self._json(200, {"data": window, "total": len(rows)})
                     return
                 parts = parsed.path.strip("/").split("/")

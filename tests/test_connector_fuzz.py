@@ -201,8 +201,7 @@ def test_rest_get_retry_survives_truncated_json(spark):
     from dataengineer_scripts_spark.sources.rest import login, rest_read
     from dataengineer_scripts_spark.sources.stub_api import StubApi
 
-    with StubApi(_mk_nodes(20)) as api:
-        api.garble_first_get = 2
+    with StubApi(_mk_nodes(20), garble_first_get=2) as api:
         token = login(api.base_url)
         got = sorted(
             r.id
@@ -260,6 +259,78 @@ def test_rest_get_4xx_fails_fast(spark):
             if r.startswith("GET " + PROJECTS_PATH)
         ]
         assert len(listing_gets) == 1
+
+
+# ---------------------------------------------------------------------
+# Token expiry MID-pagination (r19): the one failure mode of the
+# reference's module-global token (sync.py:14-32 logs in once and
+# assumes the token outlives the run).  Pinned behavior: batch reads
+# FAIL FAST with TokenExpiredError (executors hold the token, never
+# credentials — they cannot re-login, and retrying a deterministic 401
+# would just burn the budget); the driver-side streaming poll does ONE
+# re-login + replay and keeps the fresh token (see the e2e twin in
+# tests/test_streaming.py::test_stream_rest_poll_survives_token_expiry).
+# ---------------------------------------------------------------------
+
+
+def test_rest_batch_token_expiry_fails_fast(spark):
+    """Token expires after 2 listing GETs of a 5-page read: the query
+    fails with TokenExpiredError in the chain, and the 401s are NOT
+    retried — total listing traffic stays far under what a retried 401
+    would produce."""
+    import pytest as _pytest
+
+    from dataengineer_scripts_spark.sources.rest import (
+        GET_RETRIES,
+        login,
+        rest_read,
+    )
+    from dataengineer_scripts_spark.sources.stub_api import (
+        PROJECTS_PATH,
+        StubApi,
+    )
+
+    with StubApi(_mk_nodes(40), expire_token_after=2) as api:
+        token = login(api.base_url)
+        with _pytest.raises(Exception) as exc_info:
+            rest_read(spark, api.base_url, token, page_size=8).collect()
+        assert "TokenExpiredError" in str(exc_info.value)
+        listing_gets = [
+            r for r in api.requests_seen
+            if r.startswith("GET " + PROJECTS_PATH)
+        ]
+        # 2 successful + ≤4 single-shot 401s (pages 1-4 minus the page-0
+        # probe payload reuse); a retried 401 would read 2 + 4*GET_RETRIES
+        assert 3 <= len(listing_gets) <= 2 + 4 < 2 + 4 * GET_RETRIES
+
+
+def test_rest_stream_reader_relogins_once_on_expiry():
+    """Unit-level: the stream reader's poll hits a 401 mid-fetch, does
+    exactly one re-login, replays with the fresh token, and KEEPS that
+    token for subsequent polls."""
+    from dataengineer_scripts_spark.sources.rest import (
+        RestStreamReader,
+        login,
+    )
+    from dataengineer_scripts_spark.sources.stub_api import LOGIN_PATH, StubApi
+
+    with StubApi(_mk_nodes(20), expire_token_after=3) as api:
+        token = login(api.base_url)
+        reader = RestStreamReader(
+            {"base_url": api.base_url, "token": token, "page_size": "8"}
+        )
+        # poll 1: probe (use 1) + pages 0,1 (uses 2,3) → page 2 401s →
+        # one re-login, replay — all 20 rows and the offset still land
+        rows, off = reader.read(reader.initialOffset())
+        assert len(list(rows)) == 20 and off == {"row": 20}
+        assert reader.token != token  # fresh token retained
+        logins = [r for r in api.requests_seen if r == f"POST {LOGIN_PATH}"]
+        assert len(logins) == 2  # the test's own + exactly one re-login
+        # poll 2 runs on the retained fresh token without another login
+        rows2, off2 = reader.read(off)
+        assert list(rows2) == [] and off2 == {"row": 20}
+        logins = [r for r in api.requests_seen if r == f"POST {LOGIN_PATH}"]
+        assert len(logins) == 2
 
 
 def test_rows_only_connector_ops_survive_random_warehouse(spark, tmp_path):
