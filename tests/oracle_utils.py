@@ -189,17 +189,48 @@ def transitive_tables(fn):
     """Fixture tables ``fn`` reads, following ``helper(spark, sf_dir``
     calls through the op's own module (and registered ops it composes,
     e.g. the flagships).  Returns ``None`` when a callee threading
-    ``(spark, sf_dir)`` cannot be resolved to a module function — the
+    ``(spark, sf_dir)`` cannot be resolved to a module function, or a
+    ``table()`` call's name argument is not a string literal — the
     caller must then EXCLUDE the op rather than enroll it with an
     underestimated read set.  Shared by both fuzz harnesses' enrollment
-    (tests/test_tpch_fuzz.py, tests/test_corpus_fuzz.py)."""
+    (tests/test_tpch_fuzz.py, tests/test_corpus_fuzz.py).
+
+    r19: a real AST walk (formerly two tolerant regexes).  The syntax
+    tree sees every call form the text patterns could miss — keyword
+    arguments (``table(spark=spark, sf_dir=sf_dir, name="x")``, the r18
+    ADVICE escape), arbitrary wrapping/whitespace, attribute calls
+    (``mod.helper(spark, sf_dir)``) — so undercounting now requires a
+    genuinely dynamic call, which correctly resolves to ``None``."""
+    import ast
     import inspect
-    import re
     import sys
+    import textwrap
 
     tabs: set[str] = set()
     seen: set = set()
     ok = True
+
+    def _threads_spark_sfdir(call: ast.Call) -> bool:
+        """True when the call passes ``spark`` and ``sf_dir`` (by those
+        names) as its first two positionals or as keywords."""
+        names = [
+            a.id for a in call.args[:2] if isinstance(a, ast.Name)
+        ] + [
+            k.value.id
+            for k in call.keywords
+            if k.arg in ("spark", "sf_dir") and isinstance(k.value, ast.Name)
+        ]
+        return "spark" in names and "sf_dir" in names
+
+    def _table_name_arg(call: ast.Call):
+        """The ``name`` argument of a ``table(spark, sf_dir, name)`` call:
+        the literal string, or None when dynamic/absent."""
+        arg = call.args[2] if len(call.args) > 2 else next(
+            (k.value for k in call.keywords if k.arg == "name"), None
+        )
+        if isinstance(arg, ast.Constant) and isinstance(arg.value, str):
+            return arg.value
+        return None
 
     def walk(f) -> None:
         nonlocal ok
@@ -209,31 +240,35 @@ def transitive_tables(fn):
         seen.add(f)
         try:
             src = inspect.getsource(f)
-        except (OSError, TypeError):
+            tree = ast.parse(textwrap.dedent(src))
+        except (OSError, TypeError, SyntaxError):
             ok = False
             return
-        # Tolerant to re-formatting (\s* matches newlines from a wrapped
-        # call); captures only string-literal table names.
-        name_hits = re.findall(
-            r'table\(\s*spark,\s*sf_dir,\s*"(\w+)"', src
-        )
-        tabs.update(name_hits)
         mod = sys.modules.get(f.__module__)
-        callees = re.findall(r"\b([A-Za-z_]\w*)\(\s*spark,\s*sf_dir", src)
-        # Cross-check (r17 ADVICE): every table( call the callee scan sees
-        # must have yielded a captured name — a non-literal third argument
-        # (table(spark, sf_dir, tbl_var)) or formatting beyond the tolerant
-        # regex would otherwise silently UNDERESTIMATE the read set, and
-        # the enrollment pins only catch count changes, not same-count
-        # swaps.  Undercount ⇒ refuse to resolve: caller must exclude.
-        if callees.count("table") > len(name_hits):
-            ok = False
-        for callee in set(callees):
-            if callee == "table":
+        for node in ast.walk(tree):
+            if not isinstance(node, ast.Call) or not _threads_spark_sfdir(node):
                 continue
-            g = getattr(mod, callee, None)
-            if callable(g):
-                walk(g)
+            func = node.func
+            if isinstance(func, ast.Name):
+                callee, target = func.id, getattr(mod, func.id, None)
+            elif isinstance(func, ast.Attribute) and isinstance(
+                func.value, ast.Name
+            ):
+                # one-level attribute call: resolve base in the module
+                callee = func.attr
+                base = getattr(mod, func.value.id, None)
+                target = getattr(base, func.attr, None)
+            else:
+                ok = False  # dynamic callee (call result, subscript, …)
+                continue
+            if callee == "table":
+                name = _table_name_arg(node)
+                if name is None:
+                    ok = False  # non-literal table name: can't enumerate
+                else:
+                    tabs.add(name)
+            elif callable(target):
+                walk(target)
             else:
                 ok = False
 

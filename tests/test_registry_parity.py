@@ -173,3 +173,58 @@ def test_driver_order_property_any_legal_window(data):
     )
     # and the ordering is a permutation — nothing dropped or duplicated
     assert sorted(out) == all_names
+
+
+# ---------------------------------------------------------------------
+# transitive_tables resolver (r19: AST walk).  These helpers must live at
+# module scope — inspect.getsource needs real on-disk source.
+# ---------------------------------------------------------------------
+
+
+def _res_direct(spark, sf_dir):
+    from dataengineer_scripts_spark.tables import table
+
+    return table(spark, sf_dir, "nation")
+
+
+def _res_kwargs(spark, sf_dir):
+    # the r18 ADVICE escape: keyword-argument call form, invisible to the
+    # old regexes, resolved by the AST walk
+    from dataengineer_scripts_spark.tables import table
+
+    return table(spark=spark, sf_dir=sf_dir, name="region")
+
+
+def _res_composed(spark, sf_dir):
+    a = _res_direct(spark, sf_dir)
+    b = _res_kwargs(spark, sf_dir)
+    return a.join(b)
+
+
+def _res_dynamic(spark, sf_dir):
+    from dataengineer_scripts_spark.tables import table
+
+    name = "nat" + "ion"  # non-literal: cannot be enumerated statically
+    return table(spark, sf_dir, name)
+
+
+def _res_unresolvable(spark, sf_dir):
+    fns = [_res_direct]
+    return fns[0](spark, sf_dir)  # dynamic callee threading (spark, sf_dir)
+
+
+def test_transitive_tables_follows_all_call_forms():
+    from .oracle_utils import transitive_tables
+
+    assert transitive_tables(_res_direct) == {"nation"}
+    assert transitive_tables(_res_kwargs) == {"region"}
+    assert transitive_tables(_res_composed) == {"nation", "region"}
+
+
+def test_transitive_tables_refuses_dynamic_reads():
+    """A read set that can't be fully enumerated must resolve to None
+    (caller EXCLUDES the op) — never a silent underestimate."""
+    from .oracle_utils import transitive_tables
+
+    assert transitive_tables(_res_dynamic) is None
+    assert transitive_tables(_res_unresolvable) is None
