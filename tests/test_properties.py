@@ -1182,6 +1182,96 @@ def test_rest_stream_offsets_are_restart_invariant(spark, sf_dir, page_size, dat
         assert list(r2.readBetweenOffsets({"row": a}, {"row": b})) == full[a:b]
 
 
+@given(
+    n_nodes=st.integers(0, 30),
+    page_size=st.integers(1, 9),
+    budget=st.integers(1, 5),
+    appended=st.integers(0, 10),
+)
+@settings(max_examples=15, deadline=None)
+def test_rest_stream_completes_under_any_token_expiry(
+    n_nodes, page_size, budget, appended
+):
+    """Liveness under token expiry (r19): a fresh token's listing budget
+    is ≥ 1 and each fetch performs at most one re-login before retrying
+    THAT fetch with the fresh token, so the driver-side stream poll
+    terminates and stays exactly-once for EVERY expiry budget ≥ 1 — no
+    row lost to a 401, none replayed, across polls and appends."""
+    from dataengineer_scripts_spark.sources.rest import (
+        RestStreamReader,
+        login,
+    )
+    from dataengineer_scripts_spark.sources.stub_api import StubApi
+
+    def mk(n0, n1):
+        return [
+            {"id": i, "name": f"n{i}", "type": "job", "status": "S",
+             "export_status": "S"}
+            for i in range(n0, n1)
+        ]
+
+    with StubApi(mk(0, n_nodes), expire_token_after=budget) as api:
+        reader = RestStreamReader(
+            {
+                "base_url": api.base_url,
+                "token": login(api.base_url),
+                "page_size": str(page_size),
+            }
+        )
+        it, off = reader.read(reader.initialOffset())
+        assert [r[0] for r in it] == list(range(n_nodes))
+        assert int(off["row"]) == n_nodes
+        # server grows between polls; the next poll sees exactly the delta
+        api.nodes = mk(0, n_nodes + appended)
+        it2, off2 = reader.read(off)
+        assert [r[0] for r in it2] == list(range(n_nodes, n_nodes + appended))
+        assert int(off2["row"]) == n_nodes + appended
+        # recovery replay of the first committed range is equally immune
+        assert [
+            r[0] for r in reader.readBetweenOffsets({"row": 0}, off)
+        ] == list(range(n_nodes))
+
+
+@given(
+    n_nodes=st.integers(1, 40),
+    page_size=st.integers(1, 9),
+    budget=st.integers(1, 8),
+)
+@settings(max_examples=15, deadline=None)
+def test_rest_batch_token_expiry_is_all_or_error(n_nodes, page_size, budget):
+    """Safety under token expiry (r19): a batch read driven through the
+    reader's own partition/read protocol either delivers EVERY row or
+    raises TokenExpiredError — never a silent truncation that could be
+    mistaken for a complete result."""
+    from dataengineer_scripts_spark.sources.rest import (
+        RestDataSourceReader,
+        TokenExpiredError,
+        login,
+    )
+    from dataengineer_scripts_spark.sources.stub_api import StubApi
+
+    nodes = [
+        {"id": i, "name": f"n{i}", "type": "job", "status": "S",
+         "export_status": "S"}
+        for i in range(n_nodes)
+    ]
+    with StubApi(nodes, expire_token_after=budget) as api:
+        reader = RestDataSourceReader(
+            {
+                "base_url": api.base_url,
+                "token": login(api.base_url),
+                "page_size": str(page_size),
+            }
+        )
+        try:
+            rows = [
+                r for p in reader.partitions() for r in reader.read(p)
+            ]
+        except TokenExpiredError:
+            return  # fail-fast leg: acceptable, and loud
+        assert [r[0] for r in rows] == list(range(n_nodes))
+
+
 @st.composite
 def _xlsx_sheet_rows(draw):
     """A sheet as 1-5 rows: each row carries an explicit r= row reference
