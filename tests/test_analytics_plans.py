@@ -120,9 +120,19 @@ def test_period_over_period_lag_runs_above_month_grain(spark, sf_dir):
 
 def test_basket_collapses_multiplicity_before_pairing(spark, sf_dir):
     # DISTINCT (order, brand) must aggregate BEFORE the self-join, so
-    # pair generation is quadratic in basket size, not line count
-    df = DEFS["x_agg_market_basket"].fn(spark, sf_dir)
-    plan = _physical(df)
+    # pair generation is quadratic in basket size, not line count.
+    # The basket frame and pair counts are session-shared checkpoints
+    # (bi._basket_ob/_brand_pair_counts), which hide their lineage from
+    # the consumer plan — assert on the exposed pre-checkpoint builds
+    # (the _exact_text_buckets convention).
+    from dataengineer_scripts_spark.operators.bi import (
+        _basket_ob_build,
+        _brand_pair_counts_build,
+    )
+
+    ob = _basket_ob_build(spark, sf_dir)
+    pairs = _brand_pair_counts_build(spark, sf_dir, ob)
+    plan = _physical(pairs)
     assert "CartesianProduct" not in plan
     joins = [
         j
@@ -134,8 +144,13 @@ def test_basket_collapses_multiplicity_before_pairing(spark, sf_dir):
     # .distinct() from the basket frame eliminates its two-phase
     # (partial+final) aggregate pair on (l_orderkey, p_brand) — assert
     # on the optimized logical plan, where the grouping keys are legible
-    logical = df._jdf.queryExecution().optimizedPlan().toString()
-    assert "l_orderkey" in logical and logical.count("Aggregate") >= 4
+    # two aggregates in the pair build: the (l_orderkey, p_brand)
+    # distinct BELOW the self-join + the pair-count rollup above it
+    logical = pairs._jdf.queryExecution().optimizedPlan().toString()
+    assert "l_orderkey" in logical and logical.count("Aggregate") >= 2
+    # and the consumer query still broadcasts the per-brand stats back
+    plan_mb = _physical(DEFS["x_agg_market_basket"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan_mb
 
 
 def test_range_bucketized_join_is_equi_hash_not_nested_loop(spark, sf_dir):

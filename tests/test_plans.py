@@ -456,9 +456,11 @@ def test_pagerank_step_is_single_shuffle_with_broadcast_rank(spark, sf_dir):
 
     edges, deg, nodes, trans = _pagerank_graph(spark, sf_dir)
     r0 = nodes.select("brand", (1.0 / F.col("n")).alias("r")).localCheckpoint()
-    plan = _physical(_pagerank_step(trans, nodes, r0))
+    plan = _physical(_pagerank_step(trans, nodes.first()["n"], r0))
     assert "BroadcastHashJoin" in plan
     assert plan.count("Exchange hashpartitioning") == 1
+    # the teleport term is a literal — no second broadcast join per step
+    assert plan.count("BroadcastHashJoin") == 1
 
 
 @pytest.mark.parametrize(

@@ -861,12 +861,9 @@ def test_pagerank_step_matches_reference_and_conserves_mass(
         [(f"b{s}", f"b{d}", outdeg[s]) for s, d in edges],
         "src string, dst string, d long",
     )
-    nodes = spark.createDataFrame(
-        [(f"b{i}", n) for i in range(n)], "brand string, n long"
-    )
     r = spark.createDataFrame(list(r0.items()), "brand string, r double")
 
-    got = {row.brand: row.r for row in _pagerank_step(trans, nodes, r).collect()}
+    got = {row.brand: row.r for row in _pagerank_step(trans, n, r).collect()}
 
     contrib = {f"b{i}": 0.0 for i in range(n)}
     for s, d in edges:

@@ -43,7 +43,7 @@ HEADLINERS = [
     ("x_tpch_q21_waiting_suppliers", "EXISTS/NOT EXISTS as LeftSemi + LeftAnti on the same orderkey layout; status filter pushed; TakeOrdered top-20"),
     ("x_llm_winnowing_fingerprint", "scan-side k-gram explode; sliding min as a doc_id-PARTITIONED window; digest-sized rollup"),
     ("x_agg_corr_matrix", "ten sufficient statistics in ONE scan pass — the 3x3 correlation matrix never re-reads lineitem"),
-    ("x_sql_recursive_cte", "WITH RECURSIVE lowered to UnionLoop over a localCheckpointed edge view — the corpus aggregate runs once, not per iteration"),
+    ("x_sql_recursive_cte", "WITH RECURSIVE lowered to UnionLoop over the session-shared checkpointed brand_e0 edge view — the corpus aggregate runs once per session, not per iteration or per consumer"),
     ("x_agg_rolling_distinct", "window inversion: dedup + 7-day cover explode + dedup — rolling DISTINCT with no Window operator and no days x window self-join"),
     ("x_llm_embed_outlier", "centroid model from one posexploded hash aggregate (KBs collected), then ONE narrow mapInPandas scoring pass — zero joins, zero shuffles"),
     ("x_llm_ngram_novelty", "document-frequency aggregate joined back on the SAME shingle-hash key (AQE reuses the partitioning); counts, not pairs — no self-join"),
@@ -51,7 +51,7 @@ HEADLINERS = [
     ("x_tpch_q5_local_supplier_volume", "six-table snowflake: region/nation/customer/supplier broadcast, orders⋈lineitem is the only data-sized shuffle; r_name + date range pushed to the scans"),
     ("x_llm_tfidf_topk", "one token explode → (doc,term) aggregate; df is aggregated FROM the tf output (no re-explode); the top-k rank window reuses the doc_id key"),
     ("x_ts_rolling_zscore", "three exact decimal frame aggregates share ONE window spec — a single user-keyed Exchange; z/flag math is a Project above it"),
-    ("x_agg_market_basket", "DISTINCT (order,brand) collapses multiplicity BEFORE the order-keyed self-join: pair generation quadratic in basket size, linear in orders; stats broadcast back"),
+    ("x_agg_market_basket", "DISTINCT (order,brand) collapses multiplicity BEFORE the order-keyed self-join (both session-shared checkpoints): pair generation quadratic in basket size, linear in orders; stats broadcast back"),
     ("x_etl_sample_weighted", "weighted sampling as deterministic top-k by hash-derived exponential key: TakeOrderedAndProject (partial per-partition top-k) — the r08 verdict's unpartitioned row_number window is gone; the only Window ranks the k-row result"),
     ("x_join_range_bucketed", "fact-fact interval join bucketized to an equi hash join (3x build-side bucket explode, |dt| residual) — no nested loop, no cartesian"),
     ("x_llm_zipf_fit", "two-level vocab rank (range shuffle + pid-partitioned row_number + broadcast offsets) — the r09 verdict's full-vocabulary single-partition sort is gone; only the P-row offsets window and the 1-row moments aggregate funnel"),
