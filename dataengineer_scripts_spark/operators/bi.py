@@ -939,7 +939,11 @@ def x_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     once; each iteration adds ONE small join-aggregate (broadcast
     edges), never re-reading the fact table."""
     edges, deg, nodes, trans = _pagerank_graph(spark, sf_dir)
-    n_nodes = nodes.first()["n"]  # node-grain scalar off the checkpointed frame
+    # node-grain scalar off the checkpointed frame; an EMPTY graph
+    # (adversarial empty-facts corpus) has no rows — any positive
+    # placeholder works because every downstream frame is empty too
+    _first = nodes.first()
+    n_nodes = _first["n"] if _first is not None else 1
     r = nodes.select("brand", (1.0 / F.col("n")).alias("r"))
     for _ in range(PAGERANK_ITERS):
         r = _pagerank_step(trans, n_nodes, r)
@@ -1100,7 +1104,11 @@ def x_graph_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle join — the plan Spark picks automatically once the hint is
     absent."""
     edges, deg, nodes, trans = _pagerank_graph(spark, sf_dir)
-    n_nodes = nodes.first()["n"]  # node-grain scalar off the checkpointed frame
+    # node-grain scalar off the checkpointed frame; an EMPTY graph
+    # (adversarial empty-facts corpus) has no rows — any positive
+    # placeholder works because every downstream frame is empty too
+    _first = nodes.first()
+    n_nodes = _first["n"] if _first is not None else 1
     r = nodes.select("brand", (1.0 / F.col("n")).alias("r")).localCheckpoint()
     iters = 0
     while iters < PAGERANK_MAX_ITERS:
