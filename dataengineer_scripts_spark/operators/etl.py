@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
+from ..session_cache import session_shared as _session_shared
 from ..sinks import (
     MAX_RETRIES,
     STATUS_FILLS,
@@ -1472,7 +1473,17 @@ def x_etl_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-sized customer keys counted in the same aggregate.  The
     union is five 1-row frames — plan-width, not data-width.  Violation
     ROWS (not counts) are one `.filter()` away using the same predicates;
-    the report is deliberately the cheap always-on artifact."""
+    the report is deliberately the cheap always-on artifact.
+
+    Session-shared with ``flagship_analytics`` (its `dq` metric): one
+    build per session, plan shape asserted on ``_dq_report_build``."""
+    return _session_shared(
+        spark, sf_dir, "etl_dq_report", lambda: _dq_report_build(spark, sf_dir)
+    )
+
+
+def _dq_report_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-checkpoint lineage of :func:`x_etl_dq_report` (plan-guard hook)."""
     def rule(frame: DataFrame, rule_id: str, bad) -> DataFrame:
         return frame.agg(
             F.lit(rule_id).alias("rule_id"),

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
+from ..session_cache import session_shared as _session_shared
 from ..tables import table
 
 # ---------------------------------------------------------------------------
@@ -1812,7 +1813,18 @@ def x_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     — counts (one hash aggregate), per-source max (second, source-sized),
     then min-lang at the max — no sort window anywhere, every shuffle key
     is `source` so AQE chains the exchanges; the oracle spells it as the
-    equivalent deterministic ``row_number`` pick."""
+    equivalent deterministic ``row_number`` pick.
+
+    Session-shared with ``flagship_analytics`` (which embeds this frame
+    as its `mode` metric): one build per session, plan shape asserted on
+    the exposed pre-checkpoint ``_mode_build``."""
+    return _session_shared(
+        spark, sf_dir, "agg_mode", lambda: _mode_build(spark, sf_dir)
+    )
+
+
+def _mode_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-checkpoint lineage of :func:`x_agg_mode` (plan-guard hook)."""
     cnt = (
         table(spark, sf_dir, "documents")
         .groupBy("source", "lang")
@@ -1875,7 +1887,17 @@ def x_agg_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     every shuffle hashes user_id, so AQE reuses one exchange layout; each
     stage's frame shrinks monotonically (funnels only narrow).  At 100 TB
     the stage-1 aggregate dominates and is a map-side-combinable min;
-    nothing ever sorts or windows the event log."""
+    nothing ever sorts or windows the event log.
+
+    Session-shared with ``flagship_analytics`` (its `funnel` metric):
+    one build per session, plan shape asserted on ``_funnel_build``."""
+    return _session_shared(
+        spark, sf_dir, "agg_funnel", lambda: _funnel_build(spark, sf_dir)
+    )
+
+
+def _funnel_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-checkpoint lineage of :func:`x_agg_funnel` (plan-guard hook)."""
     ev = table(spark, sf_dir, "events")
     s1 = (
         ev.filter(F.col("event_type") == FUNNEL_STAGES[0])
@@ -1941,7 +1963,17 @@ def x_agg_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     AQE chains one exchange layout through the whole query, and the
     per-user frames are weeks-bounded (≤ a few rows each) regardless of
     event volume.  At 100 TB the first dedup dominates and is map-side
-    combinable."""
+    combinable.
+
+    Session-shared with ``flagship_analytics`` (its `retention` metric):
+    one build per session, lineage exposed as ``_retention_build``."""
+    return _session_shared(
+        spark, sf_dir, "agg_retention", lambda: _retention_build(spark, sf_dir)
+    )
+
+
+def _retention_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-checkpoint lineage of :func:`x_agg_retention`."""
     wk = (
         table(spark, sf_dir, "events")
         .select(
@@ -2064,7 +2096,20 @@ def x_agg_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side combinable; the 7× cover explode multiplies the DEDUPED
     frame, not raw events.  Measured (r12 stress): 3.5x wall at 30x
     events, output constant at the day grain —
-    `scale_stress_r12_x30.json`."""
+    `scale_stress_r12_x30.json`.
+
+    Session-shared with ``flagship_analytics`` (its `wau` metric): one
+    build per session, lineage exposed as ``_rolling_distinct_build``."""
+    return _session_shared(
+        spark,
+        sf_dir,
+        "agg_rolling_distinct",
+        lambda: _rolling_distinct_build(spark, sf_dir),
+    )
+
+
+def _rolling_distinct_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-checkpoint lineage of :func:`x_agg_rolling_distinct`."""
     ud = (
         table(spark, sf_dir, "events")
         .select(

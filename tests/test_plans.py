@@ -317,8 +317,12 @@ def test_prefix_dedup_is_blocked_equi_join(spark, sf_dir):
 
 def test_mode_is_aggregates_not_sort_window(spark, sf_dir):
     # argmax-per-source as hash aggregates (the keep_best shape); a
-    # row_number formulation would surface as Window over Sort
-    plan = _physical(DEFS["x_agg_mode"].fn(spark, sf_dir))
+    # row_number formulation would surface as Window over Sort.
+    # x_agg_mode is session-shared with flagship_analytics, so the
+    # guard reads the exposed pre-checkpoint build.
+    from dataengineer_scripts_spark.operators.relational import _mode_build
+
+    plan = _physical(_mode_build(spark, sf_dir))
     assert "Window" not in plan
 
 
@@ -334,8 +338,11 @@ def test_embed_outlier_scores_in_one_narrow_pass(spark, sf_dir):
 
 def test_funnel_never_nested_loops_the_events(spark, sf_dir):
     # the three stage joins are user_id equi-joins; the only BNL joins
-    # allowed are the final 1-row count combiners
-    plan = _physical(DEFS["x_agg_funnel"].fn(spark, sf_dir))
+    # allowed are the final 1-row count combiners (pre-checkpoint build:
+    # the registered op is session-shared with flagship_analytics)
+    from dataengineer_scripts_spark.operators.relational import _funnel_build
+
+    plan = _physical(_funnel_build(spark, sf_dir))
     assert "CartesianProduct" not in plan
 
 
@@ -374,8 +381,11 @@ def test_collocations_cut_is_takeordered(spark, sf_dir):
 
 def test_dq_report_counts_violations_in_table_scans(spark, sf_dir):
     # every rule is a conditional aggregate inside its table's scan; the
-    # FK rule's customer side must broadcast
-    plan = _physical(DEFS["x_etl_dq_report"].fn(spark, sf_dir))
+    # FK rule's customer side must broadcast (pre-checkpoint build: the
+    # registered op is session-shared with flagship_analytics)
+    from dataengineer_scripts_spark.operators.etl import _dq_report_build
+
+    plan = _physical(_dq_report_build(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "Union" in plan
@@ -383,8 +393,13 @@ def test_dq_report_counts_violations_in_table_scans(spark, sf_dir):
 
 def test_rolling_distinct_is_aggregates_not_window(spark, sf_dir):
     # window inversion: no Window operator, no self-join of days — just
-    # dedup aggregates around the narrow cover explode
-    plan = _physical(DEFS["x_agg_rolling_distinct"].fn(spark, sf_dir))
+    # dedup aggregates around the narrow cover explode (pre-checkpoint
+    # build: the registered op is session-shared with flagship_analytics)
+    from dataengineer_scripts_spark.operators.relational import (
+        _rolling_distinct_build,
+    )
+
+    plan = _physical(_rolling_distinct_build(spark, sf_dir))
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
 

@@ -44,7 +44,7 @@ HEADLINERS = [
     ("x_llm_winnowing_fingerprint", "scan-side k-gram explode; sliding min as a doc_id-PARTITIONED window; digest-sized rollup"),
     ("x_agg_corr_matrix", "ten sufficient statistics in ONE scan pass — the 3x3 correlation matrix never re-reads lineitem"),
     ("x_sql_recursive_cte", "WITH RECURSIVE lowered to UnionLoop over the session-shared checkpointed brand_e0 edge view — the corpus aggregate runs once per session, not per iteration or per consumer"),
-    ("x_agg_rolling_distinct", "window inversion: dedup + 7-day cover explode + dedup — rolling DISTINCT with no Window operator and no days x window self-join"),
+    ("x_agg_rolling_distinct", "window inversion: dedup + 7-day cover explode + dedup — rolling DISTINCT with no Window operator and no days x window self-join (session-shared with flagship_analytics; the guarded lineage is _rolling_distinct_build, asserted in tests/test_plans.py)"),
     ("x_llm_embed_outlier", "centroid model from one posexploded hash aggregate (KBs collected), then ONE narrow mapInPandas scoring pass — zero joins, zero shuffles"),
     ("x_llm_ngram_novelty", "document-frequency aggregate joined back on the SAME shingle-hash key (AQE reuses the partitioning); counts, not pairs — no self-join"),
     ("x_win_range_frame", "RANGE frame over integer epoch seconds: one user_id Exchange + sorted streaming frames; equal-second peers are mutual members so peer order is harmless"),
