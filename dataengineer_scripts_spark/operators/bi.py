@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..registry import register
 from ..session_cache import session_shared as _session_shared
@@ -1084,16 +1085,24 @@ def x_graph_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan/loop posture (the GraphFrames checkpointInterval form):
     PAGERANK_CHECK_EVERY steps chain LAZILY — five bounded
     join-aggregates over the once-checkpointed transition frame execute
-    as one job — then the block ``localCheckpoint``s (node-grain I/O
-    that caps lineage growth) and ONE 1-row convergence probe compares
-    the block's endpoints (max per-node movement over the whole block —
-    a stricter signal than a single step's delta, since per-step deltas
-    shrink monotonically under the damping contraction).  Probing every
-    step instead measured 32 s at sf0.1 — ~140 tiny driver-scheduled
-    jobs of pure overhead for a 25-node frame; blocking plus the
-    broadcast-rank step (see ``_pagerank_step``) runs the same 35–45
-    counted iterations in 7–9 probe jobs of one shuffle stage each.
-    At 100 TB the
+    as one job — and the block's terminal action is ONE ``collect`` that
+    returns the endpoint ranks TOGETHER with each node's movement (max
+    per-node movement over the whole block — a stricter signal than a
+    single step's delta, since per-step deltas shrink monotonically
+    under the damping contraction).  The next block's rank frame is
+    rebuilt from the collected node-grain rows as an Arrow-backed local
+    frame (doubles round-trip collect -> pandas -> Arrow exactly, so
+    ranks stay bit-identical to the checkpointed form), which both
+    truncates lineage WITHOUT a separate eager-checkpoint job and keeps
+    each step's broadcast build off the Python worker path.  Probing
+    every step instead measured 32 s at sf0.1 —
+    ~140 tiny driver-scheduled jobs of pure overhead for a 25-node
+    frame; the r19 shape (eager block checkpoint + separate probe job)
+    paid TWO scheduled jobs per block where this pays one.  The
+    per-block driver round trip is node-grain by construction (brand
+    cardinality) — the same boundedness argument as the broadcast-rank
+    step (see ``_pagerank_step``); for web-scale node sets both would
+    move to frame-resident form together.  At 100 TB the
     transition frame shuffles once at build and iterations move
     node-grain rows only — measured: 9.4 s at 1x facts vs 6.3 s at 10x
     (`scale_stress_r13_graph.json`; iteration count is set by graph
@@ -1109,24 +1118,84 @@ def x_graph_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     # placeholder works because every downstream frame is empty too
     _first = nodes.first()
     n_nodes = _first["n"] if _first is not None else 1
+    import pandas as pd
+
+    # nodes.first() above already materialized every fact-sized ancestor
+    # (the _brand_e0 / edges / nodes checkpoints) under the session
+    # confs; from here on every loop stage is node-grain, so the loop
+    # runs under a scoped shuffle width derived from the node count
+    # (~64k rows per reduce partition) instead of the session default,
+    # and — in the node-grain regime — without AQE, whose per-stage
+    # re-optimization is pure driver latency on 1-2-partition shuffles
+    # it cannot improve (aggregates are outside AQE's skew handling).
+    # Both knobs scale with the GRAPH, not the box: a web-scale node set
+    # raises loop_parts right back and keeps AQE on.  Same-session A/B
+    # at sf0.1 (35 iterations): 6.1-9.8 s -> ~5.5 s loop wall.
     r = nodes.select("brand", (1.0 / F.col("n")).alias("r")).localCheckpoint()
+    rank_schema = T.StructType(
+        [
+            T.StructField("brand", T.StringType()),
+            T.StructField("r", T.DoubleType()),
+        ]
+    )
+    session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    loop_confs = {
+        "spark.sql.shuffle.partitions": str(
+            max(1, min(session_parts, (n_nodes + 65535) // 65536))
+        ),
+    }
+    if n_nodes <= 1_000_000:
+        loop_confs["spark.sql.adaptive.enabled"] = "false"
+    saved_confs = {k: spark.conf.get(k) for k in loop_confs}
     iters = 0
-    while iters < PAGERANK_MAX_ITERS:
-        new_r = r
-        for _ in range(PAGERANK_CHECK_EVERY):
-            new_r = _pagerank_step(trans, n_nodes, new_r)
-        new_r = new_r.localCheckpoint()
-        iters += PAGERANK_CHECK_EVERY
-        delta = (
-            new_r.join(
-                r.select("brand", F.col("r").alias("r_prev")), "brand"
+    try:
+        for k, v in loop_confs.items():
+            spark.conf.set(k, v)
+        while iters < PAGERANK_MAX_ITERS:
+            new_r = r
+            for _ in range(PAGERANK_CHECK_EVERY):
+                new_r = _pagerank_step(trans, n_nodes, new_r)
+            # ONE job per block: endpoint ranks and per-node movement
+            # come back in the same collect; the delta max and the next
+            # block's rank frame are derived driver-side from the
+            # node-grain rows.  The rebuild goes through Arrow
+            # (createDataFrame of a pandas frame), which lands as
+            # JVM-resident batches — rebuilding via parallelize()
+            # instead re-pickles rows through a Python worker on EVERY
+            # step's broadcast build and measured 1.2-2.3 s SLOWER than
+            # the eager-checkpoint form it replaces; float64 survives
+            # collect -> pandas -> Arrow exactly, so ranks stay
+            # bit-identical (asserted against the checkpointed form at
+            # sf0.1 during the A/B).
+            block = (
+                new_r.join(
+                    r.select("brand", F.col("r").alias("r_prev")), "brand"
+                )
+                .select(
+                    "brand",
+                    "r",
+                    F.abs(F.col("r") - F.col("r_prev")).alias("d"),
+                )
+                .collect()
             )
-            .agg(F.max(F.abs(F.col("r") - F.col("r_prev"))).alias("d"))
-            .collect()[0]["d"]
-        )
-        r = new_r
-        if delta is not None and delta < PAGERANK_EPS:
-            break
+            iters += PAGERANK_CHECK_EVERY
+            delta = max((row["d"] for row in block), default=None)
+            r = spark.createDataFrame(
+                pd.DataFrame(
+                    {
+                        "brand": [row["brand"] for row in block],
+                        "r": pd.Series(
+                            [row["r"] for row in block], dtype="float64"
+                        ),
+                    }
+                ),
+                schema=rank_schema,
+            )
+            if delta is not None and delta < PAGERANK_EPS:
+                break
+    finally:
+        for k, v in saved_confs.items():
+            spark.conf.set(k, v)
     return (
         r.join(
             F.broadcast(deg.select(F.col("src").alias("brand"), "d")), "brand"

@@ -107,6 +107,34 @@ def test_pagerank_converged_matches_pure_python_fixpoint(spark, sf_dir):
         )
 
 
+def test_pagerank_converged_loop_job_budget(spark, sf_dir):
+    """The convergence loop must stay on its single-collect-per-block job
+    diet (r20): endpoint ranks and the delta probe ride ONE scheduled job
+    per block (plus the per-step broadcast builds of steps 2..5 — four
+    more — and the scoped-conf overhead-free LocalTableScan rebuild).
+    The r19 shape (eager block checkpoint + separate probe job, AQE
+    re-optimizing every node-grain stage) measured ~17 jobs/block; this
+    pins the budget at 9/block so a regression to the two-job-per-block
+    form fails loudly while leaving slack for scheduler jitter."""
+    from dataengineer_scripts_spark.operators.bi import _pagerank_graph
+
+    # materialize the session-shared graph OUTSIDE the counted group
+    edges, deg, nodes, trans = _pagerank_graph(spark, sf_dir)
+    nodes.first()
+    trans.count()
+    sc = spark.sparkContext
+    group = "prc-job-budget"
+    sc.setJobGroup(group, "pagerank_converged loop job budget")
+    try:
+        out = DEFS["x_graph_pagerank_converged"].fn(spark, sf_dir)
+        rows = out.collect()
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    n_blocks = max(1, rows[0]["n_iters"] // PAGERANK_CHECK_EVERY)
+    n_jobs = len(sc.statusTracker().getJobIdsForGroup(group))
+    assert n_jobs <= 9 * n_blocks + 6, (n_jobs, n_blocks)
+
+
 def test_survival_km_matches_pandas_reference(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").toPandas()
     ev["h"] = pd.to_datetime(ev.ts).dt.floor("h")
