@@ -679,22 +679,45 @@ SIMHASH_MAX_HAMMING = SIMHASH_CHUNKS - 1
 def _simhash_sig(th: DataFrame, bits: int) -> DataFrame:
     """(doc_id, h) token-hash rows → (doc_id, sig, n): the per-bit
     majority-vote SimHash signature — ONE hash aggregate (count plus
-    ``bits`` vote sums riding the same shuffle) and a pure-codegen
-    shift/OR assembly Project above it.  The kernel shared by the
-    production xxhash64 op and its md5 oracle companion (which differ
-    only in hash function and bit width); ``shiftright`` is arithmetic,
-    so bit k of a NEGATIVE 64-bit hash extracts correctly for k ≤ 63 —
+    ``bits/2`` PACKED vote sums riding the same shuffle) and a
+    pure-codegen shift/OR assembly Project above it.  Votes for bits k
+    and k+bits/2 share one 64-bit sum (low/high 32-bit halves): the
+    per-row term is ``((h>>k)&1) + (((h>>(k+half))&1) << 32)``, so the
+    summed low half is exactly bit k's vote count and the high half bit
+    (k+half)'s — carry-free while a document has < 2^31 tokens (a
+    multi-billion-token single document; asserted nowhere because the
+    fixture and any real corpus sit orders of magnitude below).  Packing
+    halves the aggregation-state width and the map-side partial rows the
+    shuffle carries (65 → 33 columns for the 64-bit op — guide §5/§2.3).
+    The kernel is shared by the production xxhash64 op and its md5
+    oracle companion (which differ only in hash function and bit width);
+    ``shiftright`` is arithmetic, so bit k of a NEGATIVE 64-bit hash
+    extracts correctly for k ≤ 63, and the packed sums are sums of
+    non-negative terms so their own shiftright-32 extraction is exact —
     fuzzed against a pure-Python majority vote, negative hashes and the
     bit-63 sign edge included, in ``tests/test_properties.py``."""
+    assert bits % 2 == 0, bits
+    half = bits // 2
     votes = th.groupBy("doc_id").agg(
         F.count("*").alias("n"),
         *[
-            F.sum(F.shiftright("h", k).bitwiseAND(F.lit(1))).alias(f"b{k}")
-            for k in range(bits)
+            F.sum(
+                F.shiftright("h", k).bitwiseAND(F.lit(1))
+                + F.shiftleft(
+                    F.shiftright("h", k + half).bitwiseAND(F.lit(1)), 32
+                )
+            ).alias(f"p{k}")
+            for k in range(half)
         ],
     )
+
+    def vote_count(k: int):  # 1-votes of bit k out of its packed sum
+        if k < half:
+            return F.col(f"p{k}").bitwiseAND(F.lit(0xFFFFFFFF))
+        return F.shiftright(F.col(f"p{k - half}"), 32)
+
     bit = lambda k: (  # noqa: E731
-        F.when(2 * F.col(f"b{k}") > F.col("n"), F.lit(1).cast("long"))
+        F.when(2 * vote_count(k) > F.col("n"), F.lit(1).cast("long"))
         .otherwise(F.lit(0).cast("long"))
     )
     sig_expr = bit(0)
@@ -2066,6 +2089,19 @@ CLUSTER_J_THRESHOLD = 0.5
 #: anything still moving after 5 is chain-shaped and belongs to the
 #: diameter-independent algorithm, not more sweeps.
 LABEL_SWEEP_SWITCH = 5
+
+#: Node-count threshold above which the label-propagation sweeps restrict
+#: themselves to edge-incident nodes (singletons are provably final after
+#: one sweep).  The restriction pays one edge-distinct + two node-keyed
+#: semi/anti joins, so it only wins when sweep volume dominates — the r19
+#: A/B measured it 0.4-1.0 s SLOWER at fixture scale (thousands of nodes)
+#: and the technique is a pure win when the corpus dwarfs the dup set
+#: (billions of docs, millions of dup edges).  Env-overridable for
+#: production tuning; the default keeps every fixture SF on the plain
+#: path.  Both sides are pinned by tests/test_hardening.py.
+LABELPROP_INCIDENT_MIN_NODES = int(
+    os.environ.get("SPARK_GRAFT_LABELPROP_INCIDENT_MIN_NODES", "5000000")
+)
 #: Round valve for the large-star/small-star alternation itself: rounds
 #: grow O(log^2 n) worst-case (Kiveris et al. 2014), so 40 covers any
 #: component that fits in a cluster; exceeding it means a logic error,
@@ -2253,6 +2289,7 @@ def _min_label_components(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
         "doc_id", F.col("doc_id").alias("cluster_id")
     ).localCheckpoint()
     changed = -1
+    rest = None  # non-incident labels, split off once the volume guard trips
     for _ in range(LABEL_SWEEP_SWITCH):
         nbr_min = (
             edges.join(labels, edges.src == labels.doc_id)
@@ -2261,8 +2298,8 @@ def _min_label_components(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
         )
         # the change flag is computed IN the update (label shrank iff a
         # neighbor's label beat ours), so convergence detection is a
-        # filter-count over the already-materialized checkpoint instead
-        # of re-joining the full old/new label sets every sweep.
+        # one-row aggregate over the already-materialized checkpoint
+        # instead of re-joining the full old/new label sets every sweep.
         new_labels = (
             labels.join(nbr_min, "doc_id", "left")
             .select(
@@ -2277,10 +2314,32 @@ def _min_label_components(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
             .withColumnRenamed("new_cid", "cluster_id")
             .localCheckpoint()
         )
-        changed = new_labels.filter("_chg").count()
+        probe = new_labels.agg(
+            F.count("*").alias("n_labels"),
+            F.sum(F.col("_chg").cast("long")).alias("n_changed"),
+        ).collect()[0]
+        changed = int(probe["n_changed"] or 0)
         labels = new_labels.drop("_chg")
         if changed == 0:
             break
+        if rest is None and probe["n_labels"] >= LABELPROP_INCIDENT_MIN_NODES:
+            # Edge-incident restriction (guide §2.3 "shuffle fewer
+            # bytes"; the r19 attempt, re-landed behind this volume
+            # guard): a node with no edges never appears in nbr_min, so
+            # its label is final after sweep 1 — at LLM-dedup scale the
+            # corpus dwarfs the dup set and sweeping billions of
+            # singleton rows per sweep is the dominant waste.  The guard
+            # trips off the SAME probe row the convergence check already
+            # pays (zero extra jobs at fixture scale, where r19 measured
+            # the unconditional restriction 0.4-1.0 s SLOWER than the
+            # plain sweeps); once tripped, later sweeps carry only
+            # edge-incident labels and the untouched singleton labels
+            # re-attach lazily in the consumer's plan.
+            incident = edges.select(F.col("src").alias("doc_id")).distinct()
+            rest = labels.join(incident, "doc_id", "anti")
+            labels = labels.join(incident, "doc_id", "semi").localCheckpoint()
+    if changed == 0 and rest is not None:
+        labels = labels.unionByName(rest)
     if changed != 0:
         # Still moving after the sweep budget: the component is deeper
         # than any near-clique dup class — finish with the
