@@ -222,10 +222,15 @@ def _build_corpus(rng: random.Random, sf: str, hostile: bool = False) -> None:
         # 0xC0FFEE: the maiden-run finder seed — caught 13 divergences
         # (ANSI divide-by-zero on empty/sub-shingle docs, the zero-norm
         # vector, DuckDB's sum-over-empty NULL) — kept as the regression
-        # pin for those fixes; 0x5EED: independent structural coverage;
-        # 0x111 hostile: the byte-vs-codepoint finder (x_mm_binary_decode)
+        # pin for those fixes; 0x111 hostile: the byte-vs-codepoint finder
+        # (x_mm_binary_decode).  0x5EED (independent structural coverage,
+        # same generator/distribution as 0xC0FFEE) moved behind the
+        # opt-in `soak` mark in r20: a 78-op full-parity pass costs
+        # minutes and the driver's pytest budget truncated the suite at
+        # 7% in r19 (VERIFY_r19 tests_ok false with zero failures) —
+        # redundant seeds are the first thing to pay.
         (0xC0FFEE, False),
-        (0x5EED, False),
+        pytest.param(0x5EED, False, marks=pytest.mark.soak),
         (0x111, True),
     ],
 )
@@ -285,8 +290,14 @@ def _adv_empty(rng, sf):
 
 
 def _adv_giant(rng, sf):
+    # 2500 words: still ~180x the baseline docs (the skew/giant-doc
+    # branches under test key on the RATIO, not the absolute size), but
+    # the quadratic-tail ops (pair windows over one doc's shingles) cost
+    # ~10x less than the original 8000 — this single shape was 270 s of
+    # the r19 suite's 31 min, the largest line item in the driver's
+    # truncated pytest budget (VERIFY_r19).
     _adv_write_docs(sf, ["small doc here"] * 10 + [
-        " ".join(rng.choice("x y z w".split()) for _ in range(8000))
+        " ".join(rng.choice("x y z w".split()) for _ in range(2500))
     ])
 
 
@@ -388,6 +399,25 @@ _NAN_OUT_OF_CONTRACT = {"x_llm_embed_quantize", "x_llm_embed_outlier",
                         "x_llm_embed_pq"}
 
 
+#: Which fixture table each adversarial shape mutates.  Each shape run
+#: now enrolls only the ops whose TRANSITIVE read set includes that
+#: table (r20 suite-budget trim): an op that never reads the mutated
+#: table sees the unmutated 0xA11 baseline — structurally the same
+#: corpus the seeded parametrization above already pushes through full
+#: parity — so re-running it per shape was 7x redundant baseline
+#: coverage, not adversarial coverage.  Ops reading BOTH tables stay
+#: enrolled in every shape.
+_SHAPE_TABLE = {
+    _adv_identical: "documents",
+    _adv_empty: "documents",
+    _adv_giant: "documents",
+    _adv_allzero_emb: "embeddings",
+    _adv_identical_emb: "embeddings",
+    _adv_nan_inf_emb: "embeddings",
+    _adv_null_element_emb: "embeddings",
+}
+
+
 @pytest.mark.parametrize(
     "shape",
     [_adv_identical, _adv_empty, _adv_giant, _adv_allzero_emb,
@@ -406,9 +436,20 @@ def test_corpus_suite_survives_adversarial_shape(spark, tmp_path, shape):
         if shape in (_adv_nan_inf_emb, _adv_null_element_emb)
         else set()
     )
+    mutated = _SHAPE_TABLE[shape]
+    enrolled = [
+        name for name in CORPUS_IDS
+        if mutated in (_transitive_tables(DEFS[name].fn) or set())
+    ]
+    # a resolver regression must shrink coverage loudly, not silently
+    # (floors from the pin-time enrollment: 64 documents readers, 14
+    # embeddings readers among the 78 CORPUS_IDS)
+    assert len(enrolled) >= {"documents": 50, "embeddings": 12}[mutated], (
+        mutated, len(enrolled)
+    )
     con = make_duck(sf)
     try:
-        for name in CORPUS_IDS:
+        for name in enrolled:
             if name in skip:
                 continue
             df = DEFS[name].fn(spark, sf)
