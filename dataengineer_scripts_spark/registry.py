@@ -120,75 +120,70 @@ def _load_all() -> None:
 
 # The grading driver only records CORRECTNESS rows for the first ~50 ids it
 # sees; the window ROTATES each round to keep attestations fresh.  After the
-# r17 window every id carries a ≥r12-era grade; the merge of
-# CORRECTNESS_r01–r17.json puts the stalest cohort at exactly 29 ids graded
-# r12 (the LLM text/packing family, the multimodal block, and the streaming
-# windows) and 50 at r13.  This r18 window (prescribed id-for-id by the r17
-# verdict, item 2) takes those 29 r12 ids plus the 21 alphabetically-first
-# r13 ids (flagship_dataset_card … x_etl_shard_assign; the remaining 29 r13
-# ids rotate in at r19).  Two window ids are rows-only (`x_stream_smoke`, a
-# liveness probe of the micro-batch runtime, and `x_agg_hll_merge`, gated by
-# its exact twin `x_agg_hll_merge_exact`) — included so their rows-only
-# grades refresh with the cohort, but listed LAST per the r13 slip-safety
-# convention: a truncated window drops a weak attestation, never an oracle
-# one.  After this window the stalest grade becomes r13.
+# r19 window (the r18/r19 rotation covered everything graded ≤r13) the merge
+# of CORRECTNESS_r01–r19.json puts the stalest cohort at exactly 29 ids
+# graded r14 (the remaining TPC-H block, the r14 join/window additions, the
+# PQ/simhash oracle companions) and 50 at r15.  This r20 window (prescribed
+# by the r19 verdict, item 8: "rotate to the next stalest cohort, post-r14
+# ids") takes those 29 r14 ids plus the 21 alphabetically-first r15 ids
+# (exec_threadpool … x_agg_weighted_stats; the remaining 29 r15 ids rotate
+# in next round).  Every id in this window is oracle-bearing — no rows-only
+# tail this time (the slip-safety convention of listing rows-only ids LAST
+# stands whenever one rotates in).  After this window the stalest grade
+# becomes r15.
 _PRIORITY_NAMES = (
-    # (0) the remaining r13-era oracle-bearing ids — stalest cohort
-    "x_etl_snapshot_diff",
-    "x_etl_zorder_stats",
-    "x_join_asof_tolerance",
-    "x_join_full_outer",
-    "x_join_fuzzy_name",
-    "x_join_multiway_analytic",
-    "x_join_range_bucketed",
-    "x_llm_bm25_rank",
-    "x_llm_bpe_merge_step",
-    "x_llm_char_trigram_profile",
-    "x_llm_collocations",
-    "x_llm_dedup_bfs_depth",
-    "x_llm_dedup_prefix",
-    "x_llm_embed_outlier",
-    "x_llm_source_mix",
-    "x_llm_source_overlap",
-    "x_set_except",
-    "x_set_intersect",
-    "x_set_union",
-    "x_sort_limit_topk",
-    "x_sub_exists_other",
-    "x_sub_exists_semi",
-    "x_sub_not_exists_anti",
-    "x_sub_scalar_avg",
-    "x_win_distribution",
-    "x_win_lag_lead",
-    "x_win_rank",
-    "x_win_running",
-    # (1) the alphabetically-first r14-era oracle-bearing ids, padding to 50
-    "flagship_analytics",
-    "x_agg_corr_matrix",
-    "x_agg_count_distinct",
-    "x_agg_cube",
-    "x_agg_entropy",
-    "x_agg_grouping_sets",
-    "x_agg_hypertable_rollup",
-    "x_agg_percentile",
-    "x_agg_rollup",
-    "x_agg_string_agg",
-    "x_agg_sum_avg_min_max",
-    "x_agg_waterfall",
-    "x_etl_cdc_compact",
-    "x_etl_mask_pii",
-    "x_etl_sample_weighted",
-    "x_etl_table_checksum",
-    "x_etl_unpivot",
-    "x_fn_array_map",
-    "x_fn_regexp_extract",
-    "x_join_anti",
-    "x_join_cross",
-    # (2) the window's one rows-only id, slip-safe at the tail: the r13 PQ
-    # ADC top-k demo (gated by the hash-matched x_llm_pq_adc_scores oracle)
-    # refreshes its rows-only grade without ever displacing an oracle
-    # attestation
-    "x_llm_pq_adc_topk",
+    # (0) the r14-era oracle-bearing ids — stalest cohort
+    "x_join_inner",
+    "x_join_left",
+    "x_join_range",
+    "x_join_semi",
+    "x_llm_embed_pq",
+    "x_llm_ngram_novelty",
+    "x_llm_pq_adc_scores",
+    "x_llm_simhash_signature",
+    "x_llm_tfidf_topk",
+    "x_llm_vocab_coverage",
+    "x_mm_dedup_binary",
+    "x_sql_text_api",
+    "x_stream_windowed_topk",
+    "x_tpch_q10_returned_items",
+    "x_tpch_q13_customer_distribution",
+    "x_tpch_q14_promo_revenue",
+    "x_tpch_q18_large_volume_customer",
+    "x_tpch_q19_discounted_revenue",
+    "x_tpch_q22_global_sales_opportunity",
+    "x_tpch_q4_order_priority",
+    "x_tpch_q5_local_supplier_volume",
+    "x_tpch_q6_forecast_revenue",
+    "x_ts_attribution_last_touch",
+    "x_ts_rolling_zscore",
+    "x_ts_time_weighted_avg",
+    "x_udf_pandas_grouped_agg",
+    "x_win_cohort_revenue",
+    "x_win_range_frame",
+    "x_win_streaks",
+    # (1) the alphabetically-first r15-era oracle-bearing ids, padding to 50
+    "exec_threadpool",
+    "flagship_corpus_health",
+    "flagship_curation",
+    "flagship_health",
+    "flagship_sync",
+    "flt_key_membership",
+    "flt_neq_const",
+    "flt_nonempty_guard",
+    "flt_not_in_list",
+    "flt_not_null",
+    "proj_alias_literal",
+    "proj_nested_field",
+    "x_agg_ab_test",
+    "x_agg_audience_overlap",
+    "x_agg_benford_distribution",
+    "x_agg_bitmask_usage",
+    "x_agg_bool_logic",
+    "x_agg_decile_edges",
+    "x_agg_grouping_id",
+    "x_agg_percentile_cont_disc",
+    "x_agg_weighted_stats",
 )
 _PRIORITY_RANK = {n: i for i, n in enumerate(_PRIORITY_NAMES)}
 
