@@ -1012,7 +1012,13 @@ def _pagerank_step(
     """One power iteration r -> r': neighbor contributions accumulate as
     exact DECIMAL(38,18) of elementwise doubles and the new rank rounds
     to 12 decimals (the cross-engine induction invariant of the unrolled
-    oracle).  The node-grain rank frame is broadcast into the transition
+    oracle).  PRECONDITION (r19 ADVICE): ``trans`` must be a SYMMETRIZED
+    edge set — the teleport-only fold below is row-preserving only
+    because the dst-keyed aggregate's key set then equals the node set;
+    an asymmetric caller would silently drop dst-only nodes the old
+    inner join used to filter.  Both callers build trans from
+    ``_pagerank_graph``, whose edge frame is symmetrized by
+    construction (``_pagerank_edges_build`` unions both orientations).  The node-grain rank frame is broadcast into the transition
     join (BroadcastHashJoin — no exchange), so a step is ONE shuffle
     stage: the dst-keyed aggregate.  ``n_nodes`` is the graph's node
     count as a DRIVER scalar: the count is loop-invariant and node-grain

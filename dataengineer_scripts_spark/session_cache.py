@@ -30,9 +30,15 @@ def session_shared(
     key: str,
     build: Callable[[], DataFrame],
 ) -> DataFrame:
-    k = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), key)
+    app_id = spark.sparkContext.applicationId
+    k = (app_id, os.path.abspath(sf_dir), key)
     df = _SESSION_FRAMES.get(k)
     if df is None:
+        # evict frames bound to stopped contexts (same discipline as
+        # tables._TABLE_MEMO — r19 ADVICE: a process that cycles
+        # SparkSessions must not retain dead-JVM DataFrames forever)
+        for stale in [sk for sk in _SESSION_FRAMES if sk[0] != app_id]:
+            _SESSION_FRAMES.pop(stale, None)
         df = build().localCheckpoint(eager=False)
         _SESSION_FRAMES[k] = df
     return df

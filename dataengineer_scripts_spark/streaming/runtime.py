@@ -52,8 +52,12 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream
 
 
-def run_to_memory(df: DataFrame, name: str, output_mode: str) -> None:
-    """Drive a bounded stream to completion into a memory table."""
+def run_to_memory(df: DataFrame, name: str, output_mode: str):
+    """Drive a bounded stream to completion into a memory table.
+
+    Returns the (stopped) StreamingQuery so callers/tests can inspect
+    ``recentProgress`` — e.g. the r20 determinism pin that the smoke run
+    executes a fixed micro-batch count."""
     q = (
         df.writeStream.outputMode(output_mode)
         .format("memory")
@@ -64,6 +68,7 @@ def run_to_memory(df: DataFrame, name: str, output_mode: str) -> None:
         q.processAllAvailable()
     finally:
         q.stop()
+    return q
 
 
 def stream_events_split(

@@ -54,10 +54,16 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # timezone, and a driver-owned session may call this loader directly
     # (before any registered query re-pinned the confs).
     apply_runtime_confs(spark)
-    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), name)
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, os.path.abspath(sf_dir), name)
     cached = _TABLE_MEMO.get(key)
     if cached is not None:
         return cached
+    # Evict entries bound to stopped contexts before adding to the memo:
+    # a long-lived process that cycles SparkSessions would otherwise
+    # retain DataFrames referencing dead JVMs forever (r19 ADVICE).
+    for stale in [k for k in _TABLE_MEMO if k[0] != app_id]:
+        _TABLE_MEMO.pop(stale, None)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         ts_type = df.schema["ts"].dataType

@@ -320,3 +320,29 @@ def test_weighted_stats_single_aggregate(spark, sf_dir):
     plan = _physical(DEFS["x_agg_weighted_stats"].fn(spark, sf_dir))
     assert plan.count("Scan parquet") == 1
     assert "Join" not in plan and "Window" not in plan
+
+
+def test_shared_member_ops_ship_their_guarded_build_lineage(spark, sf_dir):
+    """The five session-shared flagship_analytics members have their plan
+    guards asserted on the exposed _*_build lineages; this pins that the
+    REGISTERED op actually ships that lineage (r19 ADVICE: without it the
+    guards could silently drift onto dead code).  One order-insensitive
+    result comparison per op — build() recomputed fresh vs the op's
+    session-shared checkpoint."""
+    from dataengineer_scripts_spark.operators import etl, relational
+
+    members = {
+        "x_agg_mode": relational._mode_build,
+        "x_agg_funnel": relational._funnel_build,
+        "x_agg_retention": relational._retention_build,
+        "x_agg_rolling_distinct": relational._rolling_distinct_build,
+        "x_etl_dq_report": etl._dq_report_build,
+    }
+    for name, build in members.items():
+        got = DEFS[name].fn(spark, sf_dir)
+        want = build(spark, sf_dir)
+        assert sorted(got.columns) == sorted(want.columns), name
+        key = sorted(got.columns)
+        g = sorted(tuple(row[c] for c in key) for row in got.collect())
+        w = sorted(tuple(row[c] for c in key) for row in want.collect())
+        assert g == w, name

@@ -465,3 +465,28 @@ def test_stream_rest_poll_checkpoint_recovery(spark, tmp_path):
             q2.stop()
     got = [r.node_id for r in spark.read.parquet(out).collect()]
     assert sorted(got) == [0, 1, 2, 3]  # each exactly once: no replay, no gap
+
+
+def test_stream_smoke_batch_count_is_pinned(spark, sf_dir):
+    """Determinism pin (r19 verdict item 3): the registered smoke's
+    bounded run must execute a FIXED micro-batch cadence — one data batch
+    (the single-file source drains in one trigger) plus at most one
+    empty watermark-finalization batch.  An environment-dependent batch
+    count would make both the smoke's timing and its append-mode output
+    nondeterministic; this pins the cadence at the runtime level so a
+    drift (e.g. a maxFilesPerTrigger default change or a source split)
+    fails loudly."""
+    agg = (
+        stream_events(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+    q = run_to_memory(agg, "smoke_cadence_out", "append")
+    progress = q.recentProgress
+    data_batches = [p for p in progress if p["numInputRows"] > 0]
+    assert len(data_batches) == 1, [
+        (p["batchId"], p["numInputRows"]) for p in progress
+    ]
+    assert len(progress) <= 3, [p["batchId"] for p in progress]
